@@ -1,0 +1,4 @@
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+
+__all__ = ["RetrievalType", "SearchHit", "DenseIndex", "DocEmbeddings"]

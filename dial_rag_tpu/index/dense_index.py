@@ -1,0 +1,159 @@
+"""HBM-resident dense embedding index with fused distance + stable top-k.
+
+TPU-first redesign of the reference's per-document numpy scan
+(aidial_rag/retrievers/embeddings_index.py:33-89). The reference computes,
+for each document, metric distances and a stable argsort top-``limit``,
+then concatenates the per-doc winners in document order and takes a global
+stable top-``limit``. We instead keep ONE flat, padded ``[N, D]`` matrix in
+HBM (rows laid out in document order, then within-doc order) and take a
+single global stable top-``limit`` over all rows. This is exactly
+equivalent:
+
+* selection — if a row is in the global top-``limit``, fewer than
+  ``limit`` rows of *its own document* can precede it, so it is also in
+  its document's top-``limit``; hence both pipelines select the same set;
+* tie order — the reference's concatenation order is (doc order, within-
+  doc stable rank), which for equal distances equals (doc order, within-
+  doc position) — precisely the flat row order our single stable top-k
+  breaks ties by.
+
+The one-pass design removes the per-document Python loop, turns the whole
+query into a single jitted kernel (distance matvec on the MXU + k argmin
+sweeps on the VPU), and makes row-sharding across a device mesh trivial
+(per-shard top-k + gather merge; see dial_rag_tpu/parallel/).
+
+Shapes are padded to lane-aligned buckets so repeated queries and growing
+corpora hit the jit cache instead of recompiling.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
+from dial_rag_tpu.ops.stable_topk import stable_topk_argmin, stable_topk_sort
+
+_LANE = 128
+_ARGMIN_MAX_K = 32
+
+
+def _bucket_rows(n: int) -> int:
+    """Pad row count to bounded set of sizes to limit jit recompiles."""
+    n = max(n, 1)
+    if n <= 4096:
+        return -(-n // 512) * 512
+    # next power of two above 4096
+    p = 8192
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class DocEmbeddings:
+    """Per-document flat embeddings: row i maps to chunk_ids[i].
+
+    A chunk may own several rows (multi-embeddings per page/chunk), matching
+    the reference's DocIndex (embeddings_index.py:14-30).
+    """
+
+    chunk_ids: np.ndarray  # [n] int
+    embeddings: np.ndarray  # [n, D] f32
+
+    def __post_init__(self):
+        self.chunk_ids = np.asarray(self.chunk_ids, dtype=np.int64)
+        self.embeddings = np.asarray(self.embeddings, dtype=np.float32)
+        if self.embeddings.ndim == 1:  # empty
+            self.embeddings = self.embeddings.reshape(0, 0)
+
+    @property
+    def num_rows(self) -> int:
+        return self.embeddings.shape[0]
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "use_sort"))
+def _find_kernel(emb, query, n_valid, *, metric: Metric, k: int, use_sort: bool):
+    dists = pairwise_distances(query, emb, metric)
+    row = jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0], 1), 0).reshape(-1)
+    dists = jnp.where(row < n_valid, dists, jnp.inf)
+    if use_sort:
+        return stable_topk_sort(dists, k)
+    return stable_topk_argmin(dists, k)
+
+
+class DenseIndex:
+    """Flat dense index over multiple documents; query on device."""
+
+    def __init__(
+        self,
+        retrieval_type: RetrievalType,
+        doc_embeddings: list[DocEmbeddings],
+        metric: Metric | str = Metric.SQEUCLIDEAN_DIST,
+        limit: int = 1,
+    ):
+        self.retrieval_type = retrieval_type
+        self.metric = Metric(metric)
+        self.limit = limit
+
+        non_empty = [(i, d) for i, d in enumerate(doc_embeddings) if d.num_rows]
+        self.n_rows = sum(d.num_rows for _, d in non_empty)
+        if self.n_rows == 0:
+            self.dim = 0
+            self._emb = None
+            return
+
+        self.dim = non_empty[0][1].embeddings.shape[1]
+        doc_ids = np.concatenate(
+            [np.full(d.num_rows, i, dtype=np.int64) for i, d in non_empty]
+        )
+        chunk_ids = np.concatenate([d.chunk_ids for _, d in non_empty])
+        emb = np.concatenate([d.embeddings for _, d in non_empty], axis=0)
+
+        n_pad = _bucket_rows(self.n_rows)
+        if n_pad != self.n_rows:
+            emb = np.pad(emb, ((0, n_pad - self.n_rows), (0, 0)))
+        # Host-side row -> (doc, chunk) mapping; top-k indices come back small.
+        self._doc_ids = doc_ids
+        self._chunk_ids = chunk_ids
+        self._emb = jnp.asarray(emb)  # [n_pad, D] f32 in HBM
+
+    @property
+    def nbytes(self) -> int:
+        return 0 if self._emb is None else self._emb.size * 4
+
+    def find(self, query: np.ndarray) -> list[SearchHit]:
+        hits, _ = self.find_with_distances(query)
+        return hits
+
+    def find_with_distances(self, query):
+        if self._emb is None:
+            return [], []
+        query = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(-1))
+        k = min(self.limit, self.n_rows)
+        vals, idx = _find_kernel(
+            self._emb,
+            query,
+            jnp.int32(self.n_rows),
+            metric=self.metric,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        hits, dists = [], []
+        for v, i in zip(vals, idx):
+            if not np.isfinite(v) and i >= self.n_rows:
+                break  # padding reached (fewer valid rows than k)
+            hits.append(
+                SearchHit(
+                    doc_id=int(self._doc_ids[i]),
+                    chunk_id=int(self._chunk_ids[i]),
+                    retrieval_type=self.retrieval_type,
+                )
+            )
+            dists.append(float(v))
+        return hits, dists

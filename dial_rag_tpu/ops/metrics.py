@@ -1,0 +1,78 @@
+"""Distance metrics for the dense index scan.
+
+Numerics mirror the reference's contract (aidial_rag/retrievers/
+embeddings_metrics.py:14-58): every metric returns "smaller is better"
+ranking scores:
+
+- ``inner_product``: negative inner product.
+- ``cosine_sim``: negative cosine similarity with a zero-vector guard
+  (zero vectors are orthogonal to everything; the reference delegates to
+  torch.nn.functional.cosine_similarity whose guard is
+  ``dot / max(|q| * |d|, eps)`` with eps=1e-8).
+- ``sqeuclidean_dist``: the ``|d|^2 - 2 q.d + |q|^2`` expansion — the
+  reference deliberately uses this form instead of ``sum((d-q)**2)`` for
+  precision (embeddings_metrics.py:39-43); we keep it so distances match
+  bit-for-bit in f32.
+- ``euclidean_dist``: sqrt of the above.
+
+All functions are jittable, run on [N, D] blocks, and are written so XLA
+fuses the elementwise epilogue into the matvec (the q·d term is the only
+MXU work; everything else rides the VPU).
+"""
+
+from enum import Enum
+
+import jax.numpy as jnp
+
+_COSINE_EPS = 1e-8
+
+
+class Metric(str, Enum):
+    COSINE_SIM = "cosine_sim"
+    EUCLIDEAN_DIST = "euclidean_dist"
+    SQEUCLIDEAN_DIST = "sqeuclidean_dist"
+    INNER_PRODUCT = "inner_product"
+
+
+def _inner(query: jnp.ndarray, docs: jnp.ndarray) -> jnp.ndarray:
+    # [N, D] @ [D] -> [N]; f32 accumulation on the MXU.
+    return jnp.dot(docs, query, preferred_element_type=jnp.float32)
+
+
+def _metric_inner_product(query, docs):
+    return -_inner(query, docs)
+
+
+def _metric_cosine_sim(query, docs):
+    dot = _inner(query, docs)
+    q_norm = jnp.sqrt(jnp.sum(query * query))
+    d_norm = jnp.sqrt(jnp.sum(docs * docs, axis=-1))
+    denom = jnp.maximum(q_norm * d_norm, _COSINE_EPS)
+    return -(dot / denom)
+
+
+def _metric_sqeuclidean(query, docs):
+    doc_sq = jnp.sum(docs * docs, axis=-1)
+    query_sq = jnp.sum(query * query)
+    return doc_sq - 2.0 * _inner(query, docs) + query_sq
+
+
+def _metric_euclidean(query, docs):
+    return jnp.sqrt(_metric_sqeuclidean(query, docs))
+
+
+METRIC_FNS = {
+    Metric.COSINE_SIM: _metric_cosine_sim,
+    Metric.EUCLIDEAN_DIST: _metric_euclidean,
+    Metric.SQEUCLIDEAN_DIST: _metric_sqeuclidean,
+    Metric.INNER_PRODUCT: _metric_inner_product,
+}
+
+assert len(METRIC_FNS) == len(Metric)
+
+
+def pairwise_distances(
+    query: jnp.ndarray, docs: jnp.ndarray, metric: Metric | str
+) -> jnp.ndarray:
+    """Ranking distances of ``query`` [D] against ``docs`` [N, D] -> [N]."""
+    return METRIC_FNS[Metric(metric)](query, docs)

@@ -1,0 +1,122 @@
+"""DenseIndex behavioral parity with the reference EmbeddingsIndex.
+
+Cases mirror tests/test_embeddings_index.py in the reference: stability
+across document order, limits, empty indexes — plus a randomized
+equivalence test against a numpy transcription of the reference's
+per-document scan + global stable merge (embeddings_index.py:51-89).
+"""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.ops.metrics import Metric
+
+DOC1 = DocEmbeddings(
+    chunk_ids=np.array([0, 1]),
+    embeddings=np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=np.float32),
+)
+DOC2 = DocEmbeddings(
+    chunk_ids=np.array([0]),
+    embeddings=np.array([[1.0, 0.0, 0.0]], dtype=np.float32),
+)
+DOC3 = DocEmbeddings(chunk_ids=np.array([]), embeddings=np.array([]))
+
+
+def hit(doc_id, chunk_id):
+    return SearchHit(doc_id, chunk_id, RetrievalType.TEXT)
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+def test_search_stability(metric):
+    docs = [DOC1, DOC2, DOC3]
+    index = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=1)
+    assert index.find(np.array([1.0, 0.0, 0.0])) == [hit(0, 0)]
+
+    index_reversed = DenseIndex(
+        RetrievalType.TEXT, docs[::-1], metric=metric, limit=1
+    )
+    assert index_reversed.find(np.array([1.0, 0.0, 0.0])) == [hit(1, 0)]
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+@pytest.mark.parametrize("limit", [1, 2, 3, 10])
+def test_different_limits(metric, limit):
+    index = DenseIndex(
+        RetrievalType.TEXT, [DOC1, DOC2, DOC3], metric=metric, limit=limit
+    )
+    expected = [hit(0, 0), hit(1, 0), hit(0, 1)][:limit]
+    assert index.find(np.array([1.0, 0.0, 0.0])) == expected
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+def test_empty_index(metric):
+    query = np.array([0.0, 0.0, 0.0])
+    assert DenseIndex(RetrievalType.TEXT, [], metric=metric).find(query) == []
+    assert (
+        DenseIndex(RetrievalType.TEXT, [DOC3], metric=metric).find(query) == []
+    )
+
+
+def _reference_find(doc_list, query, metric, limit):
+    """Numpy transcription of the reference two-stage scan for equivalence."""
+
+    def distances(docs):
+        dot = docs @ query
+        if metric == Metric.INNER_PRODUCT:
+            return -dot
+        if metric == Metric.COSINE_SIM:
+            return -dot / np.maximum(
+                np.linalg.norm(docs, axis=1) * np.linalg.norm(query), 1e-8
+            )
+        d = (docs**2).sum(1) - 2 * dot + (query**2).sum()
+        return np.sqrt(np.maximum(d, 0)) if metric == Metric.EUCLIDEAN_DIST else d
+
+    all_doc_ids, all_chunk_ids, all_d = [], [], []
+    for i, doc in enumerate(doc_list):
+        if doc.num_rows == 0:
+            continue
+        d = distances(doc.embeddings.astype(np.float32))
+        top = np.argsort(d, kind="stable")[:limit]
+        all_doc_ids.extend([i] * len(top))
+        all_chunk_ids.extend(doc.chunk_ids[top])
+        all_d.extend(d[top])
+    order = np.argsort(np.array(all_d), kind="stable")[:limit]
+    return [
+        (all_doc_ids[j], int(all_chunk_ids[j])) for j in order
+    ]
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+@pytest.mark.parametrize("limit", [1, 7, 23])
+def test_randomized_equivalence_with_reference_scan(metric, limit):
+    rng = np.random.default_rng(7)
+    docs = []
+    for n in [3, 0, 17, 129, 1]:
+        # quantize to force distance ties across and within documents
+        emb = rng.integers(-2, 3, size=(n, 8)).astype(np.float32)
+        docs.append(DocEmbeddings(chunk_ids=np.arange(n) * 2, embeddings=emb))
+    query = rng.integers(-2, 3, size=(8,)).astype(np.float32)
+
+    index = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=limit)
+    got = [(h.doc_id, h.chunk_id) for h in index.find(query)]
+    assert got == _reference_find(docs, query, metric, limit)
+
+
+def test_multi_embedding_chunks():
+    # several rows may map to the same chunk (per-page multi embeddings)
+    doc = DocEmbeddings(
+        chunk_ids=np.array([5, 5, 9]),
+        embeddings=np.array(
+            [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]], dtype=np.float32
+        ),
+    )
+    index = DenseIndex(
+        RetrievalType.IMAGE, [doc], metric=Metric.COSINE_SIM, limit=2
+    )
+    hits = index.find(np.array([1.0, 0.0]))
+    assert [(h.chunk_id, h.retrieval_type) for h in hits] == [
+        (5, RetrievalType.IMAGE),
+        (5, RetrievalType.IMAGE),
+    ]
