@@ -1,0 +1,321 @@
+"""BERT-family text encoder in pure JAX — the bge-small-en replacement.
+
+The reference's only local neural network is the bge-small-en sentence
+encoder run through sentence-transformers on OpenVINO/CPU or torch/CUDA
+(aidial_rag/embeddings/embeddings.py:38-66). Here it is a first-party JAX
+implementation designed for the TPU:
+
+- parameters are a plain pytree (dict), loadable from any HF BertModel
+  safetensors checkpoint (``load_hf_weights``) or randomly initialized;
+- the forward pass is a single jittable function with static (B, S)
+  shapes; callers bucket sequence lengths (64/128/256/512) so the jit
+  cache stays small;
+- QKV is one fused [H, 3H] GEMM per layer; all matmuls carry
+  ``preferred_element_type=float32`` so the MXU accumulates in f32 even
+  when activations are bf16 (``compute_dtype``);
+- attention is pluggable: "xla" (jnp reference path) or "pallas"
+  (fused flash-attention kernel in dial_rag_tpu/ops/flash_attention.py);
+- pooling follows bge: CLS token + L2 normalization
+  (sentence-transformers ``pooling_mode_cls_token`` + the reference's
+  ``normalize_embeddings=True`` — embeddings.py:60-62).
+
+Numerical contract: with f32 compute the output matches HF
+``transformers.BertModel`` to ~1e-5 (see tests/test_bert_parity.py).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LAYERNORM_EPS = 1e-12
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def bge_small_en() -> "BertConfig":
+        """Architecture of BAAI/epam bge-small-en (the reference's model)."""
+        return BertConfig()
+
+    @staticmethod
+    def tiny() -> "BertConfig":
+        """Small config for fast tests."""
+        return BertConfig(
+            vocab_size=1024,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=128,
+        )
+
+
+def init_params(rng: jax.Array, config: BertConfig, dtype=jnp.float32) -> dict:
+    """Deterministic random init (BERT-style truncated-normal-ish 0.02 std)."""
+    c = config
+    n_weights = 5 + c.num_layers * 16
+    keys = iter(jax.random.split(rng, n_weights))
+
+    def dense(k, n_in, n_out):
+        return {
+            "kernel": (jax.random.normal(k, (n_in, n_out)) * 0.02).astype(dtype),
+            "bias": jnp.zeros((n_out,), dtype),
+        }
+
+    def ln():
+        return {
+            "scale": jnp.ones((c.hidden_size,), dtype),
+            "bias": jnp.zeros((c.hidden_size,), dtype),
+        }
+
+    params = {
+        "embeddings": {
+            "word": (
+                jax.random.normal(next(keys), (c.vocab_size, c.hidden_size))
+                * 0.02
+            ).astype(dtype),
+            "position": (
+                jax.random.normal(
+                    next(keys), (c.max_position_embeddings, c.hidden_size)
+                )
+                * 0.02
+            ).astype(dtype),
+            "token_type": (
+                jax.random.normal(next(keys), (c.type_vocab_size, c.hidden_size))
+                * 0.02
+            ).astype(dtype),
+            "layernorm": ln(),
+        },
+        "layers": [],
+    }
+    for _ in range(c.num_layers):
+        params["layers"].append(
+            {
+                "qkv": dense(next(keys), c.hidden_size, 3 * c.hidden_size),
+                "attn_out": dense(next(keys), c.hidden_size, c.hidden_size),
+                "attn_ln": ln(),
+                "ffn_in": dense(next(keys), c.hidden_size, c.intermediate_size),
+                "ffn_out": dense(next(keys), c.intermediate_size, c.hidden_size),
+                "ffn_ln": ln(),
+            }
+        )
+        # burn the unused keys so layer inits stay independent
+        for _ in range(12):
+            next(keys)
+    return params
+
+
+def load_hf_weights(state_dict: dict, config: BertConfig) -> dict:
+    """Map an HF ``BertModel`` state dict (torch tensors or numpy arrays)
+    into our pytree. torch Linear stores [out, in]; we store [in, out].
+
+    Accepts keys with or without the ``bert.`` prefix.
+    """
+
+    def get(name):
+        for key in (name, "bert." + name):
+            if key in state_dict:
+                t = state_dict[key]
+                return jnp.asarray(np.asarray(t, dtype=np.float32))
+        raise KeyError(name)
+
+    def dense(prefix):
+        return {
+            "kernel": get(prefix + ".weight").T,
+            "bias": get(prefix + ".bias"),
+        }
+
+    def lnorm(prefix):
+        return {"scale": get(prefix + ".weight"), "bias": get(prefix + ".bias")}
+
+    params = {
+        "embeddings": {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "token_type": get("embeddings.token_type_embeddings.weight"),
+            "layernorm": lnorm("embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.layer.{i}."
+        q = dense(p + "attention.self.query")
+        k = dense(p + "attention.self.key")
+        v = dense(p + "attention.self.value")
+        params["layers"].append(
+            {
+                "qkv": {
+                    "kernel": jnp.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1
+                    ),
+                    "bias": jnp.concatenate(
+                        [q["bias"], k["bias"], v["bias"]]
+                    ),
+                },
+                "attn_out": dense(p + "attention.output.dense"),
+                "attn_ln": lnorm(p + "attention.output.LayerNorm"),
+                "ffn_in": dense(p + "intermediate.dense"),
+                "ffn_out": dense(p + "output.dense"),
+                "ffn_ln": lnorm(p + "output.LayerNorm"),
+            }
+        )
+    return params
+
+
+def _layernorm(x, scale, bias):
+    # LayerNorm in f32 regardless of compute dtype (bf16 LN loses parity)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["bias"]
+    ).astype(x.dtype)
+
+
+def _xla_attention(q, k, v, mask_bias):
+    """Reference attention path: [B, H, S, Dh] inputs, additive mask bias."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores / np.sqrt(q.shape[-1]) + mask_bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+class BertEncoder:
+    """Stateless forward for a BERT encoder with bge (CLS+normalize) pooling."""
+
+    def __init__(
+        self,
+        config: BertConfig,
+        compute_dtype=jnp.float32,
+        attention_impl: str = "xla",
+    ):
+        self.config = config
+        self.compute_dtype = compute_dtype
+        self.attention_impl = attention_impl
+
+    def __call__(self, params, input_ids, attention_mask):
+        return bert_forward(
+            params,
+            input_ids,
+            attention_mask,
+            num_heads=self.config.num_heads,
+            compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl,
+        )
+
+    def encode(self, params, input_ids, attention_mask):
+        """jit-compiled [B, S] -> [B, H] pooled, L2-normalized embeddings."""
+        return _encode_jit(
+            params,
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            num_heads=self.config.num_heads,
+            compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl,
+        )
+
+
+@partial(
+    jax.jit, static_argnames=("num_heads", "compute_dtype", "attention_impl")
+)
+def _encode_jit(
+    params, input_ids, attention_mask, *, num_heads, compute_dtype, attention_impl
+):
+    hidden = bert_forward(
+        params,
+        input_ids,
+        attention_mask,
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+        attention_impl=attention_impl,
+    )
+    cls = hidden[:, 0, :].astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
+    return cls / jnp.maximum(norm, 1e-12)
+
+
+def bert_forward(
+    params,
+    input_ids,
+    attention_mask,
+    *,
+    num_heads: int,
+    compute_dtype=jnp.float32,
+    attention_impl: str = "xla",
+):
+    """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states."""
+    emb = params["embeddings"]
+    b, s = input_ids.shape
+    h = emb["word"].shape[1]
+    dh = h // num_heads
+
+    positions = jnp.arange(s)
+    x = (
+        emb["word"][input_ids]
+        + emb["position"][positions][None, :, :]
+        + emb["token_type"][0][None, None, :]
+    )
+    x = _layernorm(x, emb["layernorm"]["scale"], emb["layernorm"]["bias"])
+    x = x.astype(compute_dtype)
+
+    # HF extended mask: (1 - mask) * finfo(dtype).min added to the scores
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * jnp.finfo(
+        jnp.float32
+    ).min
+    mask_bias = mask_bias[:, None, None, :]  # [B, 1, 1, S]
+
+    for layer in params["layers"]:
+        qkv = _dense(x, layer["qkv"])  # [B, S, 3H]
+        qkv = qkv.reshape(b, s, 3, num_heads, dh)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, S, Dh]
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        if attention_impl == "pallas":
+            from dial_rag_tpu.ops.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k, v, attention_mask)
+        else:
+            ctx = _xla_attention(q, k, v, mask_bias)
+
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+        attn_out = _dense(ctx, layer["attn_out"])
+        x = _layernorm(
+            x + attn_out, layer["attn_ln"]["scale"], layer["attn_ln"]["bias"]
+        )
+
+        ffn = _dense(x, layer["ffn_in"])
+        ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(
+            compute_dtype
+        )
+        ffn = _dense(ffn, layer["ffn_out"])
+        x = _layernorm(
+            x + ffn, layer["ffn_ln"]["scale"], layer["ffn_ln"]["bias"]
+        )
+
+    return x

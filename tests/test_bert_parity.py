@@ -1,0 +1,140 @@
+"""JAX BERT encoder parity vs HF transformers BertModel (torch, CPU).
+
+No network: a small random BertModel is instantiated from a config, its
+state dict is mapped into our pytree, and the outputs are compared. This
+covers the weight-name mapping, attention masking, GELU/LayerNorm
+numerics, and the bge CLS+normalize pooling contract
+(SURVEY.md §7 hard part 1).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from dial_rag_tpu.models.bert import (
+    BertConfig,
+    BertEncoder,
+    bert_forward,
+    load_hf_weights,
+)
+
+CFG = BertConfig(
+    vocab_size=512,
+    hidden_size=64,
+    num_layers=3,
+    num_heads=4,
+    intermediate_size=128,
+    max_position_embeddings=96,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        intermediate_size=CFG.intermediate_size,
+        max_position_embeddings=CFG.max_position_embeddings,
+        hidden_act="gelu",
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = transformers.BertModel(hf_cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    state = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    return load_hf_weights(state, CFG)
+
+
+def _random_batch(rng, b, s):
+    ids = rng.integers(5, CFG.vocab_size, size=(b, s)).astype(np.int64)
+    lengths = rng.integers(2, s + 1, size=(b,))
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.int64)
+    ids = np.where(mask == 1, ids, 0)
+    return ids, mask
+
+
+def test_hidden_states_match(hf_model, params):
+    rng = np.random.default_rng(1)
+    ids, mask = _random_batch(rng, 4, 24)
+
+    with torch.no_grad():
+        expected = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+
+    got = np.asarray(
+        bert_forward(
+            params,
+            np.asarray(ids, np.int32),
+            np.asarray(mask, np.int32),
+            num_heads=CFG.num_heads,
+        )
+    )
+    # compare only unpadded positions (HF computes garbage on padded ones too,
+    # but they are masked out of attention either way)
+    # f32 rounding-order differences between oneDNN (torch) and XLA matmuls
+    # accumulate through the layer stack on random-init weights; ~5e-4 is
+    # pure float noise (embeddings alone match to 1e-6).
+    sel = mask.astype(bool)
+    np.testing.assert_allclose(got[sel], expected[sel], atol=2e-3, rtol=1e-3)
+
+
+def test_cls_pooling_and_normalization(hf_model, params):
+    rng = np.random.default_rng(2)
+    ids, mask = _random_batch(rng, 3, 16)
+
+    with torch.no_grad():
+        hidden = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    cls = hidden[:, 0, :]
+    expected = cls / np.linalg.norm(cls, axis=1, keepdims=True)
+
+    enc = BertEncoder(CFG)
+    got = np.asarray(enc.encode(params, ids.astype(np.int32), mask.astype(np.int32)))
+    np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-3)
+    cos = (got * expected).sum(axis=1)
+    assert (cos > 0.999999).all(), cos
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=1), np.ones(3), atol=1e-6
+    )
+
+
+def test_padding_invariance(params):
+    """Embeddings must not change when the batch is padded to a longer bucket."""
+    rng = np.random.default_rng(3)
+    ids, mask = _random_batch(rng, 2, 16)
+    enc = BertEncoder(CFG)
+
+    short = np.asarray(enc.encode(params, ids, mask))
+    pad = np.zeros((2, 16), dtype=np.int64)
+    long_ids = np.concatenate([ids, pad], axis=1)
+    long_mask = np.concatenate([mask, pad], axis=1)
+    long = np.asarray(enc.encode(params, long_ids, long_mask))
+    np.testing.assert_allclose(short, long, atol=1e-5)
+
+
+def test_bf16_compute_close(params):
+    rng = np.random.default_rng(4)
+    ids, mask = _random_batch(rng, 2, 16)
+    f32 = np.asarray(BertEncoder(CFG).encode(params, ids, mask))
+    import jax.numpy as jnp
+
+    bf16 = np.asarray(
+        BertEncoder(CFG, compute_dtype=jnp.bfloat16).encode(params, ids, mask)
+    )
+    # normalized vectors: cosine similarity should stay very high
+    cos = (f32 * bf16).sum(axis=1)
+    assert (cos > 0.995).all(), cos

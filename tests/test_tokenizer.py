@@ -1,0 +1,88 @@
+"""WordPiece tokenizer parity vs the HF `tokenizers` implementation."""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    basic_tokenize,
+    build_test_vocab,
+)
+
+CORPUS = (
+    "the alps are the highest and most extensive mountain range that is "
+    "entirely in europe stretching approximately across eight alpine "
+    "countries climate glaciers snow peaks colle di cadibona pass"
+).split()
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return build_test_vocab(CORPUS + ["moun", "##tain", "##ing", "##s", "##e"])
+
+
+@pytest.fixture(scope="module")
+def tok(vocab):
+    return WordPieceTokenizer(vocab=vocab)
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("  spaces\t\nand\rmore ") == ["spaces", "and", "more"]
+    assert basic_tokenize("café") == ["cafe"]  # accent stripping
+    assert basic_tokenize("don't") == ["don", "'", "t"]
+    assert basic_tokenize("中文abc") == ["中", "文", "abc"]
+
+
+def test_wordpiece_greedy(tok):
+    # whole word in vocab wins
+    assert tok.wordpiece("alps") == ["alps"]
+    # longest-match-first splitting
+    assert tok.wordpiece("mountains") == ["mountain", "##s"]
+    # unknown character -> [UNK]
+    assert tok.wordpiece("λ") == ["[UNK]"]
+
+
+def test_encode_has_cls_sep(tok, vocab):
+    ids = tok.encode("the alps")
+    assert ids[0] == vocab["[CLS]"]
+    assert ids[-1] == vocab["[SEP]"]
+    assert len(ids) == 4
+
+
+def test_encode_batch_bucketing(tok):
+    ids, mask = tok.encode_batch(["the alps", "climate"])
+    assert ids.shape == (2, 64)  # smallest bucket
+    assert mask.sum(axis=1).tolist() == [4, 3]
+    # padding uses pad id and mask 0
+    assert (ids[0, 4:] == tok.pad_id).all()
+
+
+def test_truncation(tok):
+    long_text = " ".join(["alps"] * 1000)
+    ids = tok.encode(long_text, max_len=128)
+    assert len(ids) == 128
+
+
+def test_parity_with_hf_tokenizers(vocab, tok, tmp_path):
+    tokenizers = pytest.importorskip("tokenizers")
+    vocab_file = tmp_path / "vocab.txt"
+    inv = sorted(vocab, key=vocab.get)
+    vocab_file.write_text("\n".join(inv) + "\n", encoding="utf-8")
+
+    hf = tokenizers.BertWordPieceTokenizer(
+        str(vocab_file), lowercase=True, strip_accents=True
+    )
+    samples = [
+        "The Alps are the HIGHEST mountain range, entirely in Europe!",
+        "Colle di Cadibona — a pass.",
+        "climate; glaciers: snow?? peaks...",
+        "café mountains stretching (approximately) across",
+        "",
+        "don't.",
+        "中文 text mixed with english",
+    ]
+    for text in samples:
+        ours = tok.encode(text, max_len=512)
+        theirs = hf.encode(text).ids
+        assert ours == theirs, f"mismatch on {text!r}: {ours} vs {theirs}"
