@@ -1,0 +1,137 @@
+"""Headline benchmark: index-build throughput (chunks/sec), TPU vs reference path.
+
+Measures the end-to-end semantic index build hot loop — host WordPiece
+tokenization + device transfer + bge-small-class encoder forward + device
+index append — on the real TPU chip, and compares against the reference's
+compute path (HF BERT on CPU torch, standing in for sentence-transformers/
+OpenVINO which is the same model on the same cores; reference batch size
+128 per aidial_rag/embeddings/embeddings.py:24-26).
+
+Prints ONE JSON line:
+  {"metric": "index_build_chunks_per_sec", "value": N, "unit": "chunks/s",
+   "vs_baseline": ratio}
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_CHUNKS = 2048
+BATCH = 128  # reference EMBEDDINGS_BATCH_SIZE
+CPU_CHUNKS = 128  # baseline sample (scaled)
+WORDS_PER_CHUNK = 180  # ~1000 chars, the reference chunk size
+
+
+def make_corpus(rng, n):
+    words = (
+        "the alps are highest most extensive mountain range that entirely in "
+        "europe stretching approximately across eight alpine countries france "
+        "switzerland italy austria climate glaciers snow peaks pass valley "
+        "formed over tens of millions years as african and eurasian tectonic "
+        "plates collided extreme shortening caused by event resulted marine "
+        "sedimentary rocks rising thrusting folding into high points like mont "
+        "blanc matterhorn elevation meters region water supply rivers rhine "
+        "rhone danube po tourism winter summer population cities culture"
+    ).split()
+    return [
+        " ".join(rng.choice(words, size=WORDS_PER_CHUNK)) for _ in range(n)
+    ]
+
+
+def bench_tpu(texts, tok, params, config):
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.models.bert import BertEncoder
+
+    enc = BertEncoder(config, compute_dtype=jnp.bfloat16)
+
+    def build(texts):
+        embs = []
+        for i in range(0, len(texts), BATCH):
+            ids, mask = tok.encode_batch(texts[i : i + BATCH])
+            embs.append(enc.encode(params, ids, mask))
+        return jnp.concatenate(embs, axis=0)
+
+    # warm (compile)
+    build(texts[: BATCH * 2]).block_until_ready()
+    t0 = time.perf_counter()
+    out = build(texts)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return len(texts) / dt
+
+
+def bench_cpu_reference(texts, tok, config):
+    """Reference compute path: the same encoder architecture on CPU torch."""
+    import torch
+    import transformers
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=config.vocab_size,
+        hidden_size=config.hidden_size,
+        num_hidden_layers=config.num_layers,
+        num_attention_heads=config.num_heads,
+        intermediate_size=config.intermediate_size,
+        max_position_embeddings=config.max_position_embeddings,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = transformers.BertModel(hf_cfg)
+    model.eval()
+
+    def build(texts):
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(texts), BATCH):
+                ids, mask = tok.encode_batch(texts[i : i + BATCH])
+                h = model(
+                    input_ids=torch.from_numpy(ids.astype(np.int64)),
+                    attention_mask=torch.from_numpy(mask.astype(np.int64)),
+                ).last_hidden_state
+                cls = h[:, 0, :]
+                outs.append(torch.nn.functional.normalize(cls, dim=1))
+        return torch.cat(outs)
+
+    build(texts[:8])  # warm
+    t0 = time.perf_counter()
+    build(texts)
+    dt = time.perf_counter() - t0
+    return len(texts) / dt
+
+
+def main():
+    import jax
+
+    from dial_rag_tpu.models.bert import BertConfig, init_params
+    from dial_rag_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+
+    rng = np.random.default_rng(0)
+    texts = make_corpus(rng, N_CHUNKS)
+    vocab = build_test_vocab(sorted(set(" ".join(texts).split())), size=4096)
+    tok = WordPieceTokenizer(vocab=vocab)
+
+    config = BertConfig.bge_small_en()
+    params = init_params(jax.random.PRNGKey(0), config)
+
+    tpu_rate = bench_tpu(texts, tok, params, config)
+    cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_chunks_per_sec",
+                "value": round(tpu_rate, 1),
+                "unit": "chunks/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

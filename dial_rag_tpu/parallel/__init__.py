@@ -1,0 +1,7 @@
+from dial_rag_tpu.parallel.mesh import (
+    bert_param_shardings,
+    batch_sharding,
+    create_mesh,
+)
+
+__all__ = ["create_mesh", "bert_param_shardings", "batch_sharding"]

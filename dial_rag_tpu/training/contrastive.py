@@ -1,0 +1,132 @@
+"""Contrastive fine-tuning of the embedding encoder (InfoNCE).
+
+The reference serves a frozen bge-small-en; a production retrieval stack
+also needs to *train* its embedder on domain pairs. This module provides
+the symmetric in-batch-negatives InfoNCE objective used by the BGE family,
+as a single jitted train step sharded over a (dp, tp) mesh:
+
+- the (query, passage) batch is dp-sharded; because the logit matrix is
+  ``q @ p.T`` over the *global* batch, XLA inserts the all-gather across
+  dp — the idiomatic TPU replacement for torch's explicit
+  ``all_gather``-with-grad tricks;
+- encoder weights follow the tensor-parallel plan in parallel/mesh.py;
+- optimizer state inherits the parameter shardings (sharded adamw).
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dial_rag_tpu.models.bert import BertConfig, bert_forward
+from dial_rag_tpu.parallel.mesh import (
+    batch_sharding,
+    bert_param_shardings,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _encode(params, ids, mask, *, num_heads, compute_dtype):
+    hidden = bert_forward(
+        params, ids, mask, num_heads=num_heads, compute_dtype=compute_dtype
+    )
+    cls = hidden[:, 0, :].astype(jnp.float32)
+    return cls / jnp.maximum(
+        jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12
+    )
+
+
+def contrastive_loss(
+    params,
+    batch,
+    *,
+    num_heads: int,
+    temperature: float = 0.02,
+    compute_dtype=jnp.float32,
+):
+    """Symmetric InfoNCE over in-batch negatives.
+
+    ``batch`` is a dict with q_ids/q_mask/p_ids/p_mask, all [B, S].
+    """
+    q = _encode(
+        params,
+        batch["q_ids"],
+        batch["q_mask"],
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+    )
+    p = _encode(
+        params,
+        batch["p_ids"],
+        batch["p_mask"],
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+    )
+    logits = (
+        jnp.dot(q, p.T, preferred_element_type=jnp.float32) / temperature
+    )
+    labels = jnp.arange(q.shape[0])
+    loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return 0.5 * (loss_qp.mean() + loss_pq.mean())
+
+
+def create_train_state(
+    params, optimizer: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    config: BertConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    temperature: float = 0.02,
+    compute_dtype=jnp.float32,
+):
+    """Build the jitted train step. With a mesh, params/batch/opt-state are
+    sharded (tp plan + dp batch) and XLA inserts all collectives."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(contrastive_loss)(
+            params,
+            batch,
+            num_heads=config.num_heads,
+            temperature=temperature,
+            compute_dtype=compute_dtype,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    param_sh = bert_param_shardings(
+        {"layers": [None] * config.num_layers}, mesh
+    )
+    batch_sh = jax.tree.map(lambda _: batch_sharding(mesh), {
+        "q_ids": 0, "q_mask": 0, "p_ids": 0, "p_mask": 0
+    })
+    repl = NamedSharding(mesh, P())
+
+    # opt_state sharding mirrors params where shapes match; let XLA decide
+    # elsewhere by only constraining params and batch.
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, None, batch_sh),
+        out_shardings=(param_sh, None, repl),
+    )
