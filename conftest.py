@@ -21,3 +21,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# Minimal async-test support (pytest-asyncio is not in the image).
+import asyncio  # noqa: E402
+import inspect  # noqa: E402
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    fn = pyfuncitem.function
+    if inspect.iscoroutinefunction(fn):
+        kwargs = {
+            name: pyfuncitem.funcargs[name]
+            for name in pyfuncitem._fixtureinfo.argnames
+        }
+        asyncio.run(fn(**kwargs))
+        return True
+    return None

@@ -1,0 +1,134 @@
+"""The local embedding model: tokenizer + JAX encoder + batching policy.
+
+Mirrors the reference's bge_embedding singleton semantics
+(aidial_rag/embeddings/embeddings.py): documents are embedded as-is;
+queries get the BGE instruction prefix (langchain's
+HuggingFaceBgeEmbeddings default for English models); outputs are
+L2-normalized CLS poolings.
+
+The batching policy follows the reference's fairness decision: batches run
+*sequentially* (batched.py:42-45) so concurrent requests interleave at
+batch granularity — here each batch is one TPU dispatch, so fairness holds
+at dispatch granularity. The default batch size stays 128 (reference's
+OpenVINO-tuned value; on TPU larger is better and configurable).
+"""
+
+import asyncio
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dial_rag_tpu.models.bert import BertConfig, BertEncoder, init_params
+from dial_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+# langchain_community's DEFAULT_QUERY_BGE_INSTRUCTION_EN, which the
+# reference inherits via HuggingFaceBgeEmbeddings defaults.
+DEFAULT_QUERY_INSTRUCTION = (
+    "Represent this question for searching relevant passages: "
+)
+
+EMBEDDINGS_BATCH_SIZE = 128
+
+
+@dataclass
+class BgeEmbedder:
+    tokenizer: WordPieceTokenizer
+    encoder: BertEncoder
+    params: dict
+    query_instruction: str = DEFAULT_QUERY_INSTRUCTION
+    batch_size: int = EMBEDDINGS_BATCH_SIZE
+    max_len: int = 512
+
+    @classmethod
+    def from_random(
+        cls,
+        config: BertConfig | None = None,
+        vocab: dict | None = None,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+        **kw,
+    ) -> "BgeEmbedder":
+        """Deterministic random-weight embedder (tests / benchmarks; real
+        deployments load an HF checkpoint via from_hf_checkpoint)."""
+        from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+        config = config or BertConfig.tiny()
+        if vocab is None:
+            vocab = build_test_vocab([chr(c) for c in range(97, 123)])
+        return cls(
+            tokenizer=WordPieceTokenizer(vocab=vocab),
+            encoder=BertEncoder(config, compute_dtype=compute_dtype),
+            params=init_params(jax.random.PRNGKey(seed), config),
+            **kw,
+        )
+
+    @classmethod
+    def from_hf_checkpoint(
+        cls, model_dir: str, compute_dtype=jnp.bfloat16, **kw
+    ) -> "BgeEmbedder":
+        """Load a local HF BertModel checkpoint directory:
+        config.json + model.safetensors + vocab.txt."""
+        import json
+        import os
+
+        from safetensors.numpy import load_file
+
+        from dial_rag_tpu.models.bert import load_hf_weights
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf = json.load(f)
+        config = BertConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            type_vocab_size=hf.get("type_vocab_size", 2),
+        )
+        state = load_file(os.path.join(model_dir, "model.safetensors"))
+        params = load_hf_weights(state, config)
+        tokenizer = WordPieceTokenizer.from_vocab_file(
+            os.path.join(model_dir, "vocab.txt"),
+            lowercase=hf.get("do_lower_case", True),
+        )
+        return cls(
+            tokenizer=tokenizer,
+            encoder=BertEncoder(config, compute_dtype=compute_dtype),
+            params=params,
+            **kw,
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.encoder.config.hidden_size
+
+    def _encode_batch(self, texts: list[str]) -> np.ndarray:
+        ids, mask = self.tokenizer.encode_batch(texts, max_len=self.max_len)
+        return np.asarray(self.encoder.encode(self.params, ids, mask))
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        """[n, D] float32; batches dispatched sequentially."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        outs = [
+            self._encode_batch(texts[i : i + self.batch_size])
+            for i in range(0, len(texts), self.batch_size)
+        ]
+        return np.concatenate(outs, axis=0)
+
+    def embed_query(self, text: str) -> np.ndarray:
+        """[D] float32 with the BGE query instruction prefix."""
+        return self._encode_batch([self.query_instruction + text])[0]
+
+    async def aembed_documents(self, texts: list[str]) -> np.ndarray:
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.embed_documents, texts
+        )
+
+    async def aembed_query(self, text: str) -> np.ndarray:
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.embed_query, text
+        )

@@ -1,0 +1,71 @@
+"""BM25 keyword retriever over document records.
+
+Mirror of the reference BM25Retriever (retrievers/bm25_retriever.py):
+the persisted index is the tokenized text per chunk; the scoring structure
+is built at retriever construction from all documents' items flattened in
+document order. Query preprocessing and the top-n tie-break (later item
+wins) match the reference exactly; scoring runs on device
+(dial_rag_tpu/index/bm25.py)."""
+
+import asyncio
+
+from dial_rag_tpu.documents.model import DocumentRecord
+from dial_rag_tpu.index.bm25 import Bm25Index
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.text.keywords import keywords_preprocess
+
+
+class Bm25Retriever:
+    def __init__(self, items: list[tuple[int, int]], index: Bm25Index, k: int):
+        self._items = items  # flat (doc_index, chunk_index)
+        self._index = index
+        self.k = k
+
+    @staticmethod
+    def _iter_items(doc_records: list[DocumentRecord]):
+        for i, doc in enumerate(doc_records):
+            if doc.text_index is not None:
+                for chunk_index, tokens in enumerate(doc.text_index):
+                    yield i, chunk_index, tokens
+
+    @staticmethod
+    def has_index(document_records: list[DocumentRecord]) -> bool:
+        return any(
+            len(tokens) > 0
+            for _, _, tokens in Bm25Retriever._iter_items(document_records)
+        )
+
+    @classmethod
+    def from_doc_records(
+        cls, doc_records: list[DocumentRecord], k: int = 4
+    ) -> "Bm25Retriever":
+        items, tokenized = [], []
+        for doc_index, chunk_index, tokens in cls._iter_items(doc_records):
+            items.append((doc_index, chunk_index))
+            tokenized.append(tokens)
+        index = Bm25Index.build(tokenized)  # raises on empty text index
+        return cls(items=items, index=index, k=k)
+
+    def retrieve(self, query: str) -> list[SearchHit]:
+        top = self._index.top_n(keywords_preprocess(query), self.k)
+        return [
+            SearchHit(
+                doc_id=self._items[i][0],
+                chunk_id=self._items[i][1],
+                retrieval_type=RetrievalType.TEXT,
+            )
+            for i in top
+        ]
+
+    async def aretrieve(self, query: str) -> list[SearchHit]:
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.retrieve, query
+        )
+
+    @staticmethod
+    async def build_index(chunks) -> list[list[str]]:
+        """Tokenize/stem chunk texts for persistence (host CPU work)."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, lambda: [keywords_preprocess(c.text) for c in chunks]
+        )

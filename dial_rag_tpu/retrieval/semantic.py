@@ -1,0 +1,60 @@
+"""Semantic (dense) retriever over the local embedding model.
+
+Mirror of the reference SemanticRetriever (retrievers/semantic_retriever.py):
+build = embed all chunk texts with the local bge model; query = embed the
+query and scan the dense index. Metric defaults to sqeuclidean like the
+reference (EmbeddingsIndex default, embeddings_index.py:43)."""
+
+import asyncio
+
+import numpy as np
+
+from dial_rag_tpu.documents.model import (
+    DocumentRecord,
+    create_doc_embeddings_by_chunk,
+    pack_simple_embeddings,
+)
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.index.dense_index import DenseIndex
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.ops.metrics import Metric
+
+
+class SemanticRetriever:
+    def __init__(self, embedder: BgeEmbedder, index: DenseIndex):
+        self.embedder = embedder
+        self.index = index
+
+    @classmethod
+    def from_doc_records(
+        cls,
+        embedder: BgeEmbedder,
+        document_records: list[DocumentRecord],
+        k: int = 1,
+        metric: Metric = Metric.SQEUCLIDEAN_DIST,
+    ) -> "SemanticRetriever":
+        doc_embeddings = [
+            create_doc_embeddings_by_chunk(doc.embeddings_index)
+            for doc in document_records
+            if doc.embeddings_index is not None
+        ]
+        index = DenseIndex(
+            RetrievalType.TEXT, doc_embeddings, metric=metric, limit=k
+        )
+        return cls(embedder=embedder, index=index)
+
+    def retrieve(self, query: str) -> list[SearchHit]:
+        return self.index.find(self.embedder.embed_query(query))
+
+    async def aretrieve(self, query: str) -> list[SearchHit]:
+        query_emb = await self.embedder.aembed_query(query)
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.index.find, query_emb
+        )
+
+    @staticmethod
+    async def build_index(embedder: BgeEmbedder, chunks) -> list[np.ndarray]:
+        """Embed all chunk texts -> MultiEmbeddings (one [1, D] per chunk)."""
+        texts = [chunk.text for chunk in chunks]
+        embeddings = await embedder.aembed_documents(texts)
+        return pack_simple_embeddings(embeddings)

@@ -1,0 +1,153 @@
+"""BM25 parity with rank_bm25.BM25Okapi semantics.
+
+rank-bm25 is not installed here, so the expected scores come from a
+straight-line transcription of the published BM25Okapi algorithm
+(k1=1.5, b=0.75, epsilon=0.25, idf floor at epsilon * average_idf),
+which is what the reference delegates to (bm25_retriever.py:78-84).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.index.bm25 import B, EPSILON, K1, Bm25Index
+from dial_rag_tpu.text.keywords import keywords_preprocess
+
+
+def bm25_okapi_reference(corpus, query):
+    """Transcription of rank_bm25.BM25Okapi.get_scores."""
+    n = len(corpus)
+    doc_freqs = []
+    nd = {}
+    for doc in corpus:
+        freqs = {}
+        for w in doc:
+            freqs[w] = freqs.get(w, 0) + 1
+        doc_freqs.append(freqs)
+        for w in freqs:
+            nd[w] = nd.get(w, 0) + 1
+    idf, idf_sum, neg = {}, 0.0, []
+    for w, f in nd.items():
+        v = math.log(n - f + 0.5) - math.log(f + 0.5)
+        idf[w] = v
+        idf_sum += v
+        if v < 0:
+            neg.append(w)
+    avg_idf = idf_sum / len(idf)
+    for w in neg:
+        idf[w] = EPSILON * avg_idf
+    dl = np.array([len(d) for d in corpus], dtype=np.float64)
+    avgdl = dl.sum() / n
+    score = np.zeros(n)
+    for q in query:
+        q_freq = np.array([df.get(q, 0) for df in doc_freqs], dtype=np.float64)
+        score += (idf.get(q) or 0.0) * (
+            q_freq * (K1 + 1) / (q_freq + K1 * (1 - B + B * dl / avgdl))
+        )
+    return score
+
+
+CORPUS = [
+    "the alps stretch across eight alpine countries".split(),
+    "colle di cadibona marks the boundary of the alps".split(),
+    "climate in the alps varies with elevation and latitude".split(),
+    "glaciers shaped the alpine valleys over millennia".split(),
+    "mont blanc is the highest peak of the alps".split(),
+    [],  # empty chunk (image-only page)
+    "cadibona cadibona pass".split(),
+]
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        ["cadibona"],
+        ["alps", "climate"],
+        ["alps", "alps"],  # repeated query terms accumulate
+        ["unknownterm"],
+        ["the"],
+        [],
+    ],
+)
+def test_scores_match_okapi(query):
+    index = Bm25Index.build(CORPUS)
+    got = index.get_scores(query)
+    expected = bm25_okapi_reference(CORPUS, query)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [1, 3, 7, 100])
+@pytest.mark.parametrize(
+    "query", [["cadibona"], ["alps"], ["unknownterm"], []]
+)
+def test_top_n_matches_reference_tiebreak(query, n):
+    index = Bm25Index.build(CORPUS)
+    scores = bm25_okapi_reference(CORPUS, query)
+    expected = np.argsort(scores, kind="stable")[::-1][:n]
+    got = index.top_n(query, n)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_csr_fallback_matches_dense():
+    dense = Bm25Index.build(CORPUS)
+    sparse = Bm25Index.build(CORPUS, max_dense_bytes=0)
+    assert sparse._weights_dev is None
+    for query in (["cadibona"], ["alps", "climate"], ["the"]):
+        np.testing.assert_allclose(
+            sparse.get_scores(query), dense.get_scores(query), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            sparse.top_n(query, 3), dense.top_n(query, 3)
+        )
+
+
+def test_empty_corpus_raises():
+    with pytest.raises(ValueError):
+        Bm25Index.build([[], []])
+
+
+def test_randomized_parity():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(50)]
+    corpus = [
+        list(rng.choice(words, size=rng.integers(1, 30)))
+        for _ in range(64)
+    ]
+    index = Bm25Index.build(corpus)
+    for _ in range(5):
+        query = list(rng.choice(words, size=4))
+        np.testing.assert_allclose(
+            index.get_scores(query),
+            bm25_okapi_reference(corpus, query),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+        expected = np.argsort(
+            bm25_okapi_reference(corpus, query), kind="stable"
+        )[::-1][:7]
+        np.testing.assert_array_equal(index.top_n(query, 7), expected)
+
+
+class TestKeywordsPreprocess:
+    def test_basic(self):
+        # "The" survives the stopword filter (reference checks the raw
+        # token against a lowercase list) and is stemmed lowercased
+        toks = keywords_preprocess("The Alps are beautiful mountains.")
+        assert "the" in toks
+        assert "are" not in toks  # lowercase stopword removed
+        assert "alp" in toks or "alps" in toks
+        assert "mountain" in toks  # stemmed
+
+    def test_stemming(self):
+        assert keywords_preprocess("glaciers")[0] == "glacier"
+        assert keywords_preprocess("stretching")[0] == "stretch"
+
+    def test_punctuation_tokens_kept(self):
+        # the reference keeps punctuation tokens (word_tokenize emits them,
+        # they are not stopwords)
+        toks = keywords_preprocess("Hello, world!")
+        assert "," in toks and "!" in toks
+
+    def test_empty(self):
+        assert keywords_preprocess("") == []

@@ -1,0 +1,162 @@
+"""Retriever layer: semantic + BM25 + all-documents + RRF ensemble."""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.documents.model import (
+    FORMAT_VERSION,
+    DocumentRecord,
+    IndexSettings,
+    build_chunks_list,
+)
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.models.tokenizer import build_test_vocab
+from dial_rag_tpu.retrieval import (
+    AllDocumentsRetriever,
+    Bm25Retriever,
+    EnsembleRetriever,
+    SemanticRetriever,
+)
+from dial_rag_tpu.retrieval.ensemble import weighted_reciprocal_rank
+
+DOC1_TEXTS = [
+    "the alps stretch across eight alpine countries",
+    "colle di cadibona marks the southern boundary of the alps",
+    "climate in the alps varies with elevation",
+]
+DOC2_TEXTS = [
+    "mont blanc is the highest peak",
+    "glaciers shaped the alpine valleys",
+]
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    words = sorted(set(" ".join(DOC1_TEXTS + DOC2_TEXTS).split()))
+    vocab = build_test_vocab(words + ["what", "is", "question", "?"])
+    return BgeEmbedder.from_random(vocab=vocab, batch_size=4)
+
+
+async def make_records(embedder):
+    records = []
+    for texts in (DOC1_TEXTS, DOC2_TEXTS):
+        chunks = build_chunks_list([(t, {"source": "s"}) for t in texts])
+        records.append(
+            DocumentRecord(
+                format_version=FORMAT_VERSION,
+                index_settings=IndexSettings(),
+                chunks=chunks,
+                text_index=await Bm25Retriever.build_index(chunks),
+                embeddings_index=await SemanticRetriever.build_index(
+                    embedder, chunks
+                ),
+                multimodal_embeddings_index=None,
+                description_embeddings_index=None,
+                mime_type="text/plain",
+                document_bytes=b"",
+            )
+        )
+    return records
+
+
+@pytest.fixture(scope="module")
+def records(embedder):
+    import asyncio
+
+    return asyncio.run(make_records(embedder))
+
+
+def test_bm25_retrieves_exact_chunk(records):
+    r = Bm25Retriever.from_doc_records(records, k=2)
+    hits = r.retrieve("cadibona")
+    assert hits[0] == SearchHit(0, 1, RetrievalType.TEXT)
+
+
+def test_bm25_has_index(records):
+    assert Bm25Retriever.has_index(records)
+    empty = DocumentRecord(
+        format_version=FORMAT_VERSION,
+        index_settings=IndexSettings(),
+        chunks=[],
+        text_index=[],
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+    assert not Bm25Retriever.has_index([empty])
+
+
+def test_semantic_retriever_self_similarity(records, embedder):
+    r = SemanticRetriever.from_doc_records(embedder, records, k=1)
+    # embedding of a chunk's own text (as document) should be its nearest
+    # neighbor; query instruction changes the query embedding, so query
+    # with a document-embedded vector directly:
+    emb = embedder.embed_documents([DOC2_TEXTS[1]])[0]
+    hits = r.index.find(emb)
+    assert hits[0] == SearchHit(1, 1, RetrievalType.TEXT)
+
+
+async def test_ensemble_rrf_matches_langchain_semantics():
+    class Fixed:
+        def __init__(self, hits):
+            self._hits = hits
+
+        async def aretrieve(self, query):
+            return self._hits
+
+    h = lambda d, c: SearchHit(d, c, RetrievalType.TEXT)
+    list1 = [h(0, 0), h(0, 1), h(0, 2)]
+    list2 = [h(0, 1), h(1, 0), h(0, 0)]
+
+    ens = EnsembleRetriever([Fixed(list1), Fixed(list2)])
+    got = await ens.aretrieve("q")
+
+    # langchain weighted_reciprocal_rank transcription
+    c = 60
+    score = {}
+    for lst in (list1, list2):
+        for rank, hit in enumerate(lst, start=1):
+            score[hit.key] = score.get(hit.key, 0.0) + 1.0 / (rank + c)
+    unique, seen = [], set()
+    for lst in (list1, list2):
+        for hit in lst:
+            if hit.key not in seen:
+                seen.add(hit.key)
+                unique.append(hit)
+    expected = sorted(unique, key=lambda x: score[x.key], reverse=True)
+    assert got == expected
+    # sanity: 0_0 (ranks 1+3) and 0_1 (ranks 2+1) both beat 0_2 and 1_0
+    assert got[0] == h(0, 1) and got[1] == h(0, 0)
+
+
+def test_rrf_tie_order_first_appearance():
+    h = lambda d, c: SearchHit(d, c, RetrievalType.TEXT)
+    # two disjoint single-hit lists: equal scores, first list's hit first
+    out = weighted_reciprocal_rank([[h(0, 0)], [h(1, 0)]], [1.0, 1.0])
+    assert out == [h(0, 0), h(1, 0)]
+
+
+def test_all_documents_limit(records):
+    assert AllDocumentsRetriever.is_within_limit(records)
+    r = AllDocumentsRetriever.from_doc_records(records)
+    hits = r.retrieve("anything")
+    assert len(hits) == 5
+    assert hits[0] == SearchHit(0, 0, RetrievalType.TEXT)
+    assert hits[-1] == SearchHit(1, 1, RetrievalType.TEXT)
+
+    big_chunks = build_chunks_list([("x" * 13000, {"source": "s"})])
+    big = DocumentRecord(
+        format_version=FORMAT_VERSION,
+        index_settings=IndexSettings(),
+        chunks=big_chunks,
+        text_index=None,
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+    assert not AllDocumentsRetriever.is_within_limit([big])
