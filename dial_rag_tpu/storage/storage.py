@@ -1,0 +1,187 @@
+"""Index storage: byte-bounded LRU cache + pluggable file backends.
+
+Mirrors the reference's composition (aidial_rag/index_storage.py:47-186):
+a size-bounded in-memory LRU (default 128 MiB) optionally write-through to
+a remote file store (Dial File API) or a local directory; loads validate
+format version and index settings and treat any mismatch or deserialization
+failure as a miss (rebuild). The persisted index IS the checkpoint/resume
+system: per-document, content-addressed (SURVEY.md §5)."""
+
+import asyncio
+import hashlib
+import logging
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+from pathlib import Path
+
+from dial_rag_tpu.documents.model import (
+    FORMAT_VERSION,
+    DocumentRecord,
+    IndexSettings,
+)
+from dial_rag_tpu.storage.serialization import (
+    deserialize_record,
+    serialize_record,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_CAPACITY = 128 * 1024 * 1024  # reference default 128MiB
+
+# Number of characters per directory segment of the index path. Part of the
+# algorithm, not configuration: changing it orphans existing index files
+# (reference indexing_task.py:36-39).
+INDEX_PATH_PART_SIZE = 8
+
+
+def link_to_index_url(document_link: str, bucket_id: str) -> str:
+    """Content-addressed index path: sha256 of the document link split into
+    8-char directory segments (reference indexing_task.py:35-49)."""
+    key = hashlib.sha256(document_link.encode()).hexdigest()
+    dir_path = "/".join(
+        key[i : i + INDEX_PATH_PART_SIZE]
+        for i in range(0, len(key), INDEX_PATH_PART_SIZE)
+    )
+    return f"files/{bucket_id}/dial-rag-index/{dir_path}/index.bin"
+
+
+class IndexStorageBackend(ABC):
+    @abstractmethod
+    async def load(self, url: str) -> bytes | None: ...
+
+    @abstractmethod
+    async def store(self, url: str, data: bytes) -> dict: ...
+
+
+class LRUCacheStorage(IndexStorageBackend):
+    """Byte-size-bounded LRU (first-party; cachetools is not in the image)."""
+
+    def __init__(self, capacity: int = DEFAULT_CACHE_CAPACITY):
+        self._capacity = capacity
+        self._size = 0
+        self._cache: OrderedDict[str, bytes] = OrderedDict()
+
+    async def load(self, url: str) -> bytes | None:
+        data = self._cache.get(url)
+        if data is not None:
+            self._cache.move_to_end(url)
+        return data
+
+    async def store(self, url: str, data: bytes) -> dict:
+        if len(data) > self._capacity:
+            return {}  # too large to cache at all
+        if url in self._cache:
+            self._size -= len(self._cache.pop(url))
+        self._cache[url] = data
+        self._size += len(data)
+        while self._size > self._capacity:
+            _, evicted = self._cache.popitem(last=False)
+            self._size -= len(evicted)
+        return {}
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+
+class LocalFileStorage(IndexStorageBackend):
+    """Filesystem backend (self-hosted deployments without Dial Core)."""
+
+    def __init__(self, root: str):
+        self._root = Path(root)
+
+    def _path(self, url: str) -> Path:
+        return self._root / url.lstrip("/")
+
+    async def load(self, url: str) -> bytes | None:
+        path = self._path(url)
+
+        def read():
+            try:
+                return path.read_bytes()
+            except FileNotFoundError:
+                return None
+
+        return await asyncio.get_running_loop().run_in_executor(None, read)
+
+    async def store(self, url: str, data: bytes) -> dict:
+        path = self._path(url)
+
+        def write():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp")
+            tmp.write_bytes(data)
+            tmp.replace(path)  # atomic within the same filesystem
+
+        await asyncio.get_running_loop().run_in_executor(None, write)
+        return {"url": url}
+
+
+class CachedStorage(IndexStorageBackend):
+    """Read-through/write-through LRU in front of a slower backend."""
+
+    def __init__(self, storage: IndexStorageBackend, cache: LRUCacheStorage):
+        self._storage = storage
+        self._cache = cache
+
+    async def load(self, url: str) -> bytes | None:
+        data = await self._cache.load(url)
+        if data is not None:
+            return data
+        data = await self._storage.load(url)
+        if data is not None:
+            await self._cache.store(url, data)
+        return data
+
+    async def store(self, url: str, data: bytes) -> dict:
+        await self._cache.store(url, data)
+        return await self._storage.store(url, data)
+
+
+class IndexStorage:
+    """Typed record load/store with version + settings invalidation."""
+
+    def __init__(self, backend: IndexStorageBackend):
+        self._backend = backend
+
+    async def load(
+        self, index_url: str, index_settings: IndexSettings
+    ) -> DocumentRecord | None:
+        data = await self._backend.load(index_url)
+        if data is None:
+            return None
+        try:
+            record = deserialize_record(data)
+        except Exception as e:
+            logger.warning(f"Failed to deserialize index {index_url}: {e}")
+            return None
+        if record.format_version != FORMAT_VERSION:
+            logger.warning(
+                f"Index format version mismatch for {index_url}: "
+                f"{record.format_version}"
+            )
+            return None
+        if record.index_settings != index_settings:
+            logger.warning(f"Index settings mismatch for {index_url}")
+            return None
+        return record
+
+    async def store(self, index_url: str, record: DocumentRecord) -> dict:
+        data = serialize_record(record)
+        logger.debug(f"Stored index at {index_url} ({len(data)} bytes)")
+        return await self._backend.store(index_url, data)
+
+
+class IndexStorageHolder:
+    """Process-wide cache shared across per-request storage instances
+    (reference IndexStorageHolder, index_storage.py:168-186)."""
+
+    def __init__(self, capacity: int = DEFAULT_CACHE_CAPACITY):
+        self._cache = LRUCacheStorage(capacity)
+
+    def get_storage(
+        self, remote_backend: IndexStorageBackend | None = None
+    ) -> IndexStorage:
+        if remote_backend is None:
+            return IndexStorage(self._cache)
+        return IndexStorage(CachedStorage(remote_backend, self._cache))

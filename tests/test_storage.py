@@ -1,0 +1,146 @@
+"""Serialization round-trip + storage invalidation + LRU bounds."""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.documents.model import (
+    FORMAT_VERSION,
+    Chunk,
+    DocumentRecord,
+    IndexSettings,
+)
+from dial_rag_tpu.storage import (
+    IndexStorage,
+    IndexStorageHolder,
+    LocalFileStorage,
+    LRUCacheStorage,
+    deserialize_record,
+    serialize_record,
+)
+from dial_rag_tpu.storage.storage import link_to_index_url
+
+
+def make_record(**overrides) -> DocumentRecord:
+    base = dict(
+        format_version=FORMAT_VERSION,
+        index_settings=IndexSettings(
+            indexes={"parser": {"chunk_size": 1000}}
+        ),
+        chunks=[
+            Chunk(text="alpha", metadata={"chunk_id": 0, "page_number": 1}),
+            Chunk(text="beta", metadata={"chunk_id": 1, "source": "u"}),
+        ],
+        text_index=[["alpha"], ["beta"]],
+        embeddings_index=[
+            np.ones((1, 4), np.float32),
+            np.arange(4, dtype=np.float32).reshape(1, 4),
+        ],
+        multimodal_embeddings_index=None,
+        description_embeddings_index=[
+            np.zeros((0, 4), np.float32),
+            np.full((2, 4), 0.5, np.float32),
+        ],
+        mime_type="application/pdf",
+        document_bytes=b"%PDF-1.4 fake",
+    )
+    base.update(overrides)
+    return DocumentRecord(**base)
+
+
+def test_roundtrip():
+    rec = make_record()
+    out = deserialize_record(serialize_record(rec))
+    assert out.format_version == rec.format_version
+    assert out.index_settings == rec.index_settings
+    assert [c.text for c in out.chunks] == ["alpha", "beta"]
+    assert out.chunks[0].metadata == {"chunk_id": 0, "page_number": 1}
+    assert out.text_index == rec.text_index
+    np.testing.assert_array_equal(
+        out.embeddings_index[1], rec.embeddings_index[1]
+    )
+    assert out.multimodal_embeddings_index is None
+    assert out.description_embeddings_index[0].shape == (0, 4)
+    assert out.document_bytes == rec.document_bytes
+    assert out.mime_type == "application/pdf"
+
+
+def test_no_pickle_involved():
+    data = serialize_record(make_record())
+    assert b"pickle" not in data
+    import gzip
+
+    raw = gzip.decompress(data)
+    assert not raw.startswith(b"\x80")  # not a pickle stream
+
+
+async def test_index_storage_load_store_and_invalidation(tmp_path):
+    storage = IndexStorage(LocalFileStorage(str(tmp_path)))
+    settings = IndexSettings(indexes={"parser": {"chunk_size": 1000}})
+    rec = make_record(index_settings=settings)
+    url = link_to_index_url("files/bucket/doc.pdf", "rag-bucket")
+
+    assert await storage.load(url, settings) is None  # miss
+    await storage.store(url, rec)
+    loaded = await storage.load(url, settings)
+    assert loaded is not None and [c.text for c in loaded.chunks] == [
+        "alpha",
+        "beta",
+    ]
+
+    # settings change invalidates
+    other = IndexSettings(indexes={"parser": {"chunk_size": 500}})
+    assert await storage.load(url, other) is None
+
+    # format version mismatch invalidates
+    stale = make_record(format_version=FORMAT_VERSION - 1, index_settings=settings)
+    await storage.store(url, stale)
+    assert await storage.load(url, settings) is None
+
+    # corrupted data is a miss, not an exception
+    path = tmp_path / url
+    path.write_bytes(b"garbage")
+    assert await storage.load(url, settings) is None
+
+
+def test_link_to_index_url_layout():
+    url = link_to_index_url("files/bucket/doc.pdf", "rag-bucket")
+    assert url.startswith("files/rag-bucket/dial-rag-index/")
+    assert url.endswith("/index.bin")
+    parts = url.split("/")[3:-1]
+    assert len(parts) == 8 and all(len(p) == 8 for p in parts)
+    # deterministic
+    assert url == link_to_index_url("files/bucket/doc.pdf", "rag-bucket")
+    assert url != link_to_index_url("files/bucket/doc2.pdf", "rag-bucket")
+
+
+async def test_lru_eviction_by_bytes():
+    cache = LRUCacheStorage(capacity=100)
+    await cache.store("a", b"x" * 40)
+    await cache.store("b", b"y" * 40)
+    assert await cache.load("a") is not None  # touch a -> b becomes LRU
+    await cache.store("c", b"z" * 40)  # evicts b
+    assert await cache.load("b") is None
+    assert await cache.load("a") is not None
+    assert await cache.load("c") is not None
+    assert cache.size <= 100
+
+    # oversized item is not cached and does not evict others
+    await cache.store("huge", b"h" * 1000)
+    assert await cache.load("huge") is None
+    assert await cache.load("a") is not None
+
+
+async def test_holder_shares_cache_across_storages(tmp_path):
+    holder = IndexStorageHolder()
+    remote = LocalFileStorage(str(tmp_path))
+    settings = IndexSettings()
+    rec = make_record(index_settings=settings)
+
+    s1 = holder.get_storage(remote)
+    await s1.store("files/b/x/index.bin", rec)
+
+    # new storage instance, same holder: hits the shared cache even if the
+    # remote file disappears
+    (tmp_path / "files/b/x/index.bin").unlink()
+    s2 = holder.get_storage(remote)
+    assert await s2.load("files/b/x/index.bin", settings) is not None
