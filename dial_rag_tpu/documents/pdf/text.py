@@ -1,0 +1,356 @@
+"""PDF text extraction: content-stream interpreter + layout assembly.
+
+Interprets the text operators of ISO 32000 (BT/ET, Tf, Td/TD/Tm/T*,
+Tc/Tw/Tz/TL/Ts, Tj/TJ/'/") with full text-space -> device-space transforms
+(Tm x CTM), decodes bytes through the font layer, and assembles glyph runs
+into lines and blocks ordered top-to-bottom, left-to-right. Block font
+sizes drive the by-title chunker's heading detection."""
+
+import math
+from dataclasses import dataclass, field
+
+from dial_rag_tpu.documents.pdf.document import PdfDocument
+from dial_rag_tpu.documents.pdf.fonts import PdfFont
+from dial_rag_tpu.documents.pdf.objects import Lexer, Name, PdfError, Ref, Stream
+
+Matrix = tuple[float, float, float, float, float, float]
+IDENTITY: Matrix = (1, 0, 0, 1, 0, 0)
+
+
+def mat_mul(a: Matrix, b: Matrix) -> Matrix:
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+def apply_mat(m: Matrix, x: float, y: float) -> tuple[float, float]:
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+@dataclass
+class Glyph:
+    text: str
+    x: float  # device space
+    y: float
+    width: float  # device-space advance
+    size: float  # effective device font size
+
+
+@dataclass
+class TextLine:
+    glyphs: list[Glyph] = field(default_factory=list)
+
+    @property
+    def y(self) -> float:
+        return sum(g.y for g in self.glyphs) / len(self.glyphs)
+
+    @property
+    def size(self) -> float:
+        return max(g.size for g in self.glyphs)
+
+    def render(self) -> str:
+        """Glyphs -> string with heuristic space insertion."""
+        glyphs = sorted(self.glyphs, key=lambda g: g.x)
+        out: list[str] = []
+        prev_end: float | None = None
+        for g in glyphs:
+            if not g.text:
+                # space/unmapped glyph: its advance already moved the next
+                # visible glyph's x, so the gap shows up naturally
+                continue
+            if prev_end is not None:
+                gap = g.x - prev_end
+                threshold = max(g.size * 0.22, 0.9)
+                if gap > threshold and out and out[-1] != " ":
+                    out.append(" ")
+            out.append(g.text)
+            prev_end = g.x + g.width
+        return "".join(out).strip()
+
+
+@dataclass
+class TextBlock:
+    text: str
+    font_size: float
+    y: float  # top coordinate in reading order (larger = higher on page)
+    x: float
+
+
+@dataclass
+class PageText:
+    page_number: int  # 1-based
+    blocks: list[TextBlock]
+
+    @property
+    def text(self) -> str:
+        return "\n\n".join(b.text for b in self.blocks)
+
+
+_SHOW_OPS = (b"Tj", b"TJ", b"'", b'"')
+
+
+class TextExtractor:
+    def __init__(self, doc: PdfDocument, page: dict):
+        self.doc = doc
+        self.page = page
+        self.fonts: dict[str, PdfFont] = {}
+        self.glyphs: list[Glyph] = []
+
+    def _get_font(self, name: str, resources: dict) -> PdfFont | None:
+        if name in self.fonts:
+            return self.fonts[name]
+        fonts = self.doc.resolve(resources.get("Font")) or {}
+        fdict = self.doc.resolve(fonts.get(name))
+        font = PdfFont(self.doc, fdict) if isinstance(fdict, dict) else None
+        self.fonts[name] = font
+        return font
+
+    def extract(self) -> list[Glyph]:
+        resources = self.doc.resolve(self.page.get("Resources")) or {}
+        content = self.doc.page_content(self.page)
+        self._run(content, resources, IDENTITY, depth=0)
+        return self.glyphs
+
+    def _run(self, content: bytes, resources: dict, base_ctm: Matrix, depth: int):
+        if depth > 8:
+            return
+        lex = Lexer(content, 0)
+        n = len(content)
+        stack: list = []
+        gs_stack: list[Matrix] = []
+        ctm = base_ctm
+
+        font: PdfFont | None = None
+        tfs = 0.0  # font size
+        tc = 0.0  # char spacing
+        tw = 0.0  # word spacing
+        tz = 100.0  # horizontal scale (%)
+        tl = 0.0  # leading
+        ts = 0.0  # rise
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+
+        def show(raw: bytes):
+            nonlocal tm
+            if font is None or not isinstance(raw, bytes):
+                return
+            h = tz / 100.0
+            for code, is_space in font.iter_codes(raw):
+                w0 = font.code_width(code) / 1000.0
+                trm = mat_mul((tfs * h, 0, 0, tfs, 0, ts), mat_mul(tm, ctm))
+                ch = font.code_to_unicode(code)
+                scale = math.hypot(trm[0], trm[1])
+                adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * h
+                dev_w = w0 * tfs * h * (math.hypot(trm[0], trm[1]) / max(tfs * h, 1e-9))
+                # device-space glyph origin
+                gx, gy = trm[4], trm[5]
+                dev_size = math.hypot(trm[2], trm[3]) or tfs
+                if ch and ch != " ":
+                    self.glyphs.append(
+                        Glyph(text=ch, x=gx, y=gy, width=w0 * scale, size=dev_size)
+                    )
+                elif ch == " " or is_space:
+                    # record spaces as empty glyph for gap accounting
+                    self.glyphs.append(
+                        Glyph(text="", x=gx, y=gy, width=w0 * scale, size=dev_size)
+                    )
+                tm = mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+        def tj_array(items):
+            nonlocal tm
+            h = tz / 100.0
+            for item in items:
+                if isinstance(item, bytes):
+                    show(item)
+                elif isinstance(item, (int, float)):
+                    tm = mat_mul((1, 0, 0, 1, -item / 1000.0 * tfs * h, 0), tm)
+
+        while True:
+            lex.skip_ws()
+            if lex.pos >= n:
+                break
+            c = content[lex.pos]
+            try:
+                if c in b"/<([+-.0123456789" or content[lex.pos : lex.pos + 2] in (
+                    b"<<",
+                ):
+                    stack.append(lex.parse_object())
+                    continue
+                if c == 0x5D:  # stray ]
+                    lex.pos += 1
+                    continue
+                op = lex.read_regular()
+                if not op:
+                    lex.pos += 1
+                    continue
+            except PdfError:
+                lex.pos += 1
+                continue
+
+            if op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                m = tuple(float(v) for v in stack[-6:])
+                ctm = mat_mul(m, ctm)
+            elif op == b"BT":
+                tm = tlm = IDENTITY
+            elif op == b"ET":
+                pass
+            elif op == b"Tf" and len(stack) >= 2:
+                size = stack[-1]
+                fname = stack[-2]
+                if isinstance(fname, Name):
+                    font = self._get_font(fname.value, resources)
+                tfs = float(size)
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                tz = float(stack[-1])
+            elif op == b"TL" and stack:
+                tl = float(stack[-1])
+            elif op == b"Ts" and stack:
+                ts = float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == b"TD" and len(stack) >= 2:
+                tl = -float(stack[-1])
+                tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == b"Tm" and len(stack) >= 6:
+                tlm = tuple(float(v) for v in stack[-6:])
+                tm = tlm
+            elif op == b"T*":
+                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                tm = tlm
+            elif op == b"Tj" and stack:
+                show(stack[-1])
+            elif op == b"TJ" and stack:
+                if isinstance(stack[-1], list):
+                    tj_array(stack[-1])
+            elif op == b"'" and stack:
+                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                tm = tlm
+                show(stack[-1])
+            elif op == b'"' and len(stack) >= 3:
+                tw = float(stack[-3])
+                tc = float(stack[-2])
+                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                tm = tlm
+                show(stack[-1])
+            elif op == b"Do" and stack:
+                xname = stack[-1]
+                if isinstance(xname, Name):
+                    self._run_xobject(xname.value, resources, ctm, depth)
+            elif op == b"BI":
+                # inline image: skip to EI
+                idx = content.find(b"EI", lex.pos)
+                lex.pos = idx + 2 if idx >= 0 else n
+
+            if op in _SHOW_OPS or op not in (b"",):
+                stack.clear()
+
+        return
+
+    def _run_xobject(self, name: str, resources: dict, ctm: Matrix, depth: int):
+        xobjects = self.doc.resolve(resources.get("XObject")) or {}
+        xobj = self.doc.resolve(xobjects.get(name))
+        if not isinstance(xobj, Stream):
+            return
+        subtype = xobj.dict.get("Subtype")
+        if not (isinstance(subtype, Name) and subtype.value == "Form"):
+            return
+        inner_resources = (
+            self.doc.resolve(xobj.dict.get("Resources")) or resources
+        )
+        inner_ctm = ctm
+        mtx = self.doc.resolve(xobj.dict.get("Matrix"))
+        if isinstance(mtx, list) and len(mtx) == 6:
+            inner_ctm = mat_mul(tuple(float(v) for v in mtx), ctm)
+        from dial_rag_tpu.documents.pdf.filters import decode_stream
+
+        try:
+            content = decode_stream(xobj, resolve=self.doc.resolve)
+        except PdfError:
+            return
+        self._run(content, inner_resources, inner_ctm, depth + 1)
+
+
+def _assemble_lines(glyphs: list[Glyph]) -> list[TextLine]:
+    """Group glyphs into baseline lines (y within half the font size)."""
+    lines: list[TextLine] = []
+    for g in sorted(glyphs, key=lambda g: (-g.y, g.x)):
+        placed = False
+        for line in lines:
+            tol = max(line.size, g.size) * 0.5
+            if abs(line.y - g.y) <= tol:
+                line.glyphs.append(g)
+                placed = True
+                break
+        if not placed:
+            lines.append(TextLine(glyphs=[g]))
+    lines.sort(key=lambda ln: -ln.y)
+    return lines
+
+
+def _assemble_blocks(lines: list[TextLine]) -> list[TextBlock]:
+    """Merge adjacent lines into blocks; split on large vertical gaps or
+    font size changes (the heading boundary signal)."""
+    blocks: list[TextBlock] = []
+    current: list[TextLine] = []
+
+    def flush():
+        if not current:
+            return
+        text = " ".join(ln.render() for ln in current).strip()
+        if text:
+            blocks.append(
+                TextBlock(
+                    text=text,
+                    font_size=max(ln.size for ln in current),
+                    y=current[0].y,
+                    x=min(g.x for ln in current for g in ln.glyphs),
+                )
+            )
+        current.clear()
+
+    prev: TextLine | None = None
+    for line in lines:
+        if not line.render():
+            continue
+        if prev is not None:
+            gap = prev.y - line.y
+            max_leading = max(prev.size, line.size) * 1.7
+            size_changed = abs(prev.size - line.size) > 0.5 + 0.08 * prev.size
+            if gap > max_leading or size_changed:
+                flush()
+        current.append(line)
+        prev = line
+    flush()
+    return blocks
+
+
+def extract_pages_text(data: bytes) -> list[PageText]:
+    """Parse a PDF and return per-page text blocks in reading order."""
+    doc = PdfDocument(data)
+    pages = []
+    for i, page in enumerate(doc.pages(), start=1):
+        try:
+            glyphs = TextExtractor(doc, page).extract()
+            blocks = _assemble_blocks(_assemble_lines(glyphs))
+        except PdfError:
+            blocks = []
+        pages.append(PageText(page_number=i, blocks=blocks))
+    return pages

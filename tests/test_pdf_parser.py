@@ -1,0 +1,205 @@
+"""First-party PDF parser: structure, filters, text extraction, layout."""
+
+import os
+import zlib
+
+import pytest
+
+from dial_rag_tpu.documents.pdf import (
+    PdfDocument,
+    PdfError,
+    extract_pages_text,
+)
+from dial_rag_tpu.documents.pdf.filters import (
+    apply_predictor,
+    ascii85_decode,
+    asciihex_decode,
+    lzw_decode,
+    runlength_decode,
+)
+from dial_rag_tpu.documents.pdf.objects import Lexer, Name, Ref
+from tests.utils.pdf_builder import build_pdf
+
+ALPS_PDF = "/root/reference/tests/data/alps_wiki.pdf"
+
+
+class TestLexer:
+    def parse(self, data):
+        return Lexer(data).parse_object()
+
+    def test_numbers(self):
+        assert self.parse(b"42") == 42
+        assert self.parse(b"-3") == -3
+        assert self.parse(b"3.14") == 3.14
+        assert self.parse(b"+.5") == 0.5
+        assert self.parse(b"4.") == 4.0
+
+    def test_refs(self):
+        assert self.parse(b"12 0 R") == Ref(12, 0)
+        assert self.parse(b"12 0") == 12  # not a ref without R
+
+    def test_strings(self):
+        assert self.parse(rb"(hello)") == b"hello"
+        assert self.parse(rb"(a\(b\)c)") == b"a(b)c"
+        assert self.parse(rb"(nest(ed))") == b"nest(ed)"
+        assert self.parse(rb"(oct\101al)") == b"octAal"
+        assert self.parse(rb"(nl\n)") == b"nl\n"
+        assert self.parse(b"<48656C6C6F>") == b"Hello"
+        assert self.parse(b"<48656C6C6F2>") == b"Hello "  # odd digit pads 0
+
+    def test_names(self):
+        assert self.parse(b"/Type") == Name("Type")
+        assert self.parse(b"/A#20B") == Name("A B")
+
+    def test_collections(self):
+        assert self.parse(b"[1 2 /X (s)]") == [1, 2, Name("X"), b"s"]
+        d = self.parse(b"<< /A 1 /B [2 3] /C << /D true >> >>")
+        assert d == {"A": 1, "B": [2, 3], "C": {"D": True}}
+
+    def test_comment_and_null(self):
+        assert self.parse(b"% comment\n null") is None
+
+
+class TestFilters:
+    def test_asciihex(self):
+        assert asciihex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+
+    def test_ascii85(self):
+        assert ascii85_decode(b"87cUR~>") == b"Hell"
+        assert ascii85_decode(b"z~>") == b"\0\0\0\0"
+
+    def test_runlength(self):
+        # 2 literal bytes "ab", then "c" x3, then EOD
+        assert runlength_decode(bytes([1]) + b"ab" + bytes([254]) + b"c" + bytes([128])) == b"abccc"
+
+    def test_lzw(self):
+        # canonical LZW round-trip via a tiny encoder
+        def lzw_encode(data):
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_len = 9
+            out, buf, bits = bytearray(), 0, 0
+
+            def emit(code):
+                nonlocal buf, bits
+                buf = (buf << code_len) | code
+                bits += code_len
+                while bits >= 8:
+                    bits -= 8
+                    out.append((buf >> bits) & 0xFF)
+
+            emit(256)
+            w = b""
+            for b in data:
+                wc = w + bytes([b])
+                if wc in table:
+                    w = wc
+                else:
+                    emit(table[w])
+                    table[wc] = next_code
+                    next_code += 1
+                    if next_code + 1 - 1 >= (1 << code_len) and code_len < 12:
+                        code_len += 1
+                    w = bytes([b])
+            if w:
+                emit(table[w])
+            emit(257)
+            if bits:
+                out.append((buf << (8 - bits)) & 0xFF)
+            return bytes(out)
+
+        payload = b"TOBEORNOTTOBEORTOBEORNOT" * 3
+        assert lzw_decode(lzw_encode(payload)) == payload
+
+    def test_png_predictor_up(self):
+        # 2 rows of 3 bytes, filter type 2 (Up)
+        raw = bytes([0, 1, 2, 3]) + bytes([2, 1, 1, 1])
+        out = apply_predictor(raw, {"Predictor": 12, "Columns": 3})
+        assert out == bytes([1, 2, 3, 2, 3, 4])
+
+
+class TestDocument:
+    def test_single_page(self):
+        pdf = build_pdf([[(72, 720, 12, "Hello World")]])
+        doc = PdfDocument(pdf)
+        assert doc.num_pages == 1
+        pages = extract_pages_text(pdf)
+        assert pages[0].page_number == 1
+        assert pages[0].text == "Hello World"
+
+    def test_multi_page_compressed(self):
+        pdf = build_pdf(
+            [
+                [(72, 720, 18, "Title Page"), (72, 700, 11, "Some body text.")],
+                [(72, 720, 11, "Second page content here")],
+            ],
+            compress=True,
+        )
+        pages = extract_pages_text(pdf)
+        assert len(pages) == 2
+        assert "Title Page" in pages[0].text
+        assert "Some body text." in pages[0].text
+        assert pages[1].text == "Second page content here"
+
+    def test_xref_stream_and_object_streams(self):
+        pdf = build_pdf(
+            [[(72, 720, 12, "Stream xref works")]],
+            compress=True,
+            use_xref_stream=True,
+        )
+        assert b"/ObjStm" in pdf
+        pages = extract_pages_text(pdf)
+        assert pages[0].text == "Stream xref works"
+
+    def test_damaged_xref_fallback(self):
+        pdf = build_pdf([[(72, 720, 12, "Recovered")]])
+        # corrupt the startxref offset
+        broken = pdf.replace(b"startxref", b"startxref\n999999\n%%garbled", 1)
+        pages = extract_pages_text(broken)
+        assert pages[0].text == "Recovered"
+
+    def test_blocks_split_on_font_size(self):
+        pdf = build_pdf(
+            [
+                [
+                    (72, 720, 18, "Heading"),
+                    (72, 695, 11, "First paragraph line one."),
+                    (72, 681, 11, "First paragraph line two."),
+                ]
+            ]
+        )
+        pages = extract_pages_text(pdf)
+        blocks = pages[0].blocks
+        assert [b.text for b in blocks] == [
+            "Heading",
+            "First paragraph line one. First paragraph line two.",
+        ]
+        assert blocks[0].font_size > blocks[1].font_size
+
+    def test_not_a_pdf(self):
+        with pytest.raises(PdfError):
+            PdfDocument(b"plain text")
+
+
+@pytest.mark.skipif(not os.path.exists(ALPS_PDF), reason="reference data absent")
+class TestRealWorldPdf:
+    """Integration against the reference repo's real 23-page wiki PDF
+    (read-only use of mounted data; not copied into this repo)."""
+
+    @pytest.fixture(scope="class")
+    def pages(self):
+        with open(ALPS_PDF, "rb") as f:
+            return extract_pages_text(f.read())
+
+    def test_page_count(self, pages):
+        assert len(pages) >= 10
+
+    def test_known_content_present(self, pages):
+        full = "\n".join(p.text for p in pages).lower()
+        assert "alps" in full
+        assert "cadibona" in full
+        assert "climate" in full
+
+    def test_total_text_volume(self, pages):
+        total = sum(len(p.text) for p in pages)
+        assert total > 20000  # a real extraction, not fragments
