@@ -1,0 +1,122 @@
+"""Format-specific parsers producing chunkable Elements.
+
+PDF uses the first-party parser (documents/pdf/); HTML uses bs4/lxml
+(baked-in pure parsing libs); plain text / markdown / CSV are first-party.
+Each parser returns a flat Element list in reading order with Title
+elements marking section starts for the by-title chunker."""
+
+import csv
+import io
+import statistics
+
+from dial_rag_tpu.documents.mime import (
+    MIME_CSV,
+    MIME_HTML,
+    MIME_MARKDOWN,
+    MIME_PDF,
+    MIME_PLAIN,
+)
+from dial_rag_tpu.documents.pdf import extract_pages_text
+from dial_rag_tpu.text.chunker import Element
+
+_TITLE_SIZE_RATIO = 1.15
+_TITLE_MAX_LEN = 200
+
+
+def pdf_elements(data: bytes) -> list[Element]:
+    pages = extract_pages_text(data)
+    sizes = [
+        b.font_size for p in pages for b in p.blocks if len(b.text) > 40
+    ] or [b.font_size for p in pages for b in p.blocks]
+    body_size = statistics.median(sizes) if sizes else 0.0
+    elements = []
+    for page in pages:
+        for block in page.blocks:
+            is_title = (
+                body_size > 0
+                and block.font_size >= body_size * _TITLE_SIZE_RATIO
+                and len(block.text) <= _TITLE_MAX_LEN
+            )
+            elements.append(
+                Element(
+                    text=block.text,
+                    is_title=is_title,
+                    page_number=page.page_number,
+                    metadata={"filetype": MIME_PDF},
+                )
+            )
+    return elements
+
+
+_HTML_SKIP_TAGS = {"script", "style", "noscript", "head", "template"}
+_HTML_BLOCK_TAGS = [
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "p", "li", "pre", "blockquote", "figcaption", "caption", "tr",
+]
+
+
+def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
+    from bs4 import BeautifulSoup
+
+    soup = BeautifulSoup(data, "lxml")
+    for tag in soup.find_all(_HTML_SKIP_TAGS):
+        tag.decompose()
+
+    elements = []
+    seen_texts: set[int] = set()
+    for tag in soup.find_all(_HTML_BLOCK_TAGS):
+        # skip nested block tags (e.g. p inside li already captured)
+        if any(p.name in _HTML_BLOCK_TAGS for p in tag.parents):
+            continue
+        if tag.name == "tr":
+            cells = [
+                c.get_text(" ", strip=True) for c in tag.find_all(["td", "th"])
+            ]
+            text = " | ".join(c for c in cells if c)
+        else:
+            text = tag.get_text(" ", strip=True)
+        if not text or id(tag) in seen_texts:
+            continue
+        elements.append(
+            Element(
+                text=text,
+                is_title=tag.name.startswith("h"),
+                metadata={"filetype": mime},
+            )
+        )
+    if not elements:
+        body_text = soup.get_text(" ", strip=True)
+        if body_text:
+            elements.append(
+                Element(text=body_text, metadata={"filetype": mime})
+            )
+    return elements
+
+
+def text_elements(data: bytes, mime: str = MIME_PLAIN) -> list[Element]:
+    text = data.decode("utf-8", errors="replace")
+    elements = []
+    for para in text.split("\n\n"):
+        para = para.strip()
+        if not para:
+            continue
+        is_title = False
+        if mime == MIME_MARKDOWN or para.startswith("#"):
+            stripped = para.lstrip("#").strip()
+            if para.startswith("#") and stripped and "\n" not in para:
+                para = stripped
+                is_title = True
+        elements.append(
+            Element(text=para, is_title=is_title, metadata={"filetype": mime})
+        )
+    return elements
+
+
+def csv_elements(data: bytes) -> list[Element]:
+    text = data.decode("utf-8", errors="replace")
+    elements = []
+    for row in csv.reader(io.StringIO(text)):
+        line = " ".join(c.strip() for c in row if c.strip())
+        if line:
+            elements.append(Element(text=line, metadata={"filetype": MIME_CSV}))
+    return elements

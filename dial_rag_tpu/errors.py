@@ -1,0 +1,40 @@
+"""Error taxonomy (mirrors reference aidial_rag/errors.py semantics:
+4xx user errors vs 5xx processing errors, per-document isolation)."""
+
+
+class DialRagError(Exception):
+    status_code: int = 500
+
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
+class InvalidDocumentError(DialRagError):
+    status_code = 400
+
+
+class InvalidAttachmentError(DialRagError):
+    status_code = 400
+
+
+class RateLimitError(DialRagError):
+    status_code = 429
+
+
+class NotEnoughDailyTokensError(RateLimitError):
+    pass
+
+
+class DocumentProcessingError(DialRagError):
+    """Wraps a per-document failure; the message must not leak the full
+    document link (the reference redacts it — errors.py:53-70)."""
+
+    def __init__(self, display_name: str, cause: Exception):
+        self.cause = cause
+        status = getattr(cause, "status_code", 500)
+        self.status_code = status if isinstance(status, int) else 500
+        message = getattr(cause, "message", None) or str(cause)
+        super().__init__(
+            f"Unable to process document '{display_name}': {message}"
+        )
