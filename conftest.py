@@ -28,7 +28,7 @@ import inspect  # noqa: E402
 
 
 def pytest_pyfunc_call(pyfuncitem):
-    fn = pyfuncitem.function
+    fn = pyfuncitem.obj
     if inspect.iscoroutinefunction(fn):
         kwargs = {
             name: pyfuncitem.funcargs[name]

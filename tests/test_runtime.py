@@ -1,0 +1,168 @@
+"""ResourceCounter semantics + rate-limited map behavior."""
+
+import asyncio
+
+import pytest
+
+from dial_rag_tpu.errors import DialRagError, NotEnoughDailyTokensError
+from dial_rag_tpu.runtime import (
+    AsyncGeneratorWithTotal,
+    DialLimitedResources,
+    ResourceCounter,
+    map_with_resource_limits,
+)
+from dial_rag_tpu.runtime.limited import TokenStats, UserLimitsForModel
+from dial_rag_tpu.utils.streams import NullStream
+
+
+class TestResourceCounter:
+    async def test_acquire_release(self):
+        rc = ResourceCounter(10)
+        await rc.acquire(7)
+        assert rc.available == 3
+        rc.release(7)
+        assert rc.available == 10
+
+    async def test_acquire_more_than_total_raises(self):
+        rc = ResourceCounter(5)
+        with pytest.raises(ValueError):
+            await rc.acquire(6)
+
+    async def test_over_release_raises(self):
+        rc = ResourceCounter(5)
+        with pytest.raises(ValueError):
+            rc.release(1)
+
+    async def test_fifo_large_waiter_blocks_small(self):
+        rc = ResourceCounter(10)
+        await rc.acquire(8)  # 2 left
+        order = []
+
+        async def waiter(name, n):
+            await rc.acquire(n)
+            order.append(name)
+
+        big = asyncio.create_task(waiter("big", 6))
+        await asyncio.sleep(0.01)
+        small = asyncio.create_task(waiter("small", 1))
+        await asyncio.sleep(0.01)
+        assert order == []  # small must NOT jump the queue
+        rc.release(8)
+        await asyncio.gather(big, small)
+        assert order == ["big", "small"]
+
+    async def test_multiple_waiters_woken_in_one_release(self):
+        rc = ResourceCounter(4)
+        await rc.acquire(4)
+        done = []
+
+        async def waiter(n):
+            await rc.acquire(n)
+            done.append(n)
+
+        t1 = asyncio.create_task(waiter(2))
+        t2 = asyncio.create_task(waiter(2))
+        await asyncio.sleep(0.01)
+        rc.release(4)  # both fit
+        await asyncio.gather(t1, t2)
+        assert sorted(done) == [2, 2]
+
+    async def test_acquire_and_create_task_releases_on_done(self):
+        rc = ResourceCounter(3)
+
+        async def work():
+            await asyncio.sleep(0.01)
+
+        task = await rc.acquire_and_create_task(work(), 3)
+        assert rc.available == 0
+        await task
+        await asyncio.sleep(0)  # let the done callback run
+        assert rc.available == 3
+
+
+def _limits(minute=1000, day_total=10000, day_used=0):
+    async def get(model_name):
+        return UserLimitsForModel(
+            minute_token_stats=TokenStats(total=minute, used=0),
+            day_token_stats=TokenStats(total=day_total, used=day_used),
+        )
+
+    return DialLimitedResources(get)
+
+
+def _agen(items):
+    async def gen():
+        for x in items:
+            yield x
+
+    return AsyncGeneratorWithTotal(gen(), len(items))
+
+
+class TestMapWithResourceLimits:
+    async def test_maps_all_items(self):
+        res = _limits()
+
+        async def work(x):
+            await asyncio.sleep(0.001)
+            return x * 2
+
+        out = await map_with_resource_limits(
+            res, _agen([1, 2, 3, 4]), work, 100, "model", NullStream()
+        )
+        assert out == [2, 4, 6, 8]
+
+    async def test_concurrency_bounded_by_minute_limit(self):
+        res = _limits(minute=250)  # 2 concurrent tasks at 100 tokens each
+        active = 0
+        peak = 0
+
+        async def work(x):
+            nonlocal active, peak
+            active += 1
+            peak = max(peak, active)
+            await asyncio.sleep(0.01)
+            active -= 1
+            return x
+
+        await map_with_resource_limits(
+            res, _agen(list(range(6))), work, 100, "m", NullStream()
+        )
+        assert peak <= 2
+
+    async def test_daily_token_reservation_fails_fast(self):
+        res = _limits(day_total=500, day_used=200)
+        with pytest.raises(NotEnoughDailyTokensError):
+            await map_with_resource_limits(
+                res, _agen([1, 2, 3, 4]), None, 100, "m", NullStream()
+            )
+
+    async def test_reservations_accumulate_across_maps(self):
+        res = _limits(day_total=1000)
+
+        async def work(x):
+            return x
+
+        await map_with_resource_limits(
+            res, _agen(list(range(6))), work, 100, "m", NullStream()
+        )
+        with pytest.raises(NotEnoughDailyTokensError):
+            await map_with_resource_limits(
+                res, _agen(list(range(6))), work, 100, "m", NullStream()
+            )
+
+    async def test_timeout_raises(self):
+        res = _limits()
+
+        async def slow(x):
+            await asyncio.sleep(10)
+
+        with pytest.raises(DialRagError):
+            await map_with_resource_limits(
+                res,
+                _agen([1]),
+                slow,
+                100,
+                "m",
+                NullStream(),
+                min_time_limit_sec=0.05,
+            )
