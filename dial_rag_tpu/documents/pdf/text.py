@@ -102,6 +102,9 @@ class TextExtractor:
         self.page = page
         self.fonts: dict[str, PdfFont] = {}
         self.glyphs: list[Glyph] = []
+        # image XObject placements: (stream, ctm at Do time); the unit
+        # square transformed by ctm is the image's page-space rectangle
+        self.images: list[tuple[Stream, Matrix]] = []
 
     def _get_font(self, name: str, resources: dict) -> PdfFont | None:
         if name in self.fonts:
@@ -270,6 +273,9 @@ class TextExtractor:
         if not isinstance(xobj, Stream):
             return
         subtype = xobj.dict.get("Subtype")
+        if isinstance(subtype, Name) and subtype.value == "Image":
+            self.images.append((xobj, ctm))
+            return
         if not (isinstance(subtype, Name) and subtype.value == "Form"):
             return
         inner_resources = (

@@ -18,6 +18,10 @@ class InvalidAttachmentError(DialRagError):
     status_code = 400
 
 
+class InvalidConfigurationError(DialRagError):
+    status_code = 400
+
+
 class RateLimitError(DialRagError):
     status_code = 429
 

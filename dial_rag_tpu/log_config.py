@@ -1,0 +1,49 @@
+"""Logging configuration (mirror of reference log_config.py): root level
+from LOG_LEVEL, per-module overrides from LOG_LEVEL_OVERRIDE
+("module=LEVEL,module2=LEVEL"), uvicorn-style formatter. Telemetry hooks
+(OpenTelemetry) are optional and gated on the package being present."""
+
+import logging
+import os
+import sys
+
+LOG_FORMAT = "%(levelname)s:%(asctime)s:%(name)s:%(lineno)d: %(message)s"
+
+
+def init_logging(level: str | None = None):
+    level = level or os.environ.get("LOG_LEVEL", "INFO")
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(logging.Formatter(LOG_FORMAT))
+    root = logging.getLogger()
+    root.handlers[:] = [handler]
+    root.setLevel(level.upper())
+
+    overrides = os.environ.get("LOG_LEVEL_OVERRIDE", "")
+    for item in overrides.split(","):
+        if "=" in item:
+            name, mod_level = item.split("=", 1)
+            logging.getLogger(name.strip()).setLevel(mod_level.strip().upper())
+
+
+def init_telemetry_if_available():
+    """OpenTelemetry auto-instrumentation when the packages exist; the
+    image may not ship them (the reference initializes OTel before logging
+    — log_config.py:65-75)."""
+    try:
+        from opentelemetry import trace  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        from opentelemetry.instrumentation.aiohttp_server import (
+            AioHttpServerInstrumentor,
+        )
+
+        AioHttpServerInstrumentor().instrument()
+        return True
+    except Exception:
+        return False
+
+
+def init_logging_and_telemetry():
+    init_telemetry_if_available()
+    init_logging()

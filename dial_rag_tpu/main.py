@@ -1,0 +1,24 @@
+"""Server entrypoint: ``python -m dial_rag_tpu.main`` (mirror of reference
+main.py running uvicorn; here aiohttp's runner)."""
+
+import os
+
+from aiohttp import web
+
+from dial_rag_tpu.log_config import init_logging_and_telemetry
+
+init_logging_and_telemetry()
+
+from dial_rag_tpu.service.app import create_app  # noqa: E402
+from dial_rag_tpu.service.config import load_app_config  # noqa: E402
+
+
+def main():
+    app_config = load_app_config()
+    app = create_app(app_config)
+    port = int(os.environ.get("PORT", "5000"))
+    web.run_app(app, host="0.0.0.0", port=port)
+
+
+if __name__ == "__main__":
+    main()

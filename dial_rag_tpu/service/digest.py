@@ -1,0 +1,55 @@
+"""Provenance digests recorded into choice state (mirror of reference
+config_digest.py + repository_digest.py): which config came from where,
+and which build served the request."""
+
+import json
+import logging
+import subprocess
+from dataclasses import asdict, dataclass, field
+
+from dial_rag_tpu import __version__
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RepositoryDigest:
+    version: str = __version__
+    status: str = "unknown"
+
+
+def read_repository_digest(path: str | None = None) -> RepositoryDigest:
+    """Baked digest file if present (container builds), else git describe."""
+    if path:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            return RepositoryDigest(
+                version=data.get("version", __version__),
+                status=data.get("status", "unknown"),
+            )
+        except (OSError, json.JSONDecodeError):
+            pass
+    try:
+        version = subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            capture_output=True,
+            text=True,
+            timeout=5,
+        ).stdout.strip()
+        if version:
+            return RepositoryDigest(version=version, status="git")
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return RepositoryDigest()
+
+
+@dataclass
+class ConfigDigest:
+    app_config_path: str
+    configuration: dict
+    from_custom_configuration: dict = field(default_factory=dict)
+    from_commands: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return asdict(self)

@@ -1,0 +1,290 @@
+"""Retrieval orchestration (mirror of reference retrieval_chain.py +
+stages.py + app.py doc_to_attach): retriever construction with stage
+wrappers, page-image selection, and the RetrievalResponse assembly."""
+
+import asyncio
+from dataclasses import dataclass, field
+from typing import Callable
+
+from dial_rag_tpu.documents.model import DocumentRecord
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.image_processor import (
+    are_image_pages_supported,
+    extract_pages,
+    pil_image_as_base64,
+)
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.retrieval import (
+    AllDocumentsRetriever,
+    Bm25Retriever,
+    EnsembleRetriever,
+    SemanticRetriever,
+)
+from dial_rag_tpu.retrieval.description import DescriptionRetriever
+from dial_rag_tpu.retrieval.multimodal import MultimodalRetriever
+from dial_rag_tpu.service.api import (
+    Image,
+    Page,
+    RetrievalResponse,
+    RetrievedChunk,
+    Source,
+)
+from dial_rag_tpu.service.attachments import AttachmentLink
+from dial_rag_tpu.service.config import ChatChainConfig, IndexingConfig
+from dial_rag_tpu.service.protocol import Choice, TimedStage
+
+RETRIEVER_K = 7  # per-retriever k in the ensemble (retrieval_chain.py:203)
+
+
+def doc_to_attach(
+    hit: SearchHit,
+    document_records: list[DocumentRecord],
+    index=None,
+) -> dict | None:
+    """Found chunk -> DIAL attachment dict (reference app.py:73-105)."""
+    doc_record = document_records[hit.doc_id]
+    chunk = doc_record.chunks[hit.chunk_id]
+    if index is None:
+        index = f"{hit.doc_id}.{hit.chunk_id}"
+
+    if hit.retrieval_type == RetrievalType.TEXT:
+        data = chunk.text
+    else:
+        data = (
+            f"[Image of the page {chunk.metadata['page_number']}]"
+            if "page_number" in chunk.metadata
+            else "[Image]"
+        )
+    return {
+        "type": "text/markdown",
+        "data": data or " ",
+        "title": "[{index}] {source_display_name}".format(
+            **chunk.metadata, index=index
+        ),
+        "reference_url": chunk.metadata["source"],
+    }
+
+
+class RetrieverStage:
+    """Runs the inner retriever inside a timed stage and attaches the
+    found chunks (mirror of reference stages.RetrieverStage)."""
+
+    def __init__(
+        self,
+        choice: Choice,
+        stage_name: str,
+        retriever,
+        document_records: list[DocumentRecord],
+    ):
+        self.choice = choice
+        self.stage_name = stage_name
+        self.retriever = retriever
+        self.document_records = document_records
+
+    async def aretrieve(self, query: str) -> list[SearchHit]:
+        async with TimedStage(self.choice, self.stage_name) as stage:
+            hits = await self.retriever.aretrieve(query)
+            for hit in hits:
+                if attachment := doc_to_attach(hit, self.document_records):
+                    stage.add_attachment(**attachment)
+            return hits
+
+
+def _make_retrieval_stage_default(retriever, stage_name: str):
+    return retriever
+
+
+def create_retriever(
+    embedder: BgeEmbedder,
+    dial_url: str,
+    api_key: str,
+    document_records: list[DocumentRecord],
+    indexing_config: IndexingConfig,
+    make_retrieval_stage: Callable = _make_retrieval_stage_default,
+):
+    """AllDocuments short-circuit, else RRF ensemble of the available
+    retrievers (reference retrieval_chain.py:193-252)."""
+    if AllDocumentsRetriever.is_within_limit(document_records):
+        return make_retrieval_stage(
+            AllDocumentsRetriever.from_doc_records(document_records),
+            "All documents",
+        )
+
+    retrievers = [
+        make_retrieval_stage(
+            SemanticRetriever.from_doc_records(
+                embedder, document_records, RETRIEVER_K
+            ),
+            "Embeddings search",
+        )
+    ]
+    weights = [1.0]
+
+    if Bm25Retriever.has_index(document_records):
+        retrievers.append(
+            make_retrieval_stage(
+                Bm25Retriever.from_doc_records(document_records, RETRIEVER_K),
+                "Keywords search",
+            )
+        )
+        weights.append(1.0)
+
+    if MultimodalRetriever.has_index(document_records):
+        assert indexing_config.multimodal_index
+        retrievers.append(
+            make_retrieval_stage(
+                MultimodalRetriever.from_doc_records(
+                    dial_url,
+                    api_key,
+                    indexing_config.multimodal_index,
+                    document_records,
+                    RETRIEVER_K,
+                ),
+                "Multimodal search",
+            )
+        )
+        weights.append(1.0)
+
+    if DescriptionRetriever.has_index(document_records):
+        retrievers.append(
+            make_retrieval_stage(
+                DescriptionRetriever.from_doc_records(
+                    embedder, document_records, RETRIEVER_K
+                ),
+                "Page image search",
+            )
+        )
+        weights.append(1.0)
+
+    return make_retrieval_stage(
+        EnsembleRetriever(retrievers=retrievers, weights=weights),
+        "Combined search",
+    )
+
+
+# --- page images + retrieval response ------------------------------------
+
+
+@dataclass(frozen=True, order=True)
+class PageKey:
+    doc_id: int
+    page_number: int
+
+
+def collect_pages_with_images(
+    doc_records: list[DocumentRecord], hits: list[SearchHit]
+):
+    """IMAGE-typed hits first (higher priority), then text hits with pages
+    (reference retrieval_chain.py:46-71)."""
+    for want_image in (True, False):
+        for hit in hits:
+            doc_record = doc_records[hit.doc_id]
+            if not are_image_pages_supported(doc_record.mime_type):
+                continue
+            chunk = doc_record.chunks[hit.chunk_id]
+            is_image_hit = hit.retrieval_type == RetrievalType.IMAGE
+            if is_image_hit == want_image and "page_number" in chunk.metadata:
+                yield (hit.doc_id, chunk.metadata["page_number"])
+
+
+async def make_image_by_page(
+    doc_records: list[DocumentRecord],
+    hits: list[SearchHit],
+    num_pages_to_use: int,
+    page_image_size: int,
+) -> dict[PageKey, str]:
+    required: set[PageKey] = set()
+    for doc_id, page_number in collect_pages_with_images(doc_records, hits):
+        if len(required) >= num_pages_to_use:
+            break
+        required.add(PageKey(doc_id, page_number))
+
+    image_by_page: dict[PageKey, str] = {}
+    by_doc: dict[int, list[PageKey]] = {}
+    for key in sorted(required):
+        by_doc.setdefault(key.doc_id, []).append(key)
+
+    for doc_id, keys in by_doc.items():
+        doc_record = doc_records[doc_id]
+        keys_it = iter(keys)
+        async for image in extract_pages(
+            doc_record.mime_type,
+            doc_record.document_bytes,
+            page_numbers=[k.page_number for k in keys],
+            scaled_size=page_image_size,
+        ):
+            image_by_page[next(keys_it)] = pil_image_as_base64(
+                image, format="PNG"
+            )
+    return image_by_page
+
+
+def create_retrieval_response(
+    doc_records: list[DocumentRecord],
+    doc_records_links: list[AttachmentLink],
+    hits: list[SearchHit],
+    image_by_page: dict[PageKey, str],
+) -> RetrievalResponse:
+    images: list[Image] = []
+    chunks: list[RetrievedChunk] = []
+    used_image_keys: set[PageKey] = set()
+
+    for hit in hits:
+        doc_record = doc_records[hit.doc_id]
+        link = doc_records_links[hit.doc_id]
+        chunk = doc_record.chunks[hit.chunk_id]
+        chunk_data = RetrievedChunk(
+            attachment_url=link.dial_link,
+            text=chunk.text,
+            source=Source(
+                url=chunk.metadata["source"],
+                display_name=chunk.metadata.get("source_display_name"),
+            ),
+            page=None,
+        )
+        if (page_number := chunk.metadata.get("page_number")) is not None:
+            chunk_data.page = Page(number=page_number, image_index=None)
+            page_key = PageKey(hit.doc_id, page_number)
+            if page_key in image_by_page and page_key not in used_image_keys:
+                used_image_keys.add(page_key)
+                chunk_data.page.image_index = len(images)
+                images.append(Image(data=image_by_page[page_key]))
+        chunks.append(chunk_data)
+
+    return RetrievalResponse(chunks=chunks, images=images)
+
+
+@dataclass
+class RetrievalResult:
+    query: str
+    found_items: list[SearchHit] = field(default_factory=list)
+    image_by_page: dict = field(default_factory=dict)
+    retrieval_response: RetrievalResponse | None = None
+
+
+async def run_retrieval_pipeline(
+    retriever,
+    query: str,
+    doc_records: list[DocumentRecord],
+    doc_records_links: list[AttachmentLink],
+    chat_chain_config: ChatChainConfig,
+) -> RetrievalResult:
+    """query -> found_items -> image_by_page -> retrieval_response
+    (the reference's RunnablePassthrough pipeline,
+    retrieval_chain.py:273-279)."""
+    found_items = await retriever.aretrieve(query)
+    image_by_page = await make_image_by_page(
+        doc_records,
+        found_items,
+        chat_chain_config.num_page_images_to_use,
+        chat_chain_config.page_image_size,
+    )
+    response = create_retrieval_response(
+        doc_records, doc_records_links, found_items, image_by_page
+    )
+    return RetrievalResult(
+        query=query,
+        found_items=found_items,
+        image_by_page=image_by_page,
+        retrieval_response=response,
+    )

@@ -1,0 +1,311 @@
+"""End-to-end app tests against a fake Dial Core (hermetic, no egress).
+
+The analogue of the reference's tiers-3 e2e tests (tests/test_app.py et
+al.): the full service runs in-process, documents are served over real
+HTTP by the fake core, LLM/embeddings responses are scripted."""
+
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.models.tokenizer import build_test_vocab
+from dial_rag_tpu.service.app import create_app
+from dial_rag_tpu.service.config import AppConfig
+from tests.utils.fake_dial import FakeDialCore
+from tests.utils.pdf_builder import build_pdf
+
+ALPS_PDF_LINES = [
+    [
+        (72, 720, 18, "The Alps"),
+        (72, 695, 11, "The Alps are the highest mountain range entirely in Europe."),
+        (72, 680, 11, "Colle di Cadibona marks the southern boundary of the Alps."),
+    ],
+    [
+        (72, 720, 18, "Climate"),
+        (72, 695, 11, "The climate in the Alps varies with elevation and latitude."),
+    ],
+]
+
+VOCAB_WORDS = sorted(
+    set(
+        "the alps are highest mountain range entirely in europe colle di "
+        "cadibona marks southern boundary of climate varies with elevation "
+        "and latitude what is represent this question for searching "
+        "relevant passages".split()
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return BgeEmbedder.from_random(
+        vocab=build_test_vocab(VOCAB_WORDS + ["?", ":"]), batch_size=8
+    )
+
+
+class AppHarness:
+    def __init__(self, fake: FakeDialCore, client: TestClient):
+        self.fake = fake
+        self.client = client
+
+    async def chat(self, payload: dict, stream: bool = False):
+        payload = {"stream": stream, **payload}
+        # disable the remote-LLM description index by default (it defaults
+        # to ON, and app-level None is dropped by exclude_none — reference
+        # behavior); tests that want it pass their own custom_fields
+        custom_fields = payload.setdefault("custom_fields", {})
+        configuration = custom_fields.setdefault("configuration", {})
+        configuration.setdefault("indexing", {}).setdefault(
+            "description_index", None
+        )
+        resp = await self.client.post(
+            "/openai/deployments/dial-rag/chat/completions",
+            json=payload,
+            headers={"api-key": "test-key"},
+        )
+        return resp
+
+
+@pytest.fixture
+def harness(embedder):
+    """Async harness factory: each (async) test runs in its own event loop,
+    so the fake core + app server boot inside the test's loop."""
+    from contextlib import asynccontextmanager
+
+    @asynccontextmanager
+    async def make(app_config_overrides: dict | None = None):
+        fake = FakeDialCore()
+        dial_url = await fake.start()
+        pdf = build_pdf(ALPS_PDF_LINES, compress=True)
+        fake.add_file("files/user-bucket/alps.pdf", pdf, "application/pdf")
+
+        config_dict = {
+            "dial_url": dial_url,
+            "request": {"indexing": {"description_index": None}},
+        }
+        if app_config_overrides:
+            from dial_rag_tpu.service.config import deep_merge
+
+            config_dict = deep_merge(config_dict, app_config_overrides)
+        app_config = AppConfig.model_validate(config_dict)
+        app = create_app(app_config, embedder=embedder)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            yield AppHarness(fake, client)
+        finally:
+            await client.close()
+            await fake.stop()
+
+    return make
+
+
+def _attach_message(text: str, url: str = "files/user-bucket/alps.pdf"):
+    return {
+        "role": "user",
+        "content": text,
+        "custom_content": {"attachments": [{"url": url}]},
+    }
+
+
+async def test_rag_request_with_citations(harness):
+    async with harness() as h:
+        h.fake.script_llm(
+            "The southern boundary is Colle di Cadibona. <[2]>"
+        )
+        resp = await h.chat(
+            {"messages": [_attach_message("What bounds the Alps in the south?")]}
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        message = body["choices"][0]["message"]
+
+        # citation rewritten to [1]
+        assert "Colle di Cadibona. [1]" in message["content"]
+
+        custom = message["custom_content"]
+        stage_names = [s["name"] for s in custom["stages"]]
+        assert any("Processing document 'alps.pdf'" in n for n in stage_names)
+        assert any("Store indexes" in n for n in stage_names)
+        assert any("Prepare indexes for search" in n for n in stage_names)
+        assert any("Standalone question" in n for n in stage_names)
+        # every stage completes except "Load indexes" which fails on the
+        # first-request cache miss (reference FailStageException pattern)
+        for s in custom["stages"]:
+            if "Load indexes" in s["name"]:
+                assert s["status"] == "failed"
+            else:
+                assert s["status"] == "completed", s
+        # elapsed time appended to stage names
+        assert any("s]" in n for n in stage_names)
+
+        # cited chunk attached with reference index
+        attachments = custom["attachments"]
+        assert attachments[0]["title"].startswith("[1] ")
+        assert attachments[0]["reference_url"].startswith(
+            "files/user-bucket/alps.pdf"
+        )
+
+        # state carries config + repository digests
+        assert "config_digest" in custom["state"]
+        assert "repository_digest" in custom["state"]
+
+
+async def test_streaming_rag(harness):
+    async with harness() as h:
+        h.fake.script_llm("Streamed answer about the Alps. <[1]>")
+        resp = await h.chat(
+            {"messages": [_attach_message("Tell me about the Alps")]},
+            stream=True,
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = await resp.text()
+        chunks = [
+            json.loads(line[len("data: ") :])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        content = "".join(
+            c["choices"][0]["delta"].get("content", "")
+            for c in chunks
+            if c.get("choices")
+        )
+        assert "Streamed answer about the Alps. [1]" in content
+        assert raw.strip().endswith("data: [DONE]")
+
+
+async def test_retrieval_request_type(harness):
+    async with harness() as h:
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("cadibona boundary")],
+                "custom_fields": {"configuration": {"request": {"type": "retrieval"}}},
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        retrieval_attachments = [
+            a
+            for a in custom["attachments"]
+            if a.get("type") == "application/x.aidial-rag.retrieval-response+json"
+        ]
+        assert len(retrieval_attachments) == 1
+        payload = json.loads(retrieval_attachments[0]["data"])
+        assert payload["chunks"], "retrieval response should contain chunks"
+        texts = " ".join(c["text"] or "" for c in payload["chunks"])
+        assert "Cadibona" in texts
+        first = payload["chunks"][0]
+        assert first["attachment_url"] == "files/user-bucket/alps.pdf"
+        assert first["source"]["url"].startswith("files/user-bucket/alps.pdf#page=")
+
+
+async def test_indexing_request_type(harness):
+    async with harness(
+        {"index_storage": {"use_dial_file_storage": True}}
+    ) as h:
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("")],
+                "custom_fields": {"configuration": {"request": {"type": "indexing"}}},
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        attachments = custom["attachments"]
+        index_att = [
+            a
+            for a in attachments
+            if a.get("type", "").startswith("application/x.aidial-rag.index.")
+        ]
+        assert len(index_att) == 1
+        assert index_att[0]["reference_url"] == "files/user-bucket/alps.pdf"
+        # the index was actually uploaded to the fake file storage
+        assert any(
+            "dial-rag-index" in path for path in h.fake.files
+        ), h.fake.files.keys()
+        results_att = [
+            a
+            for a in attachments
+            if a.get("type") == "application/x.aidial-rag.indexing-response+json"
+        ]
+        assert len(results_att) == 1
+        assert json.loads(results_att[0]["data"])["indexing_result"] == {}
+
+
+async def test_index_reused_on_second_request(harness):
+    async with harness() as h:
+        h.fake.script_llm("Answer one.", "Answer two.")
+        await h.chat({"messages": [_attach_message("first question")]})
+        resp = await h.chat({"messages": [_attach_message("second question")]})
+        body = await resp.json()
+        stage_names = [
+            s["name"]
+            for s in body["choices"][0]["message"]["custom_content"]["stages"]
+        ]
+        assert any("Load indexes for 'alps.pdf'" in n for n in stage_names)
+        assert not any("Processing document" in n for n in stage_names)
+
+
+async def test_document_error_table(harness):
+    async with harness() as h:
+        resp = await h.chat(
+            {"messages": [_attach_message("hi", url="files/user-bucket/missing.pdf")]}
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        content = body["choices"][0]["message"]["content"]
+        assert "can't process the documents" in content
+        assert "|missing.pdf|" in content
+
+
+async def test_standalone_question_on_multiturn(harness):
+    async with harness() as h:
+        h.fake.script_llm(
+            "what is the southern boundary of the alps?",  # tool call answer
+            "It is Colle di Cadibona. <[1]>",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message("Tell me about the Alps"),
+                    {"role": "assistant", "content": "The Alps are mountains. [1]"},
+                    {"role": "user", "content": "what is its southern boundary?"},
+                ]
+            }
+        )
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stage = next(
+            s for s in custom["stages"] if s["name"].startswith("Standalone question")
+        )
+        assert "southern boundary of the alps" in stage["content"]
+        # the assistant history sent to the LLM restored <[1]> citation form
+        answer_request = h.fake.llm_requests[-1]
+        assistant_msgs = [
+            m for m in answer_request["messages"] if m["role"] == "assistant"
+        ]
+        assert any("<[1]>" in str(m.get("content")) for m in assistant_msgs)
+
+
+async def test_configuration_endpoint(harness):
+    async with harness() as h:
+        resp = await h.client.get(
+            "/openai/deployments/dial-rag/configuration"
+        )
+        assert resp.status == 200
+        schema = await resp.json()
+        assert "properties" in schema
+        assert "request" in schema["properties"]
+        assert "indexing" in schema["properties"]
+
+
+async def test_health(harness):
+    async with harness() as h:
+        resp = await h.client.get("/health")
+        assert resp.status == 200
