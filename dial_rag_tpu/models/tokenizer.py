@@ -110,6 +110,65 @@ class WordPieceTokenizer:
 
     def __post_init__(self):
         self._ids = {k: self.vocab[v] for k, v in _SPECIAL.items()}
+        self._native = None
+        self._native_tried = False
+
+    def _get_native(self):
+        """ctypes handle to the C++ tokenizer core (ASCII fast path);
+        None if the native build is unavailable."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        if not self.lowercase:
+            return None  # C core implements the lowercased pipeline only
+        try:
+            import ctypes
+
+            from dial_rag_tpu.native.build import load_native
+
+            lib = load_native("wordpiece")
+            if lib is None:
+                return None
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+            lib.wp_encode.restype = ctypes.c_int
+            lib.wp_encode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            inv = sorted(self.vocab, key=self.vocab.get)
+            blob = "\n".join(inv).encode("utf-8")
+            handle = lib.wp_create(blob, len(blob), self._ids["unk"])
+            self._native = (lib, handle)
+        except Exception:
+            self._native = None
+        return self._native
+
+    def _native_encode_ids(self, text: str) -> list[int] | None:
+        """Token ids (no CLS/SEP) via the C core; None -> Python path."""
+        native = self._get_native()
+        if native is None:
+            return None
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        import ctypes
+
+        lib, handle = native
+        capacity = max(len(raw) + 16, 64)
+        out = (ctypes.c_int * capacity)()
+        n = lib.wp_encode(handle, raw, len(raw), out, capacity)
+        if n == -2:  # grow buffer (pathological inputs)
+            capacity = len(raw) * 4 + 64
+            out = (ctypes.c_int * capacity)()
+            n = lib.wp_encode(handle, raw, len(raw), out, capacity)
+        if n < 0:
+            return None
+        return list(out[:n])
 
     @classmethod
     def from_vocab_file(cls, path: str, **kw) -> "WordPieceTokenizer":
@@ -153,12 +212,14 @@ class WordPieceTokenizer:
         return tokens
 
     def encode(self, text: str, max_len: int = 512) -> list[int]:
-        toks = self.tokenize(text)[: max_len - 2]
-        return (
-            [self._ids["cls"]]
-            + [self.vocab.get(t, self._ids["unk"]) for t in toks]
-            + [self._ids["sep"]]
-        )
+        ids = self._native_encode_ids(text)
+        if ids is None:
+            ids = [
+                self.vocab.get(t, self._ids["unk"])
+                for t in self.tokenize(text)
+            ]
+        ids = ids[: max_len - 2]
+        return [self._ids["cls"]] + ids + [self._ids["sep"]]
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
