@@ -3,5 +3,11 @@ from dial_rag_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
 )
+from dial_rag_tpu.parallel.sharded_index import ShardedDenseIndex
 
-__all__ = ["create_mesh", "bert_param_shardings", "batch_sharding"]
+__all__ = [
+    "create_mesh",
+    "bert_param_shardings",
+    "batch_sharding",
+    "ShardedDenseIndex",
+]

@@ -32,15 +32,25 @@ class SemanticRetriever:
         document_records: list[DocumentRecord],
         k: int = 1,
         metric: Metric = Metric.SQEUCLIDEAN_DIST,
+        mesh=None,
     ) -> "SemanticRetriever":
+        """With ``mesh`` the chunk matrix is row-sharded over its devices
+        (per-shard stable top-k + all-gather merge); otherwise single-chip."""
         doc_embeddings = [
             create_doc_embeddings_by_chunk(doc.embeddings_index)
             for doc in document_records
             if doc.embeddings_index is not None
         ]
-        index = DenseIndex(
-            RetrievalType.TEXT, doc_embeddings, metric=metric, limit=k
-        )
+        if mesh is not None:
+            from dial_rag_tpu.parallel.sharded_index import ShardedDenseIndex
+
+            index = ShardedDenseIndex(
+                RetrievalType.TEXT, doc_embeddings, mesh, metric=metric, limit=k
+            )
+        else:
+            index = DenseIndex(
+                RetrievalType.TEXT, doc_embeddings, metric=metric, limit=k
+            )
         return cls(embedder=embedder, index=index)
 
     def retrieve(self, query: str) -> list[SearchHit]:

@@ -1,0 +1,109 @@
+"""Sharded dense index on an 8-device virtual CPU mesh.
+
+Asserts exact equivalence with the single-chip DenseIndex (which in turn
+carries the reference-equivalence proof for aidial_rag/retrievers/
+embeddings_index.py:51-89), including the stable tie-break by global row
+order across shard boundaries.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+from dial_rag_tpu.index.records import RetrievalType
+from dial_rag_tpu.ops.metrics import Metric
+from dial_rag_tpu.parallel.mesh import create_mesh
+from dial_rag_tpu.parallel.sharded_index import ShardedDenseIndex
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return create_mesh(8)
+
+
+def _random_docs(rng, n_docs, rows_per_doc, dim=16):
+    docs = []
+    for _ in range(n_docs):
+        n = int(rng.integers(1, rows_per_doc + 1))
+        docs.append(
+            DocEmbeddings(
+                chunk_ids=np.arange(n),
+                embeddings=rng.standard_normal((n, dim)).astype(np.float32),
+            )
+        )
+    return docs
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+def test_matches_single_chip(mesh, metric):
+    rng = np.random.default_rng(0)
+    docs = _random_docs(rng, n_docs=5, rows_per_doc=40)
+    query = rng.standard_normal(16).astype(np.float32)
+
+    single = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=7)
+    sharded = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, metric=metric, limit=7
+    )
+    s_hits, s_dists = single.find_with_distances(query)
+    m_hits, m_dists = sharded.find_with_distances(query)
+    assert m_hits == s_hits
+    np.testing.assert_allclose(m_dists, s_dists, rtol=1e-6, atol=1e-6)
+
+
+def test_tie_break_across_shards(mesh):
+    # All-identical rows: every distance ties; winners must be the first
+    # `limit` global rows in order, regardless of shard boundaries.
+    n = 3000  # > one 512-row shard block, spans several shards
+    emb = np.tile(np.ones(8, dtype=np.float32), (n, 1))
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    sharded = ShardedDenseIndex(
+        RetrievalType.TEXT,
+        docs,
+        mesh,
+        metric=Metric.SQEUCLIDEAN_DIST,
+        limit=5,
+    )
+    hits = sharded.find(np.ones(8, dtype=np.float32))
+    assert [h.chunk_id for h in hits] == [0, 1, 2, 3, 4]
+
+
+def test_fewer_rows_than_limit(mesh):
+    rng = np.random.default_rng(1)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(3),
+            embeddings=rng.standard_normal((3, 8)).astype(np.float32),
+        )
+    ]
+    sharded = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, metric=Metric.COSINE_SIM, limit=7
+    )
+    hits = sharded.find(rng.standard_normal(8).astype(np.float32))
+    assert len(hits) == 3
+
+
+def test_empty_index(mesh):
+    sharded = ShardedDenseIndex(RetrievalType.TEXT, [], mesh, limit=7)
+    assert sharded.find(np.ones(8, dtype=np.float32)) == []
+
+
+def test_rows_spread_across_all_shards(mesh):
+    # Enough rows that every shard holds real data; nearest row is found
+    # no matter which shard it landed on.
+    rng = np.random.default_rng(2)
+    n = 8 * 512 + 17
+    emb = rng.standard_normal((n, 8)).astype(np.float32)
+    target = int(rng.integers(0, n))
+    query = emb[target] * 1.0
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    sharded = ShardedDenseIndex(
+        RetrievalType.TEXT,
+        docs,
+        mesh,
+        metric=Metric.SQEUCLIDEAN_DIST,
+        limit=1,
+    )
+    hits = sharded.find(query)
+    assert hits[0].chunk_id == target
