@@ -13,8 +13,11 @@ implementation designed for the TPU:
 - QKV is one fused [H, 3H] GEMM per layer; all matmuls carry
   ``preferred_element_type=float32`` so the MXU accumulates in f32 even
   when activations are bf16 (``compute_dtype``);
-- attention is pluggable: "xla" (jnp reference path) or "pallas"
-  (fused flash-attention kernel in dial_rag_tpu/ops/flash_attention.py);
+- attention is pluggable: "auto" (default; fused Pallas kernel on TPU,
+  jnp path elsewhere), "xla" (jnp reference path) or "pallas" (fused
+  kernel in dial_rag_tpu/ops/flash_attention.py — keeps the [S, S]
+  score tile in VMEM instead of round-tripping it through HBM between
+  the two attention matmuls);
 - pooling follows bge: CLS token + L2 normalization
   (sentence-transformers ``pooling_mode_cls_token`` + the reference's
   ``normalize_embeddings=True`` — embeddings.py:60-62).
@@ -212,7 +215,7 @@ class BertEncoder:
         self,
         config: BertConfig,
         compute_dtype=jnp.float32,
-        attention_impl: str = "xla",
+        attention_impl: str = "auto",
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -266,9 +269,15 @@ def bert_forward(
     *,
     num_heads: int,
     compute_dtype=jnp.float32,
-    attention_impl: str = "xla",
+    attention_impl: str = "auto",
 ):
     """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states."""
+    if attention_impl == "auto":
+        # fused Pallas kernel on real TPUs; on the CPU test mesh the
+        # interpreter-mode kernel is much slower than the jnp path
+        attention_impl = (
+            "pallas" if jax.default_backend() != "cpu" else "xla"
+        )
     emb = params["embeddings"]
     b, s = input_ids.shape
     h = emb["word"].shape[1]

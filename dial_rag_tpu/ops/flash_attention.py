@@ -1,0 +1,97 @@
+"""Fused attention kernel for the encoder (Pallas, TPU).
+
+Replaces the two-matmul XLA attention path in the bge-small encoder
+(dial_rag_tpu/models/bert.py) — the TPU counterpart of the reference's
+torch SDPA / OpenVINO attention (aidial_rag/embeddings/embeddings.py:
+38-49). The XLA path materializes the ``[B, H, S, S]`` score tensor in
+HBM between the QK^T and PV matmuls (two unfusable dots); at the
+encoder's serving shapes (B=128, H=12, S=512) that is ~1.6 GB of HBM
+traffic per layer. This kernel keeps scores and probabilities entirely
+in VMEM: one grid program per (batch, head) computes QK^T on the MXU,
+a numerically-safe softmax on the VPU, and PV on the MXU, so HBM sees
+only Q/K/V/O.
+
+Design notes:
+
+- Encoder sequence lengths are bucketed to <=512 (tokenizer buckets),
+  so a full ``[S, S]`` score tile fits comfortably in VMEM (1 MiB f32 at
+  S=512) and no online-softmax KV blocking is needed. The single-tile
+  formulation *is* the flash design point for these shapes — blocking
+  would only add rescaling traffic.
+- Padding-token masking uses the same additive ``finfo(f32).min`` bias
+  as the XLA path / HF semantics: fully-masked query rows yield uniform
+  probabilities (never NaN), and pooling reads only the always-real CLS
+  row.
+- Softmax runs in f32 regardless of compute dtype; both dots accumulate
+  in f32 on the MXU (``preferred_element_type``), probabilities are cast
+  back to the compute dtype for PV exactly like the XLA reference path,
+  so the two implementations agree to float tolerance (bit-equal
+  reductions are not guaranteed across backends).
+- On non-TPU backends (the hermetic CPU test mesh) the kernel runs in
+  interpreter mode; numerics are identical.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0, 0]  # [S, Dh]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, S] in f32, never leaves VMEM
+    scores = scores * scale + bias_ref[0, 0][None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(
+        probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@jax.jit
+def flash_attention(q, k, v, attention_mask):
+    """Fused encoder self-attention.
+
+    q, k, v: ``[B, H, S, Dh]`` (any float dtype); attention_mask:
+    ``[B, S]`` with 1 = real token. Returns ``[B, H, S, Dh]`` in the
+    dtype of ``q``.
+    """
+    b, h, s, dh = q.shape
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * jnp.finfo(
+        jnp.float32
+    ).min
+    # [B, 1, S]: the trailing (1, S) block satisfies Mosaic's tile rules
+    bias = bias[:, None, :]
+    kernel = partial(_attention_kernel, scale=1.0 / math.sqrt(dh))
+    qkv_spec = pl.BlockSpec(
+        (1, 1, s, dh),
+        lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(bias, q, k, v)

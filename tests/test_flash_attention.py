@@ -1,0 +1,86 @@
+"""Parity of the fused Pallas attention kernel vs the XLA reference path.
+
+Runs in interpreter mode on the CPU test mesh; the same kernel compiles
+for TPU. Mirrors the tier-1 numeric-parity strategy of the reference's
+test_embeddings_metrics.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dial_rag_tpu.models.bert import BertConfig, BertEncoder, init_params, _xla_attention
+from dial_rag_tpu.ops.flash_attention import flash_attention
+
+
+def _random_qkv(rng, b, h, s, dh, dtype):
+    shape = (b, h, s, dh)
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    v = rng.standard_normal(shape).astype(np.float32)
+    return (
+        jnp.asarray(q, dtype),
+        jnp.asarray(k, dtype),
+        jnp.asarray(v, dtype),
+    )
+
+
+def _xla_ref(q, k, v, mask):
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+    return _xla_attention(q, k, v, bias[:, None, None, :])
+
+
+@pytest.mark.parametrize("s", [16, 64, 128])
+def test_matches_xla_f32(s):
+    rng = np.random.default_rng(0)
+    b, h, dh = 2, 4, 32
+    q, k, v = _random_qkv(rng, b, h, s, dh, jnp.float32)
+    mask = jnp.ones((b, s), dtype=jnp.int32)
+    out = flash_attention(q, k, v, mask)
+    ref = _xla_ref(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_padding_mask_parity():
+    rng = np.random.default_rng(1)
+    b, h, s, dh = 3, 2, 64, 32
+    q, k, v = _random_qkv(rng, b, h, s, dh, jnp.float32)
+    lengths = [64, 17, 1]
+    mask = np.zeros((b, s), dtype=np.int32)
+    for i, n in enumerate(lengths):
+        mask[i, :n] = 1
+    mask = jnp.asarray(mask)
+    out = np.asarray(flash_attention(q, k, v, mask))
+    ref = np.asarray(_xla_ref(q, k, v, mask))
+    # only real query rows matter (padded rows are dropped by pooling),
+    # but the kernel matches the XLA path on those too
+    for i, n in enumerate(lengths):
+        np.testing.assert_allclose(out[i, :, :n], ref[i, :, :n], atol=2e-6)
+
+
+def test_bf16_close_to_f32():
+    rng = np.random.default_rng(2)
+    b, h, s, dh = 2, 2, 32, 32
+    q, k, v = _random_qkv(rng, b, h, s, dh, jnp.bfloat16)
+    mask = jnp.ones((b, s), dtype=jnp.int32)
+    out = np.asarray(flash_attention(q, k, v, mask), dtype=np.float32)
+    ref = np.asarray(
+        _xla_ref(q, k, v, mask), dtype=np.float32
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-2, rtol=1e-2)
+
+
+def test_encoder_end_to_end_pallas_vs_xla():
+    """Full bert_forward with attention_impl='pallas' matches 'xla'."""
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, config.vocab_size, size=(4, 48)).astype(np.int32)
+    mask = np.ones((4, 48), dtype=np.int32)
+    mask[2, 30:] = 0
+    enc_x = BertEncoder(config, attention_impl="xla")
+    enc_p = BertEncoder(config, attention_impl="pallas")
+    out_x = np.asarray(enc_x.encode(params, ids, mask))
+    out_p = np.asarray(enc_p.encode(params, ids, mask))
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
