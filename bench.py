@@ -116,7 +116,12 @@ def main():
     tok = WordPieceTokenizer(vocab=vocab)
 
     config = BertConfig.bge_small_en()
-    params = init_params(jax.random.PRNGKey(0), config)
+    # init on host, transfer once: eager per-op RNG dispatches through the
+    # remote-TPU tunnel are ~100ms each, which would add minutes here
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = init_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
 
     tpu_rate = bench_tpu(texts, tok, params, config)
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
