@@ -93,10 +93,66 @@ def _stemmer():
         return porter_lite
 
 
-def keywords_preprocess(text: str) -> list[str]:
-    """Tokenize -> filter stopwords (reference quirk: on the raw token) ->
-    lowercase+stem."""
+_native_state: list = []  # [] = untried, [None] = unavailable, [(lib, buf)]
+
+
+def _get_native():
+    """Build/load the C++ pipeline (native/keywords.cpp) on first use."""
+    if _native_state:
+        return _native_state[0]
+    import ctypes
+
+    entry = None
+    try:
+        from dial_rag_tpu.native.build import load_native
+
+        lib = load_native("keywords")
+        if lib is not None:
+            lib.kw_set_stopwords.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int32,
+            ]
+            lib.kw_preprocess.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.c_char_p,
+                ctypes.c_int32,
+            ]
+            lib.kw_preprocess.restype = ctypes.c_int32
+            stop = "\n".join(sorted(STOPWORDS)).encode()
+            lib.kw_set_stopwords(stop, len(stop))
+            entry = lib
+    except Exception:  # pragma: no cover - build env issues
+        entry = None
+    _native_state.append(entry)
+    return entry
+
+
+def _keywords_preprocess_python(text: str) -> list[str]:
     stem = _stemmer()
     return [
         stem(t.lower()) for t in word_tokenize(text) if t not in STOPWORDS
     ]
+
+
+def keywords_preprocess(text: str) -> list[str]:
+    """Tokenize -> filter stopwords (reference quirk: on the raw token) ->
+    lowercase+stem. ASCII text runs through the C++ core (tokenizer +
+    Porter2 stemmer in one pass); anything else falls back to the exact
+    Python/nltk path."""
+    lib = _get_native()
+    if lib is not None:
+        import ctypes
+
+        data = text.encode("utf-8")
+        cap = max(4096, 2 * len(data) + 1024)
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.kw_preprocess(data, len(data), buf, cap)
+        if n == -2:  # undersized buffer (stems never exceed 2x input)
+            cap = 4 * len(data) + 65536
+            buf = ctypes.create_string_buffer(cap)
+            n = lib.kw_preprocess(data, len(data), buf, cap)
+        if n >= 0:
+            raw = buf.raw[:n].decode("utf-8")
+            return raw.split("\n")[:-1] if raw else []
+    return _keywords_preprocess_python(text)
