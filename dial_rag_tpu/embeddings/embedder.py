@@ -110,14 +110,26 @@ class BgeEmbedder:
         return np.asarray(self.encoder.encode(self.params, ids, mask))
 
     def embed_documents(self, texts: list[str]) -> np.ndarray:
-        """[n, D] float32; batches dispatched sequentially."""
+        """[n, D] float32.
+
+        Batches are *dispatched* in order (the reference's fairness
+        decision holds at dispatch granularity — batched.py:42-45) but
+        not synchronized individually: JAX dispatch is async, so batch
+        i+1's host-side tokenization overlaps batch i's device compute,
+        and the single device->host transfer happens at the end.
+        """
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
         outs = [
-            self._encode_batch(texts[i : i + self.batch_size])
+            self.encoder.encode(
+                self.params,
+                *self.tokenizer.encode_batch(
+                    texts[i : i + self.batch_size], max_len=self.max_len
+                ),
+            )
             for i in range(0, len(texts), self.batch_size)
         ]
-        return np.concatenate(outs, axis=0)
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
     def embed_query(self, text: str) -> np.ndarray:
         """[D] float32 with the BGE query instruction prefix."""

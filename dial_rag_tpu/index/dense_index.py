@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from dial_rag_tpu.index.records import RetrievalType, SearchHit
-from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
+from dial_rag_tpu.ops.metrics import (
+    Metric,
+    pairwise_distances,
+    pairwise_distances_batch,
+)
 from dial_rag_tpu.ops.stable_topk import stable_topk_argmin, stable_topk_sort
 
 _LANE = 128
@@ -85,6 +89,18 @@ def _find_kernel(emb, query, n_valid, *, metric: Metric, k: int, use_sort: bool)
     return stable_topk_argmin(dists, k)
 
 
+@partial(jax.jit, static_argnames=("metric", "k", "use_sort"))
+def _find_batch_kernel(
+    emb, queries, n_valid, *, metric: Metric, k: int, use_sort: bool
+):
+    """[Q, D] queries in one dispatch: one MXU matmul + vmapped top-k."""
+    dists = pairwise_distances_batch(queries, emb, metric)  # [Q, N]
+    row = jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0], 1), 0).reshape(-1)
+    dists = jnp.where(row[None, :] < n_valid, dists, jnp.inf)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    return jax.vmap(lambda d: topk(d, k))(dists)
+
+
 class DenseIndex:
     """Flat dense index over multiple documents; query on device."""
 
@@ -128,6 +144,47 @@ class DenseIndex:
     def find(self, query: np.ndarray) -> list[SearchHit]:
         hits, _ = self.find_with_distances(query)
         return hits
+
+    def find_batch(self, queries: np.ndarray) -> list[list[SearchHit]]:
+        """Per-query hits for ``queries`` [Q, D] in ONE device dispatch.
+
+        Identical results to Q ``find`` calls; the doc matrix is read
+        from HBM once instead of Q times. Q is padded to a power-of-two
+        bucket so the jit cache stays small.
+        """
+        queries = np.asarray(queries, dtype=np.float32)
+        q = queries.shape[0]
+        if q == 0 or self._emb is None:
+            return [[] for _ in range(q)]
+        q_pad = 1 << max(3, (q - 1).bit_length())
+        if q_pad != q:
+            queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
+        k = min(self.limit, self.n_rows)
+        vals, idx = _find_batch_kernel(
+            self._emb,
+            jnp.asarray(queries),
+            jnp.int32(self.n_rows),
+            metric=self.metric,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        vals = np.asarray(vals)[:q]
+        idx = np.asarray(idx)[:q]
+        results = []
+        for qi in range(q):
+            hits = []
+            for v, i in zip(vals[qi], idx[qi]):
+                if not np.isfinite(v) and i >= self.n_rows:
+                    break
+                hits.append(
+                    SearchHit(
+                        doc_id=int(self._doc_ids[i]),
+                        chunk_id=int(self._chunk_ids[i]),
+                        retrieval_type=self.retrieval_type,
+                    )
+                )
+            results.append(hits)
+        return results
 
     def find_with_distances(self, query):
         if self._emb is None:

@@ -22,9 +22,15 @@ MXU work; everything else rides the VPU).
 
 from enum import Enum
 
+import jax
 import jax.numpy as jnp
 
 _COSINE_EPS = 1e-8
+
+# TPU f32 matmuls default to bf16-grade passes; the index scan is
+# bandwidth-bound, so full f32 accumulation (HIGHEST) costs nothing
+# measurable and keeps distances numpy-exact (the reference contract).
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class Metric(str, Enum):
@@ -36,7 +42,12 @@ class Metric(str, Enum):
 
 def _inner(query: jnp.ndarray, docs: jnp.ndarray) -> jnp.ndarray:
     # [N, D] @ [D] -> [N]; f32 accumulation on the MXU.
-    return jnp.dot(docs, query, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        docs,
+        query,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
 
 
 def _metric_inner_product(query, docs):
@@ -76,3 +87,49 @@ def pairwise_distances(
 ) -> jnp.ndarray:
     """Ranking distances of ``query`` [D] against ``docs`` [N, D] -> [N]."""
     return METRIC_FNS[Metric(metric)](query, docs)
+
+
+def _batch_inner(queries: jnp.ndarray, docs: jnp.ndarray) -> jnp.ndarray:
+    # [Q, D] @ [D, N] -> [Q, N]; a real MXU matmul instead of Q matvecs
+    return jnp.dot(
+        queries,
+        docs.T,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
+
+
+def _batch_cosine(queries, docs):
+    dot = _batch_inner(queries, docs)
+    q_norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1))  # [Q]
+    d_norm = jnp.sqrt(jnp.sum(docs * docs, axis=-1))  # [N]
+    denom = jnp.maximum(q_norm[:, None] * d_norm[None, :], _COSINE_EPS)
+    return -(dot / denom)
+
+
+def _batch_sqeuclidean(queries, docs):
+    doc_sq = jnp.sum(docs * docs, axis=-1)  # [N]
+    query_sq = jnp.sum(queries * queries, axis=-1)  # [Q]
+    return doc_sq[None, :] - 2.0 * _batch_inner(queries, docs) + query_sq[:, None]
+
+
+BATCH_METRIC_FNS = {
+    Metric.COSINE_SIM: _batch_cosine,
+    Metric.EUCLIDEAN_DIST: lambda q, d: jnp.sqrt(_batch_sqeuclidean(q, d)),
+    Metric.SQEUCLIDEAN_DIST: _batch_sqeuclidean,
+    Metric.INNER_PRODUCT: lambda q, d: -_batch_inner(q, d),
+}
+
+assert len(BATCH_METRIC_FNS) == len(Metric)
+
+
+def pairwise_distances_batch(
+    queries: jnp.ndarray, docs: jnp.ndarray, metric: Metric | str
+) -> jnp.ndarray:
+    """Distances of ``queries`` [Q, D] against ``docs`` [N, D] -> [Q, N].
+
+    Same numerics per row as :func:`pairwise_distances`; the batched
+    form turns Q memory-bound matvecs into one MXU matmul, amortizing
+    the HBM read of the doc matrix across concurrent queries.
+    """
+    return BATCH_METRIC_FNS[Metric(metric)](queries, docs)

@@ -56,6 +56,16 @@ class SemanticRetriever:
     def retrieve(self, query: str) -> list[SearchHit]:
         return self.index.find(self.embedder.embed_query(query))
 
+    def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
+        """Many queries in two device dispatches: one batched encode +
+        one batched index scan (requires a DenseIndex-backed index)."""
+        if not queries:
+            return []
+        embs = self.embedder.embed_documents(
+            [self.embedder.query_instruction + q for q in queries]
+        )
+        return self.index.find_batch(embs)
+
     async def aretrieve(self, query: str) -> list[SearchHit]:
         query_emb = await self.embedder.aembed_query(query)
         return await asyncio.get_running_loop().run_in_executor(

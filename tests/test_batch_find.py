@@ -1,0 +1,89 @@
+"""Batched multi-query dense scan matches per-query results exactly."""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+from dial_rag_tpu.index.records import RetrievalType
+from dial_rag_tpu.ops.metrics import (
+    Metric,
+    pairwise_distances,
+    pairwise_distances_batch,
+)
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+def test_batch_metrics_match_single(metric):
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((50, 16)).astype(np.float32)
+    queries = rng.standard_normal((9, 16)).astype(np.float32)
+    queries[3] = 0.0  # zero-vector guard row
+    batch = np.asarray(pairwise_distances_batch(queries, docs, metric))
+    for i, q in enumerate(queries):
+        single = np.asarray(pairwise_distances(q, docs, metric))
+        np.testing.assert_allclose(batch[i], single, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+def test_find_batch_matches_find(metric):
+    rng = np.random.default_rng(1)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(n),
+            embeddings=rng.standard_normal((n, 8)).astype(np.float32),
+        )
+        for n in (17, 3, 40)
+    ]
+    index = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=7)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    batched = index.find_batch(queries)
+    for q, hits in zip(queries, batched):
+        assert hits == index.find(q)
+
+
+def test_find_batch_tie_stability():
+    emb = np.tile(np.ones(8, dtype=np.float32), (100, 1))
+    index = DenseIndex(
+        RetrievalType.TEXT,
+        [DocEmbeddings(chunk_ids=np.arange(100), embeddings=emb)],
+        metric=Metric.SQEUCLIDEAN_DIST,
+        limit=4,
+    )
+    out = index.find_batch(np.ones((3, 8), dtype=np.float32))
+    for hits in out:
+        assert [h.chunk_id for h in hits] == [0, 1, 2, 3]
+
+
+def test_find_batch_empty_cases():
+    index = DenseIndex(RetrievalType.TEXT, [], limit=3)
+    assert index.find_batch(np.zeros((2, 8), dtype=np.float32)) == [[], []]
+    rng = np.random.default_rng(2)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(2),
+            embeddings=rng.standard_normal((2, 8)).astype(np.float32),
+        )
+    ]
+    index = DenseIndex(RetrievalType.TEXT, docs, limit=7)
+    out = index.find_batch(rng.standard_normal((1, 8)).astype(np.float32))
+    assert len(out) == 1 and len(out[0]) == 2  # fewer rows than limit
+
+
+def test_semantic_retrieve_batch_matches_single():
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.models.tokenizer import build_test_vocab
+    from dial_rag_tpu.retrieval.semantic import SemanticRetriever
+
+    embedder = BgeEmbedder.from_random(
+        vocab=build_test_vocab([chr(c) for c in range(97, 123)]),
+        batch_size=8,
+    )
+    rng = np.random.default_rng(3)
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
+    embs = embedder.embed_documents(texts)
+    docs = [DocEmbeddings(chunk_ids=np.arange(len(texts)), embeddings=embs)]
+    index = DenseIndex(RetrievalType.TEXT, docs, limit=2)
+    r = SemanticRetriever(embedder, index)
+    queries = ["beta", "eta theta", "missing words"]
+    batched = r.retrieve_batch(queries)
+    assert batched == [r.retrieve(q) for q in queries]
