@@ -136,11 +136,22 @@ class BgeEmbedder:
         return self._encode_batch([self.query_instruction + text])[0]
 
     async def aembed_documents(self, texts: list[str]) -> np.ndarray:
-        return await asyncio.get_running_loop().run_in_executor(
-            None, self.embed_documents, texts
+        """Bulk encode through the 1-worker indexing dispatch pool:
+        concurrent indexing streams interleave at batch granularity
+        (reference embeddings.py:72-97 routes to dedicated pools)."""
+        from dial_rag_tpu.runtime.host_pools import (
+            run_in_indexing_dispatch_pool,
+        )
+
+        return await run_in_indexing_dispatch_pool(
+            self.embed_documents, texts
         )
 
     async def aembed_query(self, text: str) -> np.ndarray:
-        return await asyncio.get_running_loop().run_in_executor(
-            None, self.embed_query, text
+        """Query encodes take their own lane so they never queue behind
+        a bulk indexing stream's host tokenization."""
+        from dial_rag_tpu.runtime.host_pools import (
+            run_in_query_dispatch_pool,
         )
+
+        return await run_in_query_dispatch_pool(self.embed_query, text)

@@ -64,8 +64,11 @@ class Bm25Retriever:
 
     @staticmethod
     async def build_index(chunks) -> list[list[str]]:
-        """Tokenize/stem chunk texts for persistence (host CPU work)."""
-        loop = asyncio.get_running_loop()
-        return await loop.run_in_executor(
-            None, lambda: [keywords_preprocess(c.text) for c in chunks]
+        """Tokenize/stem chunk texts for persistence (host CPU work,
+        routed to the parse pool — reference runs this in the indexing
+        CPU pool, documents.py:168-176)."""
+        from dial_rag_tpu.runtime.host_pools import run_in_parse_pool
+
+        return await run_in_parse_pool(
+            lambda: [keywords_preprocess(c.text) for c in chunks]
         )

@@ -310,6 +310,15 @@ def create_app(
     app = web.Application(client_max_size=512 * 1024 * 1024)
     app["dial_rag"] = application
 
+    async def warm_pools(app):
+        # reference warms its CPU pools in the app lifespan
+        # (app.py:376-382) so first requests skip thread-spawn latency
+        from dial_rag_tpu.runtime.host_pools import init_host_pools
+
+        init_host_pools()
+
+    app.on_startup.append(warm_pools)
+
     async def chat_completions(request: web.Request) -> web.StreamResponse:
         body = await request.json()
         chat_request = ChatRequest.model_validate(body)

@@ -39,6 +39,7 @@ from dial_rag_tpu.service.indexing_task import (
     IndexingTask,
     validate_indexing_task,
 )
+from dial_rag_tpu.runtime.host_pools import run_in_parse_pool
 from dial_rag_tpu.service.protocol import TimedStage
 from dial_rag_tpu.service.request_context import RequestContext
 from dial_rag_tpu.storage.storage import IndexStorage
@@ -149,8 +150,7 @@ async def load_document_impl(
         else:
             parse_stream = StreamWithPrefix(io_stream, "Parser: ")
             parse_stream.write("Loader: dial-rag-tpu\n")
-            chunks_list = await asyncio.get_running_loop().run_in_executor(
-                None,
+            chunks_list = await run_in_parse_pool(
                 lambda: parse_document(
                     doc_bytes,
                     mime_type,
@@ -158,7 +158,7 @@ async def load_document_impl(
                     display_name=attachment_link.display_name,
                     attachment_mime_type=attachment_mime_type,
                     config=index_config.parser.to_parser_config(),
-                ),
+                )
             )
 
         text_index_task = tg.create_task(

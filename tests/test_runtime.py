@@ -166,3 +166,60 @@ class TestMapWithResourceLimits:
                 NullStream(),
                 min_time_limit_sec=0.05,
             )
+
+
+def test_host_pools_sizing_and_warmup():
+    import os
+
+    from dial_rag_tpu.runtime.host_pools import get_pools, init_host_pools
+
+    init_host_pools()
+    pools = get_pools()
+    assert pools["parse"]._max_workers == max(1, (os.cpu_count() or 1) - 2)
+    assert pools["indexing_dispatch"]._max_workers == 1
+    assert pools["query_dispatch"]._max_workers == 1
+    # warmed: threads exist without any work submitted afterwards
+    assert len(pools["parse"]._threads) >= 1
+
+
+async def test_host_pool_helpers_run():
+    from dial_rag_tpu.runtime.host_pools import (
+        run_in_indexing_dispatch_pool,
+        run_in_parse_pool,
+        run_in_query_dispatch_pool,
+    )
+
+    assert await run_in_parse_pool(lambda: 1 + 1) == 2
+    assert await run_in_indexing_dispatch_pool(len, "abc") == 3
+    assert await run_in_query_dispatch_pool(str.upper, "x") == "X"
+
+
+def test_get_text_chunks_postprocess():
+    from dial_rag_tpu.documents.model import (
+        FORMAT_VERSION,
+        DocumentRecord,
+        IndexSettings,
+        build_chunks_list,
+    )
+    from dial_rag_tpu.index.records import RetrievalType, SearchHit
+    from dial_rag_tpu.retrieval.postprocess import get_text_chunks
+
+    rec = DocumentRecord(
+        format_version=FORMAT_VERSION,
+        index_settings=IndexSettings(),
+        chunks=build_chunks_list(
+            [("first", {"page_number": 1}), ("second", {"page_number": 2})]
+        ),
+        text_index=None,
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+    hits = [SearchHit(0, 1, RetrievalType.TEXT)]
+    out = get_text_chunks(hits, [rec])
+    assert out[0].text == "second"
+    assert out[0].metadata["page_number"] == 2
+    assert out[0].metadata["chunk_id"] == 1
+    assert out[0].metadata["retrieval_type"] == "text"
