@@ -1,0 +1,256 @@
+"""First-party Office text extraction (OOXML and OpenDocument).
+
+The reference can only handle office formats by shelling out to a
+LibreOffice binary to produce a PDF (reference converter.py:29-55).
+Modern office files are zip archives of XML, so this module extracts
+chunkable elements directly — no external binary:
+
+- DOCX (``word/document.xml``): paragraphs with Heading/Title styles
+  marked as titles; tables flattened row-wise like the HTML parser.
+- PPTX (``ppt/slides/slideN.xml``): one page per slide; title
+  placeholders marked as titles.
+- ODT / ODP (``content.xml``): ``text:h`` headings and ``text:p``
+  paragraphs; presentation pages map to page numbers.
+
+Legacy binary formats (.doc, .ppt) still require the LibreOffice
+conversion path. When LibreOffice IS present, office files are
+converted to PDF instead so that page-image retrieval works; this
+parser is the fallback that keeps text retrieval working on minimal
+images (and a direct path for text-only configs).
+"""
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+from dial_rag_tpu.errors import InvalidDocumentError
+from dial_rag_tpu.text.chunker import Element
+
+_NS_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_NS_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_NS_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_NS_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_NS_DRAW = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
+_NS_PRES = "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}"
+
+MIME_DOCX = (
+    "application/vnd.openxmlformats-officedocument"
+    ".wordprocessingml.document"
+)
+MIME_PPTX = (
+    "application/vnd.openxmlformats-officedocument"
+    ".presentationml.presentation"
+)
+MIME_ODT = "application/vnd.oasis.opendocument.text"
+MIME_ODP = "application/vnd.oasis.opendocument.presentation"
+
+NATIVE_OFFICE_MIMES = {MIME_DOCX, MIME_PPTX, MIME_ODT, MIME_ODP}
+
+
+def _open_zip(data: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise InvalidDocumentError(
+            "The office document is not a valid archive."
+        ) from e
+
+
+def _read_xml(zf: zipfile.ZipFile, name: str) -> ElementTree.Element:
+    try:
+        payload = zf.read(name)
+    except KeyError as e:
+        raise InvalidDocumentError(
+            f"The office document is missing its content part ({name})."
+        ) from e
+    try:
+        return ElementTree.fromstring(payload)
+    except ElementTree.ParseError as e:
+        raise InvalidDocumentError(
+            "The office document content is not well-formed XML."
+        ) from e
+
+
+# --- DOCX -----------------------------------------------------------------
+
+
+def _docx_paragraph_text(p) -> str:
+    parts = []
+    for node in p.iter():
+        if node.tag == _NS_W + "t":
+            parts.append(node.text or "")
+        elif node.tag == _NS_W + "tab":
+            parts.append("\t")
+        elif node.tag in (_NS_W + "br", _NS_W + "cr"):
+            parts.append("\n")
+    return "".join(parts).strip()
+
+
+def _docx_is_heading(p) -> bool:
+    style = p.find(f"{_NS_W}pPr/{_NS_W}pStyle")
+    if style is None:
+        return False
+    val = style.get(_NS_W + "val", "")
+    return bool(re.match(r"(?i)heading\d*$|title$|subtitle$", val))
+
+
+def docx_elements(data: bytes, mime: str = MIME_DOCX) -> list[Element]:
+    with _open_zip(data) as zf:
+        root = _read_xml(zf, "word/document.xml")
+    body = root.find(_NS_W + "body")
+    if body is None:
+        return []
+    elements = []
+    for child in body:
+        if child.tag == _NS_W + "p":
+            text = _docx_paragraph_text(child)
+            if text:
+                elements.append(
+                    Element(
+                        text=text,
+                        is_title=_docx_is_heading(child),
+                        metadata={"filetype": mime},
+                    )
+                )
+        elif child.tag == _NS_W + "tbl":
+            for row in child.iter(_NS_W + "tr"):
+                cells = []
+                for cell in row.iter(_NS_W + "tc"):
+                    cell_text = " ".join(
+                        t
+                        for p in cell.iter(_NS_W + "p")
+                        if (t := _docx_paragraph_text(p))
+                    )
+                    if cell_text:
+                        cells.append(cell_text)
+                if cells:
+                    elements.append(
+                        Element(
+                            text=" | ".join(cells),
+                            metadata={"filetype": mime},
+                        )
+                    )
+    return elements
+
+
+# --- PPTX -----------------------------------------------------------------
+
+
+def _pptx_slide_names(zf: zipfile.ZipFile) -> list[str]:
+    pattern = re.compile(r"ppt/slides/slide(\d+)\.xml$")
+    found = []
+    for name in zf.namelist():
+        m = pattern.match(name)
+        if m:
+            found.append((int(m.group(1)), name))
+    return [name for _, name in sorted(found)]
+
+
+def pptx_elements(data: bytes, mime: str = MIME_PPTX) -> list[Element]:
+    elements = []
+    with _open_zip(data) as zf:
+        slides = _pptx_slide_names(zf)
+        if not slides:
+            raise InvalidDocumentError(
+                "The presentation contains no slides."
+            )
+        for page_number, name in enumerate(slides, start=1):
+            root = _read_xml(zf, name)
+            for shape in root.iter(_NS_P + "sp"):
+                ph = shape.find(
+                    f"{_NS_P}nvSpPr/{_NS_P}nvPr/{_NS_P}ph"
+                )
+                is_title = ph is not None and ph.get("type", "") in (
+                    "title",
+                    "ctrTitle",
+                )
+                for para in shape.iter(_NS_A + "p"):
+                    text = "".join(
+                        t.text or "" for t in para.iter(_NS_A + "t")
+                    ).strip()
+                    if text:
+                        elements.append(
+                            Element(
+                                text=text,
+                                is_title=is_title,
+                                page_number=page_number,
+                                metadata={"filetype": mime},
+                            )
+                        )
+    return elements
+
+
+# --- ODF (ODT / ODP) ------------------------------------------------------
+
+
+def _odf_text(node) -> str:
+    # ODF inlines tabs/line-breaks as elements; itertext covers spans
+    return "".join(node.itertext()).strip()
+
+
+def odt_elements(data: bytes, mime: str = MIME_ODT) -> list[Element]:
+    with _open_zip(data) as zf:
+        root = _read_xml(zf, "content.xml")
+    elements = []
+    for node in root.iter():
+        if node.tag == _NS_TEXT + "h":
+            text = _odf_text(node)
+            if text:
+                elements.append(
+                    Element(
+                        text=text, is_title=True, metadata={"filetype": mime}
+                    )
+                )
+        elif node.tag == _NS_TEXT + "p":
+            text = _odf_text(node)
+            if text:
+                elements.append(
+                    Element(text=text, metadata={"filetype": mime})
+                )
+    return elements
+
+
+def odp_elements(data: bytes, mime: str = MIME_ODP) -> list[Element]:
+    with _open_zip(data) as zf:
+        root = _read_xml(zf, "content.xml")
+    elements = []
+    page_number = 0
+    for page in root.iter(_NS_DRAW + "page"):
+        page_number += 1
+        for frame in page.iter(_NS_DRAW + "frame"):
+            is_title = frame.get(_NS_PRES + "class", "") == "title"
+            for p in frame.iter(_NS_TEXT + "p"):
+                text = _odf_text(p)
+                if text:
+                    elements.append(
+                        Element(
+                            text=text,
+                            is_title=is_title,
+                            page_number=page_number,
+                            metadata={"filetype": mime},
+                        )
+                    )
+    if not elements and page_number == 0:
+        raise InvalidDocumentError(
+            "The presentation contains no slides."
+        )
+    return elements
+
+
+_PARSERS = {
+    MIME_DOCX: docx_elements,
+    MIME_PPTX: pptx_elements,
+    MIME_ODT: odt_elements,
+    MIME_ODP: odp_elements,
+}
+
+
+def office_elements(data: bytes, mime: str) -> list[Element]:
+    parser = _PARSERS.get(mime)
+    if parser is None:
+        raise InvalidDocumentError(
+            "This office format requires LibreOffice conversion, which is "
+            "not available. Please convert the document to PDF."
+        )
+    return parser(data, mime)

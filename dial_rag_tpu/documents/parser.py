@@ -67,6 +67,13 @@ def _elements_for(data: bytes, mime: str):
         return []  # image documents have no text elements
     if mime.startswith("text/") or mime == MIME_MARKDOWN:
         return text_elements(data, mime)
+    from dial_rag_tpu.documents.office import (
+        NATIVE_OFFICE_MIMES,
+        office_elements,
+    )
+
+    if mime in NATIVE_OFFICE_MIMES:
+        return office_elements(data, mime)
     raise InvalidDocumentError(
         "Unable to load document content. Try another document format."
     )

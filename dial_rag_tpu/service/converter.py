@@ -76,9 +76,25 @@ async def convert_to_pdf(document_bytes: bytes, mime_type: str) -> bytes:
 async def convert_document_if_needed(
     mime_type: str, document_bytes: bytes, stageio
 ) -> tuple[str, bytes]:
-    """Returns (effective mime, effective bytes)."""
+    """Returns (effective mime, effective bytes).
+
+    With LibreOffice present, office files become PDFs (page-image
+    retrieval then works on them). Without it, zip-based formats
+    (docx/pptx/odt/odp) fall through unchanged: the first-party OOXML/
+    ODF parser (documents/office.py) extracts their text directly, so
+    text retrieval keeps working on minimal images.
+    """
     if not needs_conversion(mime_type):
         return mime_type, document_bytes
+    if not soffice_available():
+        from dial_rag_tpu.documents.office import NATIVE_OFFICE_MIMES
+
+        if mime_type in NATIVE_OFFICE_MIMES:
+            stageio.write(
+                "LibreOffice unavailable; using native text extraction "
+                "(no page images)\n"
+            )
+            return mime_type, document_bytes
     stageio.write(f"Converting {mime_type} to PDF\n")
     pdf_bytes = await convert_to_pdf(document_bytes, mime_type)
     return MIME_PDF, pdf_bytes

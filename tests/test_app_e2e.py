@@ -309,3 +309,49 @@ async def test_health(harness):
     async with harness() as h:
         resp = await h.client.get("/health")
         assert resp.status == 200
+
+
+async def test_retrieval_from_docx_attachment(harness):
+    """Service-level drive of the native OOXML path: a DOCX attachment is
+    parsed first-party (no LibreOffice) and its chunks are retrievable."""
+    from tests.utils.office_builder import build_docx
+
+    async with harness() as h:
+        docx = build_docx(
+            [
+                ("The Alps", "Heading1"),
+                ("Colle di Cadibona marks the southern boundary.", None),
+                ("Climate varies with elevation and latitude.", None),
+            ]
+        )
+        h.fake.add_file(
+            "files/user-bucket/alps.docx",
+            docx,
+            "application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.document",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "cadibona boundary", url="files/user-bucket/alps.docx"
+                    )
+                ],
+                "custom_fields": {
+                    "configuration": {"request": {"type": "retrieval"}}
+                },
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        payload = json.loads(
+            [
+                a
+                for a in custom["attachments"]
+                if a.get("type")
+                == "application/x.aidial-rag.retrieval-response+json"
+            ][0]["data"]
+        )
+        texts = " ".join(c["text"] or "" for c in payload["chunks"])
+        assert "Cadibona" in texts
