@@ -135,6 +135,14 @@ class BgeEmbedder:
         """[D] float32 with the BGE query instruction prefix."""
         return self._encode_batch([self.query_instruction + text])[0]
 
+    def embed_queries(self, texts: list[str]) -> np.ndarray:
+        """[n, D] query embeddings (instruction-prefixed), one dispatch."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._encode_batch(
+            [self.query_instruction + t for t in texts]
+        )
+
     async def aembed_documents(self, texts: list[str]) -> np.ndarray:
         """Bulk encode through the 1-worker indexing dispatch pool:
         concurrent indexing streams interleave at batch granularity
@@ -149,9 +157,31 @@ class BgeEmbedder:
 
     async def aembed_query(self, text: str) -> np.ndarray:
         """Query encodes take their own lane so they never queue behind
-        a bulk indexing stream's host tokenization."""
-        from dial_rag_tpu.runtime.host_pools import (
-            run_in_query_dispatch_pool,
-        )
+        a bulk indexing stream's host tokenization; concurrent queries
+        from different requests coalesce into ONE device dispatch via the
+        micro-batcher (a [Q, S] encode costs nearly the same as [1, S])."""
+        return await self._query_batcher.submit(text)
 
-        return await run_in_query_dispatch_pool(self.embed_query, text)
+    @property
+    def _query_batcher(self):
+        batcher = self.__dict__.get("_query_batcher_cached")
+        if batcher is None:
+            from dial_rag_tpu.runtime.host_pools import (
+                run_in_query_dispatch_pool,
+            )
+            from dial_rag_tpu.runtime.micro_batcher import (
+                MicroBatcher,
+                PerLoopBatcher,
+            )
+
+            async def encode_all(texts: list[str]):
+                out = await run_in_query_dispatch_pool(
+                    self.embed_queries, texts
+                )
+                return list(out)
+
+            batcher = PerLoopBatcher(
+                lambda: MicroBatcher(encode_all, max_batch=64)
+            )
+            self.__dict__["_query_batcher_cached"] = batcher
+        return batcher

@@ -40,6 +40,7 @@ from dial_rag_tpu.service.indexing_task import (
     validate_indexing_task,
 )
 from dial_rag_tpu.runtime.host_pools import run_in_parse_pool
+from dial_rag_tpu.utils.print_stats import print_chunk_stats
 from dial_rag_tpu.service.protocol import TimedStage
 from dial_rag_tpu.service.request_context import RequestContext
 from dial_rag_tpu.storage.storage import IndexStorage
@@ -160,6 +161,7 @@ async def load_document_impl(
                     config=index_config.parser.to_parser_config(),
                 )
             )
+            print_chunk_stats(parse_stream, chunks_list)
 
         text_index_task = tg.create_task(
             Bm25Retriever.build_index(chunks_list)

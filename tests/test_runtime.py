@@ -223,3 +223,15 @@ def test_get_text_chunks_postprocess():
     assert out[0].metadata["page_number"] == 2
     assert out[0].metadata["chunk_id"] == 1
     assert out[0].metadata["retrieval_type"] == "text"
+
+
+def test_format_chunk_stats():
+    from dial_rag_tpu.documents.model import build_chunks_list
+    from dial_rag_tpu.utils.print_stats import format_chunk_stats
+
+    assert format_chunk_stats([]) == "Chunks: 0\n"
+    chunks = build_chunks_list(
+        [("abcd", {"page_number": 1}), ("x" * 10, {"page_number": 2})]
+    )
+    line = format_chunk_stats(chunks)
+    assert "Chunks: 2" in line and "total 14 B" in line and "pages 2" in line
