@@ -47,6 +47,9 @@ _EXT_TO_MIME = {
     ".pptm": "application/vnd.ms-powerpoint.presentation.macroenabled.12",
     ".odt": "application/vnd.oasis.opendocument.text",
     ".odp": "application/vnd.oasis.opendocument.presentation",
+    ".xlsx": (
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    ),
 }
 
 _MAGIC = [

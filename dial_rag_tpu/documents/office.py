@@ -44,8 +44,12 @@ MIME_PPTX = (
 )
 MIME_ODT = "application/vnd.oasis.opendocument.text"
 MIME_ODP = "application/vnd.oasis.opendocument.presentation"
+MIME_XLSX = (
+    "application/vnd.openxmlformats-officedocument"
+    ".spreadsheetml.sheet"
+)
 
-NATIVE_OFFICE_MIMES = {MIME_DOCX, MIME_PPTX, MIME_ODT, MIME_ODP}
+NATIVE_OFFICE_MIMES = {MIME_DOCX, MIME_PPTX, MIME_ODT, MIME_ODP, MIME_XLSX}
 
 
 def _open_zip(data: bytes) -> zipfile.ZipFile:
@@ -238,11 +242,108 @@ def odp_elements(data: bytes, mime: str = MIME_ODP) -> list[Element]:
     return elements
 
 
+# --- XLSX -----------------------------------------------------------------
+
+_NS_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_REL = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+    strings = []
+    for si in root.iter(_NS_S + "si"):
+        strings.append("".join(t.text or "" for t in si.iter(_NS_S + "t")))
+    return strings
+
+
+def _xlsx_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet display name, zip path) in workbook order."""
+    wb = _read_xml(zf, "xl/workbook.xml")
+    rels = {}
+    if "xl/_rels/workbook.xml.rels" in zf.namelist():
+        rel_root = ElementTree.fromstring(
+            zf.read("xl/_rels/workbook.xml.rels")
+        )
+        pkg = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        for rel in rel_root.iter(pkg + "Relationship"):
+            rels[rel.get("Id")] = "xl/" + rel.get("Target", "").lstrip("/")
+    sheets = []
+    for sh in wb.iter(_NS_S + "sheet"):
+        rid = sh.get(_NS_REL + "id")
+        path = rels.get(rid)
+        if path is None:  # fall back to conventional naming
+            path = f"xl/worksheets/sheet{len(sheets) + 1}.xml"
+        sheets.append((sh.get("name", f"Sheet{len(sheets) + 1}"), path))
+    return sheets
+
+
+def _xlsx_cell_value(cell, shared: list[str]) -> str:
+    kind = cell.get("t", "n")
+    if kind == "inlineStr":
+        is_node = cell.find(_NS_S + "is")
+        if is_node is not None:
+            return "".join(
+                t.text or "" for t in is_node.iter(_NS_S + "t")
+            )
+        return ""
+    v = cell.find(_NS_S + "v")
+    if v is None or v.text is None:
+        return ""
+    if kind == "s":
+        try:
+            return shared[int(v.text)]
+        except (ValueError, IndexError):
+            return ""
+    return v.text
+
+
+def xlsx_elements(data: bytes, mime: str = MIME_XLSX) -> list[Element]:
+    """One element per row (like the CSV parser), sheet names as titles."""
+    elements = []
+    with _open_zip(data) as zf:
+        shared = _xlsx_shared_strings(zf)
+        sheets = _xlsx_sheets(zf)
+        if not sheets:
+            raise InvalidDocumentError(
+                "The spreadsheet contains no sheets."
+            )
+        for sheet_name, path in sheets:
+            if path not in zf.namelist():
+                continue
+            root = ElementTree.fromstring(zf.read(path))
+            elements.append(
+                Element(
+                    text=sheet_name,
+                    is_title=True,
+                    metadata={"filetype": mime},
+                )
+            )
+            for row in root.iter(_NS_S + "row"):
+                cells = [
+                    v
+                    for c in row.iter(_NS_S + "c")
+                    if (v := _xlsx_cell_value(c, shared).strip())
+                ]
+                if cells:
+                    elements.append(
+                        Element(
+                            text=" | ".join(cells),
+                            metadata={"filetype": mime},
+                        )
+                    )
+    return elements
+
+
 _PARSERS = {
     MIME_DOCX: docx_elements,
     MIME_PPTX: pptx_elements,
     MIME_ODT: odt_elements,
     MIME_ODP: odp_elements,
+    MIME_XLSX: xlsx_elements,
 }
 
 

@@ -40,6 +40,31 @@ class BgeEmbedder:
     query_instruction: str = DEFAULT_QUERY_INSTRUCTION
     batch_size: int = EMBEDDINGS_BATCH_SIZE
     max_len: int = 512
+    mesh: object = None  # jax.sharding.Mesh | None
+
+    def shard_over(self, mesh) -> "BgeEmbedder":
+        """Data-parallel encode over ``mesh``: weights are replicated
+        across all devices once; every batch is sharded over the ``dp``
+        axis so bulk indexing throughput scales with chips (the TPU
+        counterpart of the reference's single OpenVINO worker thread —
+        embeddings.py:38-49). XLA inserts no collectives for the forward
+        itself (pure data parallel); only the output gather rides ICI.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(
+            self.params, NamedSharding(mesh, P())
+        )
+        return BgeEmbedder(
+            tokenizer=self.tokenizer,
+            encoder=self.encoder,
+            params=params,
+            query_instruction=self.query_instruction,
+            batch_size=self.batch_size,
+            max_len=self.max_len,
+            mesh=mesh,
+        )
 
     @classmethod
     def from_random(
@@ -105,9 +130,28 @@ class BgeEmbedder:
     def dim(self) -> int:
         return self.encoder.config.hidden_size
 
+    def _device_put_batch(self, ids, mask):
+        """On a mesh, pad the batch to a dp multiple and shard it."""
+        if self.mesh is None:
+            return ids, mask
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape.get("dp", 1)
+        b = ids.shape[0]
+        pad = (-b) % dp
+        if pad:
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        sharding = NamedSharding(self.mesh, P("dp", None))
+        return jax.device_put(ids, sharding), jax.device_put(mask, sharding)
+
     def _encode_batch(self, texts: list[str]) -> np.ndarray:
         ids, mask = self.tokenizer.encode_batch(texts, max_len=self.max_len)
-        return np.asarray(self.encoder.encode(self.params, ids, mask))
+        out = self.encoder.encode(
+            self.params, *self._device_put_batch(ids, mask)
+        )
+        return np.asarray(out)[: len(texts)]
 
     def embed_documents(self, texts: list[str]) -> np.ndarray:
         """[n, D] float32.
@@ -120,16 +164,22 @@ class BgeEmbedder:
         """
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
-        outs = [
-            self.encoder.encode(
-                self.params,
-                *self.tokenizer.encode_batch(
-                    texts[i : i + self.batch_size], max_len=self.max_len
-                ),
+        outs = []
+        counts = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = texts[i : i + self.batch_size]
+            ids, mask = self.tokenizer.encode_batch(
+                batch, max_len=self.max_len
             )
-            for i in range(0, len(texts), self.batch_size)
-        ]
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+            outs.append(
+                self.encoder.encode(
+                    self.params, *self._device_put_batch(ids, mask)
+                )
+            )
+            counts.append(len(batch))
+        return np.concatenate(
+            [np.asarray(o)[:n] for o, n in zip(outs, counts)], axis=0
+        )
 
     def embed_query(self, text: str) -> np.ndarray:
         """[D] float32 with the BGE query instruction prefix."""

@@ -1,0 +1,51 @@
+"""Data-parallel embedder over the 8-device CPU mesh: identical outputs
+to the single-device path, batches sharded over dp."""
+
+import jax
+import numpy as np
+import pytest
+
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.models.tokenizer import build_test_vocab
+from dial_rag_tpu.parallel.mesh import create_mesh
+
+
+@pytest.fixture(scope="module")
+def single():
+    return BgeEmbedder.from_random(
+        vocab=build_test_vocab([chr(c) for c in range(97, 123)]),
+        batch_size=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return create_mesh(8, tp=1)
+
+
+def test_sharded_matches_single(single, mesh):
+    sharded = single.shard_over(mesh)
+    texts = [f"word{i} abc def" for i in range(13)]  # not a dp multiple
+    a = single.embed_documents(texts)
+    b = sharded.embed_documents(texts)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_query(single, mesh):
+    sharded = single.shard_over(mesh)
+    np.testing.assert_allclose(
+        sharded.embed_query("abc def"),
+        single.embed_query("abc def"),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_batch_actually_sharded(single, mesh):
+    sharded = single.shard_over(mesh)
+    ids = np.zeros((16, 64), dtype=np.int32)
+    mask = np.ones((16, 64), dtype=np.int32)
+    dev_ids, _ = sharded._device_put_batch(ids, mask)
+    assert len(dev_ids.sharding.device_set) == 8

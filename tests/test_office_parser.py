@@ -149,3 +149,34 @@ def test_converter_still_errors_for_legacy_doc(monkeypatch):
                 )()
             )
         )
+
+
+def test_xlsx_rows_and_sheet_titles():
+    from dial_rag_tpu.documents.office import MIME_XLSX, xlsx_elements
+    from tests.utils.office_builder import build_xlsx
+
+    data = build_xlsx(
+        {
+            "Peaks": [["Name", "Height"], ["Zarvok", "4123"]],
+            "Rivers": [["Quilmar", "Long"]],
+        }
+    )
+    els = xlsx_elements(data)
+    assert [(e.text, e.is_title) for e in els] == [
+        ("Peaks", True),
+        ("Name | Height", False),
+        ("Zarvok | 4123", False),
+        ("Rivers", True),
+        ("Quilmar | Long", False),
+    ]
+
+
+def test_xlsx_parse_document_end_to_end():
+    from dial_rag_tpu.documents.office import MIME_XLSX
+    from tests.utils.office_builder import build_xlsx
+
+    data = build_xlsx({"Data": [["alpha", "beta"], ["gamma", "delta"]]})
+    chunks = parse_document(
+        data, MIME_XLSX, source_link="t.xlsx", display_name="t.xlsx"
+    )
+    assert chunks and "alpha | beta" in chunks[0].text

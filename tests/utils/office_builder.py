@@ -107,3 +107,56 @@ def build_odp(slides: list[list[tuple[str, bool]]]) -> bytes:
         f"</office:presentation></office:body></office:document-content>"
     )
     return _zip({"content.xml": content})
+
+
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def build_xlsx(sheets: dict[str, list[list[str]]]) -> bytes:
+    """sheets: {sheet name: rows of cell strings} (shared-strings table)."""
+    strings: list[str] = []
+    string_ids: dict[str, int] = {}
+
+    def sid(s: str) -> int:
+        if s not in string_ids:
+            string_ids[s] = len(strings)
+            strings.append(s)
+        return string_ids[s]
+
+    parts = {"[Content_Types].xml": "<Types/>"}
+    sheet_decls, rels = [], []
+    for i, (name, rows) in enumerate(sheets.items(), start=1):
+        rows_xml = []
+        for r, row in enumerate(rows, start=1):
+            cells = "".join(
+                f'<c r="{chr(64 + ci)}{r}" t="s"><v>{sid(cell)}</v></c>'
+                for ci, cell in enumerate(row, start=1)
+            )
+            rows_xml.append(f'<row r="{r}">{cells}</row>')
+        parts[f"xl/worksheets/sheet{i}.xml"] = (
+            f'<?xml version="1.0"?><worksheet xmlns="{_S}">'
+            f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+        )
+        sheet_decls.append(
+            f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>'
+        )
+        rels.append(
+            f'<Relationship Id="rId{i}" Type="t" '
+            f'Target="worksheets/sheet{i}.xml"/>'
+        )
+    parts["xl/workbook.xml"] = (
+        f'<?xml version="1.0"?><workbook xmlns="{_S}" xmlns:r="{_R}">'
+        f"<sheets>{''.join(sheet_decls)}</sheets></workbook>"
+    )
+    parts["xl/_rels/workbook.xml.rels"] = (
+        f'<?xml version="1.0"?><Relationships xmlns="{_PKG}">'
+        f"{''.join(rels)}</Relationships>"
+    )
+    parts["xl/sharedStrings.xml"] = (
+        f'<?xml version="1.0"?><sst xmlns="{_S}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    return _zip(parts)
