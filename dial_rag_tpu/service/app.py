@@ -92,10 +92,30 @@ class DialRagApplication:
                 embedder = BgeEmbedder.from_random(
                     batch_size=app_config.embedder.batch_size
                 )
+        self.mesh = self._create_mesh(app_config)
+        if self.mesh is not None:
+            embedder = embedder.shard_over(self.mesh)
         self.embedder = embedder
         self.index_storage_holder = IndexStorageHolder(
             app_config.index_storage.in_memory_cache_capacity
         )
+
+    @staticmethod
+    def _create_mesh(app_config: AppConfig):
+        """(dp,) mesh over all devices when data_parallel is on (auto:
+        only with >1 device — a 1-device mesh just adds overhead)."""
+        dp = app_config.parallel.data_parallel
+        if dp is False:
+            return None
+        import jax
+
+        n = len(jax.devices())
+        if dp is None and n <= 1:
+            return None
+        from dial_rag_tpu.parallel.mesh import create_mesh
+
+        logger.info(f"data-parallel over {n} devices")
+        return create_mesh(n)
 
     def _merge_config_sources(
         self, request: ChatRequest, commands: Commands
@@ -223,6 +243,7 @@ class DialRagApplication:
                 make_retrieval_stage=lambda r, name: RetrieverStage(
                     choice, name, r, document_records
                 ),
+                mesh=self.mesh,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

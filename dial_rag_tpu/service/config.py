@@ -310,6 +310,21 @@ class IndexStorageConfig(BaseConfig):
     )
 
 
+class ParallelConfig(BaseConfig):
+    """Device-mesh scale-out. With data_parallel on and more than one
+    visible device, the embedder's batches shard over a (dp,) mesh and
+    the semantic index rows shard over every device (per-shard stable
+    top-k + all-gather merge); results are bit-identical to single-chip
+    (see tests/test_sharded_index.py, tests/test_mesh_embedder.py)."""
+
+    data_parallel: bool | None = Field(
+        default=None,
+        description="Shard encode batches and the dense index over all "
+        "visible devices. None (default) = auto: on when more than one "
+        "device is visible.",
+    )
+
+
 class AppConfig(BaseConfig):
     config_path: str = Field(
         default="", description="Path to the yaml configuration file."
@@ -324,6 +339,7 @@ class AppConfig(BaseConfig):
     )
     embedder: EmbedderConfig = Field(default=EmbedderConfig())
     index_storage: IndexStorageConfig = Field(default=IndexStorageConfig())
+    parallel: ParallelConfig = Field(default=ParallelConfig())
     request: RequestConfig = Field(default=RequestConfig())
 
 

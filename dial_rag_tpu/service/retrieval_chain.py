@@ -101,9 +101,11 @@ def create_retriever(
     document_records: list[DocumentRecord],
     indexing_config: IndexingConfig,
     make_retrieval_stage: Callable = _make_retrieval_stage_default,
+    mesh=None,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
-    retrievers (reference retrieval_chain.py:193-252)."""
+    retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
+    semantic index rows are sharded over its devices."""
     if AllDocumentsRetriever.is_within_limit(document_records):
         return make_retrieval_stage(
             AllDocumentsRetriever.from_doc_records(document_records),
@@ -113,7 +115,7 @@ def create_retriever(
     retrievers = [
         make_retrieval_stage(
             SemanticRetriever.from_doc_records(
-                embedder, document_records, RETRIEVER_K
+                embedder, document_records, RETRIEVER_K, mesh=mesh
             ),
             "Embeddings search",
         )

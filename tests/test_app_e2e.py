@@ -355,3 +355,21 @@ async def test_retrieval_from_docx_attachment(harness):
         )
         texts = " ".join(c["text"] or "" for c in payload["chunks"])
         assert "Cadibona" in texts
+
+
+async def test_mesh_auto_enabled_on_multi_device(harness):
+    """The CPU test mesh has 8 devices, so auto data-parallel kicks in:
+    the app's embedder batches and semantic index rows shard over all 8."""
+    async with harness() as h:
+        app = h.client.server.app["dial_rag"]
+        assert app.mesh is not None
+        assert app.mesh.devices.size == 8
+        assert app.embedder.mesh is app.mesh
+
+
+async def test_mesh_disabled_by_config(harness):
+    async with harness(
+        {"parallel": {"data_parallel": False}}
+    ) as h:
+        app = h.client.server.app["dial_rag"]
+        assert app.mesh is None
