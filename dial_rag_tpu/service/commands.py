@@ -7,7 +7,7 @@ from typing import Any, get_args, get_origin
 
 from pydantic import BaseModel
 
-from dial_rag_tpu.service.config import create_update_dict
+from dial_rag_tpu.service.config import create_update_dict, deep_merge
 from dial_rag_tpu.service.messages import (
     CustomContent,
     Message,
@@ -96,25 +96,32 @@ def process_message_commands(message: Message, commands: Commands) -> Message:
 
 
 def commands_to_config_dict(commands: Commands) -> dict[str, Any]:
+    # deep_merge, not dict.update: /model and /query_model share the
+    # qa_chain subtree and must both survive
     config_dict: dict[str, Any] = {}
     if commands.debug.model:
-        config_dict.update(
+        config_dict = deep_merge(
+            config_dict,
             create_update_dict(
                 "qa_chain.chat_chain.llm.deployment_name", commands.debug.model
-            )
+            ),
         )
     if commands.debug.query_model:
-        config_dict.update(
+        config_dict = deep_merge(
+            config_dict,
             create_update_dict(
                 "qa_chain.query_chain.llm.deployment_name",
                 commands.debug.query_model,
-            )
+            ),
         )
     if commands.debug.profile:
-        config_dict.update(create_update_dict("use_profiler", True))
+        config_dict = deep_merge(
+            config_dict, create_update_dict("use_profiler", True)
+        )
     if commands.conf.ignore_document_loading_errors:
-        config_dict.update(
-            create_update_dict("ignore_document_loading_errors", True)
+        config_dict = deep_merge(
+            config_dict,
+            create_update_dict("ignore_document_loading_errors", True),
         )
     return config_dict
 
