@@ -373,3 +373,120 @@ async def test_mesh_disabled_by_config(harness):
     ) as h:
         app = h.client.server.app["dial_rag"]
         assert app.mesh is None
+
+
+def _big_pdf_lines(n_pages=8):
+    """Enough text that total chunk bytes exceed the 12kB all-documents
+    short-circuit, forcing the retriever ensemble to run."""
+    lines_per_page = 30
+    pages = []
+    for p in range(n_pages):
+        lines = [(72, 740, 14, f"Section {p}")]
+        y = 720
+        for i in range(lines_per_page):
+            lines.append(
+                (72, y, 10,
+                 f"the alps mountain range europe climate elevation boundary "
+                 f"cadibona colle marks southern page {p} line {i}")
+            )
+            y -= 22
+        pages.append(lines)
+    return pages
+
+
+async def test_multimodal_index_e2e(harness):
+    """Remote page-image embedding index built through the fake Dial
+    embeddings endpoint; retrieval still succeeds with the extra index
+    in the RRF ensemble."""
+    async with harness() as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "cadibona boundary", url="files/user-bucket/big.pdf"
+                    )
+                ],
+                "custom_fields": {
+                    "configuration": {
+                        "request": {"type": "retrieval"},
+                        "indexing": {
+                            "multimodal_index": {
+                                "embeddings_model": "mm-embed"
+                            },
+                            "description_index": None,
+                        },
+                    }
+                },
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stages = [s["name"] for s in custom["stages"]]
+        assert any("Multimodal search" in s for s in stages), stages
+        payload = json.loads(
+            [
+                a
+                for a in custom["attachments"]
+                if a.get("type")
+                == "application/x.aidial-rag.retrieval-response+json"
+            ][0]["data"]
+        )
+        assert payload["chunks"]
+
+
+async def test_description_index_e2e(harness):
+    """Vision-LLM page descriptions: the scripted LLM returns JSON per
+    page; the description chunks are embedded locally and searchable."""
+    async with harness() as h:
+        h.fake.script_llm(
+            '{"page_summary": "First page about the Alps and Cadibona.",'
+            ' "keyfact": "Cadibona is the southern boundary."}',
+            '{"page_summary": "Second page about alpine climate.",'
+            ' "keyfact": "Climate varies with elevation."}',
+        )
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "cadibona boundary", url="files/user-bucket/big.pdf"
+                    )
+                ],
+                "custom_fields": {
+                    "configuration": {
+                        "request": {"type": "retrieval"},
+                        "indexing": {"description_index": {}},
+                    }
+                },
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stages = [s["name"] for s in custom["stages"]]
+        assert any("Page image search" in s for s in stages), stages
+        # one vision-LLM call per page during the index build
+        desc_calls = [
+            r
+            for r in h.fake.llm_requests
+            if any(
+                isinstance(c, dict) and c.get("type") == "image_url"
+                for m in r.get("messages", [])
+                for c in (
+                    m.get("content")
+                    if isinstance(m.get("content"), list)
+                    else []
+                )
+            )
+        ]
+        assert len(desc_calls) == 8  # pages in _big_pdf_lines()
