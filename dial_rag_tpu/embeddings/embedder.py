@@ -13,7 +13,6 @@ at dispatch granularity. The default batch size stays 128 (reference's
 OpenVINO-tuned value; on TPU larger is better and configurable).
 """
 
-import asyncio
 from dataclasses import dataclass
 
 import jax

@@ -24,7 +24,6 @@ CSR matvec fallback keeps exactness (a Pallas postings kernel is the
 planned device-sparse path).
 """
 
-import math
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -32,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dial_rag_tpu.ops.stable_topk import stable_topk_argmin, stable_topk_sort
+from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
 
 K1 = 1.5
 B = 0.75

@@ -8,7 +8,7 @@ import logging
 from dial_rag_tpu.service.config import QueryChainConfig
 from dial_rag_tpu.service.history import get_number_of_user_messages
 from dial_rag_tpu.service.llm import LlmClient
-from dial_rag_tpu.service.protocol import Choice, TimedStage
+from dial_rag_tpu.service.protocol import TimedStage
 from dial_rag_tpu.service.request_context import RequestContext
 
 logger = logging.getLogger(__name__)

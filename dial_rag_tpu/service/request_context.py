@@ -1,6 +1,6 @@
 """Per-request context: dial url + api key + streamed choice + limits."""
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from dial_rag_tpu.runtime.limited import DialLimitedResources
 from dial_rag_tpu.service.protocol import Choice

@@ -2,7 +2,6 @@
 stages.py + app.py doc_to_attach): retriever construction with stage
 wrappers, page-image selection, and the RetrievalResponse assembly."""
 
-import asyncio
 from dataclasses import dataclass, field
 from typing import Callable
 
