@@ -13,6 +13,7 @@ at dispatch granularity. The default batch size stays 128 (reference's
 OpenVINO-tuned value; on TPU larger is better and configurable).
 """
 
+from collections import deque
 from dataclasses import dataclass
 
 import jax
@@ -29,6 +30,20 @@ DEFAULT_QUERY_INSTRUCTION = (
 )
 
 EMBEDDINGS_BATCH_SIZE = 128
+# device-side concat arity for bulk encodes: groups of this many batches
+# are concatenated on device and transferred together, so a bulk embed
+# costs ~n_batches/_CONCAT_GROUP device->host transfers instead of
+# n_batches (transfer latency, not bandwidth, dominates small results)
+_CONCAT_GROUP = 8
+
+
+def _bucket_rows(n: int, cap: int) -> int:
+    """Pad row counts to powers of two (>=8, <=cap) so the encoder jit
+    cache holds O(log cap) variants per sequence bucket instead of one
+    per distinct batch length."""
+    if n >= cap:
+        return n
+    return min(cap, max(8, 1 << (n - 1).bit_length()))
 
 
 @dataclass
@@ -130,18 +145,20 @@ class BgeEmbedder:
         return self.encoder.config.hidden_size
 
     def _device_put_batch(self, ids, mask):
-        """On a mesh, pad the batch to a dp multiple and shard it."""
+        """Pad rows to a bucket (bounded jit cache); on a mesh also pad
+        to a dp multiple and shard."""
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        b = ids.shape[0]
+        target = _bucket_rows(b, self.batch_size)
+        target += (-target) % dp
+        if target != b:
+            ids = np.pad(ids, ((0, target - b), (0, 0)))
+            mask = np.pad(mask, ((0, target - b), (0, 0)))
         if self.mesh is None:
             return ids, mask
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        dp = self.mesh.shape.get("dp", 1)
-        b = ids.shape[0]
-        pad = (-b) % dp
-        if pad:
-            ids = np.pad(ids, ((0, pad), (0, 0)))
-            mask = np.pad(mask, ((0, pad), (0, 0)))
         sharding = NamedSharding(self.mesh, P("dp", None))
         return jax.device_put(ids, sharding), jax.device_put(mask, sharding)
 
@@ -152,33 +169,163 @@ class BgeEmbedder:
         )
         return np.asarray(out)[: len(texts)]
 
+    def _tokenize_group(self, group: list[list[str]]):
+        """Tokenize a group of batches into ONE stacked [2, gB, S] int32
+        array (ids + mask) so the whole group rides a single host->device
+        transfer. All batches are row-padded to batch_size; padded rows
+        are fully masked and sliced away after decode."""
+        toks = [
+            self.tokenizer.encode_batch(b, max_len=self.max_len)
+            for b in group
+        ]
+        s = max(t[0].shape[1] for t in toks)
+        gb = len(group) * self.batch_size
+        stacked = np.zeros((2, gb, s), dtype=np.int32)
+        for i, (ids, mask) in enumerate(toks):
+            r0 = i * self.batch_size
+            stacked[0, r0 : r0 + ids.shape[0], : ids.shape[1]] = ids
+            stacked[1, r0 : r0 + mask.shape[0], : mask.shape[1]] = mask
+        return stacked
+
+    def _encode_group(self, stacked: np.ndarray, n_batches: int):
+        """One H2D transfer, n_batches in-order encode dispatches on
+        device-resident slices, one device-side concat -> [gB, D]."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stacked = jax.device_put(
+                stacked, NamedSharding(self.mesh, P(None, "dp", None))
+            )
+        else:
+            stacked = jnp.asarray(stacked)
+        b = self.batch_size
+        outs = [
+            self.encoder.encode(
+                self.params,
+                stacked[0, i * b : (i + 1) * b],
+                stacked[1, i * b : (i + 1) * b],
+            )
+            for i in range(n_batches)
+        ]
+        return outs[0] if n_batches == 1 else jnp.concatenate(outs, axis=0)
+
     def embed_documents(self, texts: list[str]) -> np.ndarray:
         """[n, D] float32.
 
         Batches are *dispatched* in order (the reference's fairness
         decision holds at dispatch granularity — batched.py:42-45) but
-        not synchronized individually: JAX dispatch is async, so batch
-        i+1's host-side tokenization overlaps batch i's device compute,
-        and the single device->host transfer happens at the end.
+        not synchronized individually. Batches are processed in groups
+        of _CONCAT_GROUP: each group is one host->device transfer, its
+        batches are separate in-order encode dispatches, and results
+        come back one transfer per group — transfer *latency* (not
+        bandwidth) dominates small arrays, especially on remote-attached
+        accelerators. Group tokenization runs ahead on the parse pool,
+        overlapping the device compute of earlier groups.
         """
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
-        outs = []
-        counts = []
-        for i in range(0, len(texts), self.batch_size):
-            batch = texts[i : i + self.batch_size]
-            ids, mask = self.tokenizer.encode_batch(
-                batch, max_len=self.max_len
+        if len(texts) <= self.batch_size:
+            return self._encode_batch(texts)
+
+        batches = [
+            texts[i : i + self.batch_size]
+            for i in range(0, len(texts), self.batch_size)
+        ]
+        groups = [
+            batches[i : i + _CONCAT_GROUP]
+            for i in range(0, len(batches), _CONCAT_GROUP)
+        ]
+
+        from dial_rag_tpu.runtime.host_pools import get_pools
+
+        pool = get_pools()["parse"]
+        window: deque = deque()
+        group_outs = []
+        it = iter(groups)
+        for group in it:
+            window.append(
+                (len(group), pool.submit(self._tokenize_group, group))
             )
-            outs.append(
-                self.encoder.encode(
-                    self.params, *self._device_put_batch(ids, mask)
+            if len(window) >= 2:  # tokenize at most 2 groups ahead
+                break
+        for group in list(it) + [None] * len(window):
+            n_batches, fut = window.popleft()
+            group_outs.append(self._encode_group(fut.result(), n_batches))
+            if group is not None:
+                window.append(
+                    (len(group), pool.submit(self._tokenize_group, group))
                 )
+
+        jax.block_until_ready(group_outs)
+        host = np.concatenate(jax.device_get(group_outs), axis=0)
+        # each batch's real rows are the first len(batch) of its
+        # batch_size-row span
+        pieces = []
+        for i, batch in enumerate(batches):
+            r0 = i * self.batch_size
+            pieces.append(host[r0 : r0 + len(batch)])
+        return np.concatenate(pieces, axis=0)
+
+    def embed_documents_device(self, texts: list[str]):
+        """Device-resident bulk encode: [n, D] embeddings left in HBM.
+
+        The TPU-native indexing pipeline appends embeddings straight
+        into the device index (DenseIndex.from_device_matrix) — they
+        never cross to the host on the hot path (host transfer is only
+        needed for record persistence, which is off the critical path).
+        """
+        if not texts:
+            return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        if len(texts) <= self.batch_size:
+            ids, mask = self.tokenizer.encode_batch(
+                texts, max_len=self.max_len
             )
-            counts.append(len(batch))
-        return np.concatenate(
-            [np.asarray(o)[:n] for o, n in zip(outs, counts)], axis=0
+            out = self.encoder.encode(
+                self.params, *self._device_put_batch(ids, mask)
+            )
+            return out[: len(texts)]
+
+        batches = [
+            texts[i : i + self.batch_size]
+            for i in range(0, len(texts), self.batch_size)
+        ]
+        groups = [
+            batches[i : i + _CONCAT_GROUP]
+            for i in range(0, len(batches), _CONCAT_GROUP)
+        ]
+        from dial_rag_tpu.runtime.host_pools import get_pools
+
+        pool = get_pools()["parse"]
+        window: deque = deque()
+        group_outs = []
+        it = iter(groups)
+        for group in it:
+            window.append(
+                (len(group), pool.submit(self._tokenize_group, group))
+            )
+            if len(window) >= 2:
+                break
+        for group in list(it) + [None] * len(window):
+            n_batches, fut = window.popleft()
+            group_outs.append(self._encode_group(fut.result(), n_batches))
+            if group is not None:
+                window.append(
+                    (len(group), pool.submit(self._tokenize_group, group))
+                )
+        full = (
+            group_outs[0]
+            if len(group_outs) == 1
+            else jnp.concatenate(group_outs, axis=0)
         )
+        if len(texts) == len(batches) * self.batch_size:
+            return full  # no padded rows anywhere
+        keep = np.concatenate(
+            [
+                np.arange(len(b)) + i * self.batch_size
+                for i, b in enumerate(batches)
+            ]
+        )
+        return jnp.take(full, jnp.asarray(keep), axis=0)
 
     def embed_query(self, text: str) -> np.ndarray:
         """[D] float32 with the BGE query instruction prefix."""

@@ -137,6 +137,47 @@ class DenseIndex:
         self._chunk_ids = chunk_ids
         self._emb = jnp.asarray(emb)  # [n_pad, D] f32 in HBM
 
+    @classmethod
+    def from_device_matrix(
+        cls,
+        retrieval_type: RetrievalType,
+        emb,  # jax.Array [n, D], device-resident
+        chunk_ids: np.ndarray | None = None,
+        doc_ids: np.ndarray | None = None,
+        metric: Metric | str = Metric.SQEUCLIDEAN_DIST,
+        limit: int = 1,
+    ) -> "DenseIndex":
+        """Zero-copy index construction from embeddings already in HBM
+        (the encode-append hot path: embed_documents_device -> here; no
+        host round-trip of the [n, D] matrix)."""
+        import jax.numpy as jnp_mod
+
+        self = cls.__new__(cls)
+        self.retrieval_type = retrieval_type
+        self.metric = Metric(metric)
+        self.limit = limit
+        self.n_rows = int(emb.shape[0])
+        if self.n_rows == 0:
+            self.dim = 0
+            self._emb = None
+            return self
+        self.dim = int(emb.shape[1])
+        n_pad = _bucket_rows(self.n_rows)
+        if n_pad != self.n_rows:
+            emb = jnp_mod.pad(emb, ((0, n_pad - self.n_rows), (0, 0)))
+        self._emb = emb
+        self._chunk_ids = (
+            np.arange(self.n_rows, dtype=np.int64)
+            if chunk_ids is None
+            else np.asarray(chunk_ids, dtype=np.int64)
+        )
+        self._doc_ids = (
+            np.zeros(self.n_rows, dtype=np.int64)
+            if doc_ids is None
+            else np.asarray(doc_ids, dtype=np.int64)
+        )
+        return self
+
     @property
     def nbytes(self) -> int:
         return 0 if self._emb is None else self._emb.size * 4

@@ -49,3 +49,35 @@ def test_batch_actually_sharded(single, mesh):
     mask = np.ones((16, 64), dtype=np.int32)
     dev_ids, _ = sharded._device_put_batch(ids, mask)
     assert len(dev_ids.sharding.device_set) == 8
+
+
+def test_embed_documents_device_matches_host(single):
+    import jax.numpy as jnp
+
+    texts = [f"doc {i} abc def ghi" for i in range(21)]  # ragged last batch
+    host = single.embed_documents(texts)
+    dev = single.embed_documents_device(texts)
+    assert isinstance(dev, jnp.ndarray) or hasattr(dev, "devices")
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-6)
+
+
+def test_from_device_matrix_matches_host_index(single):
+    from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+    from dial_rag_tpu.index.records import RetrievalType
+
+    texts = [f"word{i} abc" for i in range(17)]
+    emb_host = single.embed_documents(texts)
+    host_index = DenseIndex(
+        RetrievalType.TEXT,
+        [DocEmbeddings(chunk_ids=np.arange(len(texts)), embeddings=emb_host)],
+        limit=5,
+    )
+    dev_index = DenseIndex.from_device_matrix(
+        RetrievalType.TEXT,
+        single.embed_documents_device(texts),
+        limit=5,
+    )
+    q = emb_host[3]
+    assert [h.chunk_id for h in dev_index.find(q)] == [
+        h.chunk_id for h in host_index.find(q)
+    ]
