@@ -55,6 +55,10 @@ class DocumentRecord:
     description_embeddings_index: MultiEmbeddings | None  # per page
     mime_type: str
     document_bytes: bytes  # original or office->pdf converted document
+    # content identity stamped by the storage layer (url, sha256 of the
+    # serialized bytes); keys the device-index cache across requests.
+    # Not serialized.
+    cache_token: tuple | None = field(default=None, compare=False)
 
 
 def build_chunks_list(chunk_docs: list[tuple[str, dict]]) -> list[Chunk]:

@@ -1,0 +1,63 @@
+"""LRU cache of device-resident indexes.
+
+The reference rebuilds its (numpy) index objects per request from the
+deserialized DocumentRecords (retrieval_chain.py create_retriever runs
+per request); cheap on host. On TPU the equivalent rebuild uploads the
+``[N, 384]`` chunk matrix to HBM — per-request host->device traffic
+that repeat queries against the same documents shouldn't pay. This
+cache keys a built index by the records' *content tokens* — the
+``(index_url, sha256-of-serialized-bytes)`` identity the storage layer
+stamps on every stored/loaded record — plus the retriever
+configuration. A record without a token (never persisted) disables
+caching for its record set. Byte-bounded LRU eviction.
+"""
+
+from collections import OrderedDict
+from threading import Lock
+
+DEFAULT_CAPACITY_BYTES = 1 << 30  # 1 GiB of HBM for cached indexes
+
+
+class DeviceIndexCache:
+    def __init__(self, capacity_bytes: int = DEFAULT_CAPACITY_BYTES):
+        self.capacity_bytes = capacity_bytes
+        self._entries: OrderedDict = OrderedDict()
+        self._size = 0
+        self._lock = Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(self, records: list, config_key: tuple, builder):
+        """Return the cached index for (record tokens, config_key) or
+        build + insert one. ``builder()`` must return an object with an
+        ``nbytes`` attribute."""
+        tokens = [getattr(r, "cache_token", None) for r in records]
+        if not records or any(t is None for t in tokens):
+            return builder()  # unpersisted records: no stable identity
+        key = (tuple(tokens), config_key)
+        with self._lock:
+            index = self._entries.get(key)
+            if index is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return index
+        index = builder()
+        with self._lock:
+            if key not in self._entries:
+                self._entries[key] = index
+                self._size += index.nbytes
+                self.misses += 1
+                while (
+                    self._size > self.capacity_bytes
+                    and len(self._entries) > 1
+                ):
+                    _, evicted = self._entries.popitem(last=False)
+                    self._size -= evicted.nbytes
+        return index
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    @property
+    def size_bytes(self) -> int:
+        return self._size

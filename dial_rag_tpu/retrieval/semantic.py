@@ -33,24 +33,43 @@ class SemanticRetriever:
         k: int = 1,
         metric: Metric = Metric.SQEUCLIDEAN_DIST,
         mesh=None,
+        device_cache=None,
     ) -> "SemanticRetriever":
         """With ``mesh`` the chunk matrix is row-sharded over its devices
-        (per-shard stable top-k + all-gather merge); otherwise single-chip."""
-        doc_embeddings = [
-            create_doc_embeddings_by_chunk(doc.embeddings_index)
-            for doc in document_records
-            if doc.embeddings_index is not None
-        ]
-        if mesh is not None:
-            from dial_rag_tpu.parallel.sharded_index import ShardedDenseIndex
+        (per-shard stable top-k + all-gather merge); otherwise single-chip.
+        With ``device_cache`` the built (HBM-resident) index is reused
+        across requests over the same records."""
 
-            index = ShardedDenseIndex(
-                RetrievalType.TEXT, doc_embeddings, mesh, metric=metric, limit=k
-            )
-        else:
-            index = DenseIndex(
+        def build():
+            doc_embeddings = [
+                create_doc_embeddings_by_chunk(doc.embeddings_index)
+                for doc in document_records
+                if doc.embeddings_index is not None
+            ]
+            if mesh is not None:
+                from dial_rag_tpu.parallel.sharded_index import (
+                    ShardedDenseIndex,
+                )
+
+                return ShardedDenseIndex(
+                    RetrievalType.TEXT,
+                    doc_embeddings,
+                    mesh,
+                    metric=metric,
+                    limit=k,
+                )
+            return DenseIndex(
                 RetrievalType.TEXT, doc_embeddings, metric=metric, limit=k
             )
+
+        if device_cache is not None:
+            index = device_cache.get_or_build(
+                document_records,
+                ("semantic", str(metric), k, mesh is not None),
+                build,
+            )
+        else:
+            index = build()
         return cls(embedder=embedder, index=index)
 
     def retrieve(self, query: str) -> list[SearchHit]:

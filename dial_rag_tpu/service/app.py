@@ -99,6 +99,9 @@ class DialRagApplication:
         self.index_storage_holder = IndexStorageHolder(
             app_config.index_storage.in_memory_cache_capacity
         )
+        from dial_rag_tpu.index.device_cache import DeviceIndexCache
+
+        self.device_index_cache = DeviceIndexCache()
 
     @staticmethod
     def _create_mesh(app_config: AppConfig):
@@ -244,6 +247,7 @@ class DialRagApplication:
                     choice, name, r, document_records
                 ),
                 mesh=self.mesh,
+                device_cache=self.device_index_cache,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

@@ -101,10 +101,12 @@ def create_retriever(
     indexing_config: IndexingConfig,
     make_retrieval_stage: Callable = _make_retrieval_stage_default,
     mesh=None,
+    device_cache=None,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
-    semantic index rows are sharded over its devices."""
+    semantic index rows are sharded over its devices; with
+    ``device_cache`` HBM-resident indexes are reused across requests."""
     if AllDocumentsRetriever.is_within_limit(document_records):
         return make_retrieval_stage(
             AllDocumentsRetriever.from_doc_records(document_records),
@@ -114,7 +116,11 @@ def create_retriever(
     retrievers = [
         make_retrieval_stage(
             SemanticRetriever.from_doc_records(
-                embedder, document_records, RETRIEVER_K, mesh=mesh
+                embedder,
+                document_records,
+                RETRIEVER_K,
+                mesh=mesh,
+                device_cache=device_cache,
             ),
             "Embeddings search",
         )

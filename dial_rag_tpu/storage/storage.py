@@ -138,6 +138,10 @@ class CachedStorage(IndexStorageBackend):
         return await self._storage.store(url, data)
 
 
+def _sha256(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
 class IndexStorage:
     """Typed record load/store with version + settings invalidation."""
 
@@ -164,10 +168,14 @@ class IndexStorage:
         if record.index_settings != index_settings:
             logger.warning(f"Index settings mismatch for {index_url}")
             return None
+        record.cache_token = (index_url, _sha256(data))
         return record
 
     async def store(self, index_url: str, record: DocumentRecord) -> dict:
         data = serialize_record(record)
+        # stamp the same identity a future load of these bytes will get,
+        # so device-index cache entries survive from first build onward
+        record.cache_token = (index_url, _sha256(data))
         logger.debug(f"Stored index at {index_url} ({len(data)} bytes)")
         return await self._backend.store(index_url, data)
 

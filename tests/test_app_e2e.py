@@ -490,3 +490,31 @@ async def test_description_index_e2e(harness):
             )
         ]
         assert len(desc_calls) == 8  # pages in _big_pdf_lines()
+
+
+async def test_device_index_cache_hits_on_repeat_query(harness):
+    """Second request over the same cached document reuses the
+    HBM-resident semantic index (no host->device re-upload)."""
+    async with harness() as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        app = h.client.server.app["dial_rag"]
+        payload = {
+            "messages": [
+                _attach_message(
+                    "cadibona boundary", url="files/user-bucket/big.pdf"
+                )
+            ],
+            "custom_fields": {
+                "configuration": {"request": {"type": "retrieval"}}
+            },
+        }
+        assert (await h.chat(dict(payload))).status == 200
+        misses = app.device_index_cache.misses
+        assert misses >= 1
+        assert (await h.chat(dict(payload))).status == 200
+        assert app.device_index_cache.hits >= 1
+        assert app.device_index_cache.misses == misses

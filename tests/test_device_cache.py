@@ -1,0 +1,92 @@
+"""Device-index LRU cache: token keying, eviction, service wiring."""
+
+import json
+
+from dial_rag_tpu.index.device_cache import DeviceIndexCache
+
+
+class FakeIndex:
+    def __init__(self, nbytes=100):
+        self.nbytes = nbytes
+
+
+class Rec:
+    def __init__(self, token):
+        self.cache_token = token
+
+
+def test_hit_on_same_tokens():
+    cache = DeviceIndexCache()
+    records = [Rec(("u1", "sha1")), Rec(("u2", "sha2"))]
+    a = cache.get_or_build(records, ("semantic", 7), FakeIndex)
+    same_content = [Rec(("u1", "sha1")), Rec(("u2", "sha2"))]
+    b = cache.get_or_build(same_content, ("semantic", 7), FakeIndex)
+    assert a is b
+    assert cache.hits == 1 and cache.misses == 1
+
+
+def test_miss_on_different_config_or_content():
+    cache = DeviceIndexCache()
+    records = [Rec(("u1", "sha1"))]
+    a = cache.get_or_build(records, ("semantic", 7), FakeIndex)
+    b = cache.get_or_build(records, ("semantic", 3), FakeIndex)
+    c = cache.get_or_build([Rec(("u1", "OTHER"))], ("semantic", 7), FakeIndex)
+    assert a is not b and a is not c
+    assert cache.misses == 3
+
+
+def test_unpersisted_records_bypass_cache():
+    cache = DeviceIndexCache()
+    records = [Rec(None)]
+    a = cache.get_or_build(records, ("semantic", 7), FakeIndex)
+    b = cache.get_or_build(records, ("semantic", 7), FakeIndex)
+    assert a is not b
+    assert len(cache) == 0
+
+
+def test_lru_eviction_by_bytes():
+    cache = DeviceIndexCache(capacity_bytes=250)
+    for i in range(4):
+        cache.get_or_build(
+            [Rec((f"u{i}", "s"))], ("c",), lambda: FakeIndex(100)
+        )
+    assert len(cache) <= 3
+    assert cache.size_bytes <= 250 + 100  # at most one entry over
+
+
+def test_storage_stamps_cache_token(tmp_path):
+    import asyncio
+
+    from dial_rag_tpu.documents.model import (
+        FORMAT_VERSION,
+        DocumentRecord,
+        IndexSettings,
+        build_chunks_list,
+    )
+    from dial_rag_tpu.storage.storage import (
+        IndexStorageHolder,
+        LocalFileStorage,
+    )
+
+    async def run():
+        holder = IndexStorageHolder()
+        storage = holder.get_storage(LocalFileStorage(str(tmp_path)))
+        rec = DocumentRecord(
+            format_version=FORMAT_VERSION,
+            index_settings=IndexSettings(),
+            chunks=build_chunks_list([("text", {"source": "s"})]),
+            text_index=[["text"]],
+            embeddings_index=None,
+            multimodal_embeddings_index=None,
+            description_embeddings_index=None,
+            mime_type="text/plain",
+            document_bytes=b"",
+        )
+        assert rec.cache_token is None
+        await storage.store("files/b/x/index.bin", rec)
+        assert rec.cache_token is not None
+        loaded = await storage.load("files/b/x/index.bin", IndexSettings())
+        assert loaded.cache_token == rec.cache_token
+        return True
+
+    assert asyncio.run(run())
