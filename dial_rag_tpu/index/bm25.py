@@ -69,6 +69,15 @@ class Bm25Index:
     _weights_dev: jnp.ndarray | None = field(default=None, repr=False)
     _weights_csr: tuple | None = field(default=None, repr=False)  # host fallback
 
+    @property
+    def nbytes(self) -> int:
+        if self._weights_dev is not None:
+            return self._weights_dev.size * 4
+        if self._weights_csr is not None:
+            indptr, cols, vals = self._weights_csr
+            return indptr.nbytes + cols.nbytes + vals.nbytes
+        return 0
+
     @classmethod
     def build(
         cls,

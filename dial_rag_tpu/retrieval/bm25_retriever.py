@@ -37,13 +37,23 @@ class Bm25Retriever:
 
     @classmethod
     def from_doc_records(
-        cls, doc_records: list[DocumentRecord], k: int = 4
+        cls,
+        doc_records: list[DocumentRecord],
+        k: int = 4,
+        device_cache=None,
     ) -> "Bm25Retriever":
         items, tokenized = [], []
         for doc_index, chunk_index, tokens in cls._iter_items(doc_records):
             items.append((doc_index, chunk_index))
             tokenized.append(tokens)
-        index = Bm25Index.build(tokenized)  # raises on empty text index
+
+        def build():
+            return Bm25Index.build(tokenized)  # raises on empty text index
+
+        if device_cache is not None:
+            index = device_cache.get_or_build(doc_records, ("bm25",), build)
+        else:
+            index = build()
         return cls(items=items, index=index, k=k)
 
     def retrieve(self, query: str) -> list[SearchHit]:

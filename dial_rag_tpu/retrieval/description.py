@@ -145,14 +145,23 @@ class DescriptionRetriever:
         embedder: BgeEmbedder,
         document_records: list[DocumentRecord],
         k: int = 4,
+        device_cache=None,
     ) -> "DescriptionRetriever":
-        doc_embeddings = [
-            create_doc_embeddings_by_page(
-                doc.chunks, doc.description_embeddings_index
+        def build():
+            doc_embeddings = [
+                create_doc_embeddings_by_page(
+                    doc.chunks, doc.description_embeddings_index
+                )
+                for doc in document_records
+            ]
+            return DenseIndex(RetrievalType.IMAGE, doc_embeddings, limit=k)
+
+        if device_cache is not None:
+            index = device_cache.get_or_build(
+                document_records, ("description", k), build
             )
-            for doc in document_records
-        ]
-        index = DenseIndex(RetrievalType.IMAGE, doc_embeddings, limit=k)
+        else:
+            index = build()
         return cls(embedder=embedder, index=index)
 
     async def aretrieve(self, query: str) -> list[SearchHit]:

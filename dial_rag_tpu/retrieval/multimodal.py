@@ -54,20 +54,32 @@ class MultimodalRetriever:
         index_config: MultimodalIndexConfig,
         document_records: list[DocumentRecord],
         k: int = 1,
+        device_cache=None,
     ) -> "MultimodalRetriever":
-        doc_embeddings = [
-            create_doc_embeddings_by_page(
-                doc.chunks, doc.multimodal_embeddings_index
-            )
-            for doc in document_records
-        ]
-        return cls(
-            index=DenseIndex(
+        def build():
+            doc_embeddings = [
+                create_doc_embeddings_by_page(
+                    doc.chunks, doc.multimodal_embeddings_index
+                )
+                for doc in document_records
+            ]
+            return DenseIndex(
                 RetrievalType.IMAGE,
                 doc_embeddings,
                 metric=index_config.metric,
                 limit=k,
-            ),
+            )
+
+        if device_cache is not None:
+            index = device_cache.get_or_build(
+                document_records,
+                ("multimodal", str(index_config.metric), k),
+                build,
+            )
+        else:
+            index = build()
+        return cls(
+            index=index,
             dial_url=dial_url,
             api_key=api_key,
             index_config=index_config,

@@ -130,7 +130,9 @@ def create_retriever(
     if Bm25Retriever.has_index(document_records):
         retrievers.append(
             make_retrieval_stage(
-                Bm25Retriever.from_doc_records(document_records, RETRIEVER_K),
+                Bm25Retriever.from_doc_records(
+                    document_records, RETRIEVER_K, device_cache=device_cache
+                ),
                 "Keywords search",
             )
         )
@@ -146,6 +148,7 @@ def create_retriever(
                     indexing_config.multimodal_index,
                     document_records,
                     RETRIEVER_K,
+                    device_cache=device_cache,
                 ),
                 "Multimodal search",
             )
@@ -156,7 +159,10 @@ def create_retriever(
         retrievers.append(
             make_retrieval_stage(
                 DescriptionRetriever.from_doc_records(
-                    embedder, document_records, RETRIEVER_K
+                    embedder,
+                    document_records,
+                    RETRIEVER_K,
+                    device_cache=device_cache,
                 ),
                 "Page image search",
             )
