@@ -60,38 +60,121 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-@jax.jit
-def flash_attention(q, k, v, attention_mask):
-    """Fused encoder self-attention.
-
-    q, k, v: ``[B, H, S, Dh]`` (any float dtype); attention_mask:
-    ``[B, S]`` with 1 = real token. Returns ``[B, H, S, Dh]`` in the
-    dtype of ``q``.
-    """
-    b, h, s, dh = q.shape
+def _mask_to_bias(attention_mask):
     bias = (1.0 - attention_mask.astype(jnp.float32)) * jnp.finfo(
         jnp.float32
     ).min
     # [B, 1, S]: the trailing (1, S) block satisfies Mosaic's tile rules
-    bias = bias[:, None, :]
-    kernel = partial(_attention_kernel, scale=1.0 / math.sqrt(dh))
-    qkv_spec = pl.BlockSpec(
+    return bias[:, None, :]
+
+
+def _qkv_spec(s, dh):
+    return pl.BlockSpec(
         (1, 1, s, dh),
         lambda i, j: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
+
+
+def _bias_spec(s):
+    return pl.BlockSpec(
+        (1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _forward(q, k, v, attention_mask):
+    b, h, s, dh = q.shape
+    kernel = partial(_attention_kernel, scale=1.0 / math.sqrt(dh))
     return pl.pallas_call(
         kernel,
         grid=(b, h),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            qkv_spec,
-            qkv_spec,
-            qkv_spec,
-        ],
-        out_specs=qkv_spec,
+        in_specs=[_bias_spec(s), _qkv_spec(s, dh), _qkv_spec(s, dh),
+                  _qkv_spec(s, dh)],
+        out_specs=_qkv_spec(s, dh),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(bias, q, k, v)
+    )(_mask_to_bias(attention_mask), q, k, v)
+
+
+def _attention_bwd_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
+):
+    """Recompute-P backward: P and dS live only in VMEM.
+
+    S = scale*QK^T + bias; P = softmax(S); O = PV
+    dV = P^T dO;  dP = dO V^T;  dS = P * (dP - rowsum(dP * P))
+    dQ = scale * dS K;  dK = scale * dS^T Q
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale + bias_ref[0, 0][None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [S, S] f32
+
+    p_c = p.astype(q.dtype)
+    dv = jax.lax.dot_general(
+        p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, Dh] = P^T dO
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, S] = dO V^T
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+    ds_c = (ds * scale).astype(q.dtype)
+    dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, Dh] = dS^T Q
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _backward(attention_mask, q, k, v, do):
+    b, h, s, dh = q.shape
+    kernel = partial(_attention_bwd_kernel, scale=1.0 / math.sqrt(dh))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[_bias_spec(s)] + [_qkv_spec(s, dh)] * 4,
+        out_specs=(_qkv_spec(s, dh),) * 3,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, dh), v.dtype),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(_mask_to_bias(attention_mask), q, k, v, do)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v, attention_mask):
+    """Fused encoder self-attention with a fused recompute backward.
+
+    q, k, v: ``[B, H, S, Dh]`` (any float dtype); attention_mask:
+    ``[B, S]`` with 1 = real token. Returns ``[B, H, S, Dh]`` in the
+    dtype of ``q``. Differentiable w.r.t. q/k/v (mask is data).
+    """
+    return _forward(q, k, v, attention_mask)
+
+
+def _fwd_rule(q, k, v, attention_mask):
+    return _forward(q, k, v, attention_mask), (q, k, v, attention_mask)
+
+
+def _bwd_rule(residuals, do):
+    q, k, v, attention_mask = residuals
+    dq, dk, dv = _backward(attention_mask, q, k, v, do)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd_rule, _bwd_rule)

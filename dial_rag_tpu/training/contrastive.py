@@ -36,6 +36,8 @@ class TrainState:
 
 
 def _encode(params, ids, mask, *, num_heads, compute_dtype):
+    # differentiable end to end: the fused attention kernel carries a
+    # custom VJP (recompute-P backward, ops/flash_attention.py)
     hidden = bert_forward(
         params, ids, mask, num_heads=num_heads, compute_dtype=compute_dtype
     )

@@ -1,0 +1,180 @@
+"""Training loop with checkpoint/resume for the contrastive objective.
+
+The reference has no training subsystem (its checkpointing is the index
+cache — SURVEY §5); a production retrieval stack needs to fine-tune its
+embedder on domain (query, passage) pairs. This loop drives
+training/contrastive.py with:
+
+- host-side tokenization of text pairs through the same WordPiece
+  tokenizer the serving path uses (consistent vocab / buckets);
+- orbax checkpoints of {params, opt_state, step} with resume-latest;
+- optional (dp, tp) mesh sharding, identical to dryrun_multichip.
+"""
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dial_rag_tpu.models.bert import BertConfig, init_params
+from dial_rag_tpu.models.tokenizer import WordPieceTokenizer
+from dial_rag_tpu.training.contrastive import (
+    create_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    seq_len: int = 128
+    learning_rate: float = 2e-5
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    temperature: float = 0.02
+    checkpoint_every: int = 200
+    seed: int = 0
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=config.learning_rate,
+        warmup_steps=config.warmup_steps,
+        decay_steps=max(config.total_steps, config.warmup_steps + 1),
+    )
+    return optax.adamw(schedule, weight_decay=0.01)
+
+
+def pairs_to_batches(
+    tokenizer: WordPieceTokenizer,
+    pairs: Iterable[tuple[str, str]],
+    config: TrainConfig,
+) -> Iterator[dict]:
+    """(query, passage) text pairs -> token batches, dropping the ragged
+    tail (static shapes keep one compiled step)."""
+    buf: list[tuple[str, str]] = []
+    for pair in pairs:
+        buf.append(pair)
+        if len(buf) == config.batch_size:
+            q_ids, q_mask = tokenizer.encode_batch(
+                [q for q, _ in buf], max_len=config.seq_len
+            )
+            p_ids, p_mask = tokenizer.encode_batch(
+                [p for _, p in buf], max_len=config.seq_len
+            )
+            s = max(q_ids.shape[1], p_ids.shape[1])
+
+            def pad(a):
+                return np.pad(a, ((0, 0), (0, s - a.shape[1])))
+
+            yield {
+                "q_ids": pad(q_ids),
+                "q_mask": pad(q_mask),
+                "p_ids": pad(p_ids),
+                "p_mask": pad(p_mask),
+            }
+            buf = []
+
+
+class Checkpointer:
+    """Orbax-backed save/restore of {params, opt_state, step}."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._dir = Path(directory).absolute()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+        )
+
+    def save(self, step: int, params, opt_state) -> None:
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(params),
+                opt_state=ocp.args.StandardSave(opt_state),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, params_like, opt_state_like):
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(params_like),
+                opt_state=ocp.args.StandardRestore(opt_state_like),
+            ),
+        )
+        return step, restored["params"], restored["opt_state"]
+
+
+def train(
+    model_config: BertConfig,
+    train_config: TrainConfig,
+    pairs: Iterable[tuple[str, str]],
+    tokenizer: WordPieceTokenizer,
+    mesh=None,
+    checkpoint_dir: str | None = None,
+    init: dict | None = None,
+):
+    """Run the loop; returns (params, losses). Resumes from the latest
+    checkpoint in ``checkpoint_dir`` when one exists."""
+    optimizer = make_optimizer(train_config)
+    params = init or init_params(
+        jax.random.PRNGKey(train_config.seed), model_config
+    )
+    state = create_train_state(params, optimizer)
+    params, opt_state = state.params, state.opt_state
+    start_step = 0
+
+    ckpt = Checkpointer(checkpoint_dir) if checkpoint_dir else None
+    if ckpt is not None:
+        restored = ckpt.restore(params, opt_state)
+        if restored is not None:
+            start_step, params, opt_state = restored
+            logger.info(f"resumed from step {start_step}")
+
+    if mesh is not None:
+        from dial_rag_tpu.parallel.mesh import bert_param_shardings
+
+        params = jax.device_put(params, bert_param_shardings(params, mesh))
+
+    step_fn = make_train_step(
+        model_config,
+        optimizer,
+        mesh=mesh,
+        temperature=train_config.temperature,
+    )
+
+    losses = []
+    step = start_step
+    for batch in pairs_to_batches(tokenizer, pairs, train_config):
+        if step >= train_config.total_steps:
+            break
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        step += 1
+        losses.append(float(loss))
+        if ckpt is not None and step % train_config.checkpoint_every == 0:
+            ckpt.save(step, jax.device_get(params), jax.device_get(opt_state))
+    if ckpt is not None and step > start_step:
+        ckpt.save(step, jax.device_get(params), jax.device_get(opt_state))
+    return params, losses

@@ -84,3 +84,56 @@ def test_encoder_end_to_end_pallas_vs_xla():
     out_x = np.asarray(enc_x.encode(params, ids, mask))
     out_p = np.asarray(enc_p.encode(params, ids, mask))
     np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+
+def test_gradients_match_xla_path():
+    rng = np.random.default_rng(5)
+    b, h, s, dh = 2, 2, 32, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[1, 20:] = 0
+    mask = jnp.asarray(mask_np)
+    cot = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_ref(q, k, v, mask) * cot)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_training_step_through_pallas_attention():
+    """value_and_grad through bert_forward with the pallas kernel works
+    (the contrastive trainer's requirement)."""
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, config.vocab_size, size=(4, 32)).astype(np.int32)
+    mask = np.ones((4, 32), dtype=np.int32)
+
+    from dial_rag_tpu.models.bert import bert_forward
+
+    def loss(params):
+        h = bert_forward(
+            params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            num_heads=config.num_heads,
+            attention_impl="pallas",
+        )
+        return jnp.sum(h**2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads)
+    )

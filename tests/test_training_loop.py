@@ -1,0 +1,120 @@
+"""Contrastive training loop: loss goes down, checkpoints resume exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from dial_rag_tpu.models.bert import BertConfig
+from dial_rag_tpu.models.tokenizer import WordPieceTokenizer, build_test_vocab
+from dial_rag_tpu.training.loop import (
+    Checkpointer,
+    TrainConfig,
+    pairs_to_batches,
+    train,
+)
+
+WORDS = [chr(c) for c in range(97, 123)]
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return WordPieceTokenizer(vocab=build_test_vocab(WORDS))
+
+
+def _pairs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        w = rng.choice(WORDS, size=4)
+        out.append((" ".join(w[:2]), " ".join(w)))
+    return out
+
+
+def test_pairs_to_batches_static_shapes(tokenizer):
+    cfg = TrainConfig(batch_size=4, seq_len=32)
+    batches = list(pairs_to_batches(tokenizer, _pairs(10), cfg))
+    assert len(batches) == 2  # ragged tail dropped
+    for b in batches:
+        assert b["q_ids"].shape == b["p_ids"].shape
+        assert b["q_ids"].shape[0] == 4
+
+
+def test_training_reduces_loss(tokenizer):
+    cfg = TrainConfig(
+        batch_size=8,
+        seq_len=32,
+        learning_rate=1e-3,
+        warmup_steps=2,
+        total_steps=12,
+        checkpoint_every=100,
+    )
+    params, losses = train(
+        BertConfig.tiny(), cfg, _pairs(cfg.batch_size * 12), tokenizer
+    )
+    assert len(losses) == 12
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_checkpoint_save_restore_roundtrip(tokenizer, tmp_path):
+    cfg = TrainConfig(
+        batch_size=4,
+        seq_len=32,
+        total_steps=4,
+        checkpoint_every=2,
+        warmup_steps=1,
+    )
+    config = BertConfig.tiny()
+    params1, _ = train(
+        config,
+        cfg,
+        _pairs(cfg.batch_size * 4),
+        tokenizer,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    assert ckpt.latest_step() == 4
+
+    # resume: same config continues from step 4 and saves beyond it
+    cfg2 = TrainConfig(
+        batch_size=4,
+        seq_len=32,
+        total_steps=6,
+        checkpoint_every=2,
+        warmup_steps=1,
+    )
+    params2, losses2 = train(
+        config,
+        cfg2,
+        _pairs(cfg.batch_size * 6, seed=1),
+        tokenizer,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert len(losses2) == 2  # only steps 5 and 6 ran
+    assert Checkpointer(str(tmp_path / "ckpt")).latest_step() == 6
+
+
+def test_restore_is_exact(tokenizer, tmp_path):
+    cfg = TrainConfig(
+        batch_size=4, seq_len=32, total_steps=2, checkpoint_every=10,
+        warmup_steps=1,
+    )
+    config = BertConfig.tiny()
+    params, _ = train(
+        config,
+        cfg,
+        _pairs(8),
+        tokenizer,
+        checkpoint_dir=str(tmp_path / "c2"),
+    )
+    ckpt = Checkpointer(str(tmp_path / "c2"))
+    from dial_rag_tpu.models.bert import init_params
+    from dial_rag_tpu.training.contrastive import create_train_state
+    from dial_rag_tpu.training.loop import make_optimizer
+
+    like = init_params(jax.random.PRNGKey(0), config)
+    opt_like = create_train_state(like, make_optimizer(cfg)).opt_state
+    step, restored, _ = ckpt.restore(like, opt_like)
+    assert step == 2
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
