@@ -518,3 +518,44 @@ async def test_device_index_cache_hits_on_repeat_query(harness):
         assert (await h.chat(dict(payload))).status == 200
         assert app.device_index_cache.hits >= 1
         assert app.device_index_cache.misses == misses
+
+
+async def test_multi_document_rag(harness):
+    """Two attachments: both indexed, retrieval fuses across documents,
+    citations reference the right document."""
+    async with harness() as h:
+        h.fake.add_file(
+            "files/user-bucket/second.pdf",
+            build_pdf(
+                [
+                    [
+                        (72, 720, 18, "Mont Blanc"),
+                        (72, 695, 11, "Mont Blanc is the highest mountain in the Alps."),
+                    ]
+                ],
+                compress=True,
+            ),
+            "application/pdf",
+        )
+        h.fake.script_llm("Both documents discuss the Alps. <[1]>")
+        msg = {
+            "role": "user",
+            "content": "What do the documents say about the Alps?",
+            "custom_content": {
+                "attachments": [
+                    {"url": "files/user-bucket/alps.pdf"},
+                    {"url": "files/user-bucket/second.pdf"},
+                ]
+            },
+        }
+        resp = await h.chat({"messages": [msg]})
+        assert resp.status == 200
+        body = await resp.json()
+        msg_out = body["choices"][0]["message"]
+        assert "Alps" in msg_out["content"]
+        stages = [
+            s["name"] for s in msg_out["custom_content"]["stages"]
+        ]
+        # both documents went through the pipeline
+        assert any("alps.pdf" in s and "Processing" in s for s in stages)
+        assert any("second.pdf" in s and "Processing" in s for s in stages)

@@ -107,3 +107,20 @@ def test_rows_spread_across_all_shards(mesh):
     )
     hits = sharded.find(query)
     assert hits[0].chunk_id == target
+
+
+def test_multihost_helpers_single_process():
+    """Single-process behavior of the DCN helpers (a real pod exercises
+    the same code path with env-driven discovery)."""
+    from dial_rag_tpu.parallel.multihost import (
+        create_global_mesh,
+        initialize_multihost,
+    )
+
+    assert initialize_multihost() is False  # no coordinator here
+    m = create_global_mesh(tp=2)
+    assert dict(m.shape) == {"dp": 4, "tp": 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_global_mesh(tp=3)
