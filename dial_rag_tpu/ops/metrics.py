@@ -85,7 +85,13 @@ assert len(METRIC_FNS) == len(Metric)
 def pairwise_distances(
     query: jnp.ndarray, docs: jnp.ndarray, metric: Metric | str
 ) -> jnp.ndarray:
-    """Ranking distances of ``query`` [D] against ``docs`` [N, D] -> [N]."""
+    """Ranking distances of ``query`` [D] against ``docs`` [N, D] -> [N].
+
+    Reduced-precision doc matrices (bf16 storage) are upcast to f32 at
+    the registers: XLA fuses the convert into the HBM read, so the scan
+    keeps the half-size bandwidth while all arithmetic runs in f32."""
+    docs = docs.astype(jnp.float32)
+    query = query.astype(jnp.float32)
     return METRIC_FNS[Metric(metric)](query, docs)
 
 
@@ -132,4 +138,6 @@ def pairwise_distances_batch(
     form turns Q memory-bound matvecs into one MXU matmul, amortizing
     the HBM read of the doc matrix across concurrent queries.
     """
+    docs = docs.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
     return BATCH_METRIC_FNS[Metric(metric)](queries, docs)

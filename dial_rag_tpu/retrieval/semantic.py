@@ -34,6 +34,7 @@ class SemanticRetriever:
         metric: Metric = Metric.SQEUCLIDEAN_DIST,
         mesh=None,
         device_cache=None,
+        storage_dtype: str = "float32",
     ) -> "SemanticRetriever":
         """With ``mesh`` the chunk matrix is row-sharded over its devices
         (per-shard stable top-k + all-gather merge); otherwise single-chip.
@@ -59,13 +60,17 @@ class SemanticRetriever:
                     limit=k,
                 )
             return DenseIndex(
-                RetrievalType.TEXT, doc_embeddings, metric=metric, limit=k
+                RetrievalType.TEXT,
+                doc_embeddings,
+                metric=metric,
+                limit=k,
+                storage_dtype=storage_dtype,
             )
 
         if device_cache is not None:
             index = device_cache.get_or_build(
                 document_records,
-                ("semantic", str(metric), k, mesh is not None),
+                ("semantic", str(metric), k, mesh is not None, storage_dtype),
                 build,
             )
         else:

@@ -248,6 +248,7 @@ class DialRagApplication:
                 ),
                 mesh=self.mesh,
                 device_cache=self.device_index_cache,
+                index_dtype=self.app_config.parallel.index_dtype,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

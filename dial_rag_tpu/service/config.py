@@ -323,6 +323,13 @@ class ParallelConfig(BaseConfig):
         "visible devices. None (default) = auto: on when more than one "
         "device is visible.",
     )
+    index_dtype: str = Field(
+        default="float32",
+        description="HBM storage dtype of the dense index matrix. "
+        "'bfloat16' halves index memory and roughly doubles query scan "
+        "throughput (bandwidth-bound); arithmetic stays f32, so only "
+        "near-tied candidates can reorder vs the exact default.",
+    )
 
 
 class AppConfig(BaseConfig):

@@ -102,6 +102,7 @@ def create_retriever(
     make_retrieval_stage: Callable = _make_retrieval_stage_default,
     mesh=None,
     device_cache=None,
+    index_dtype: str = "float32",
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
@@ -121,6 +122,7 @@ def create_retriever(
                 RETRIEVER_K,
                 mesh=mesh,
                 device_cache=device_cache,
+                storage_dtype=index_dtype,
             ),
             "Embeddings search",
         )

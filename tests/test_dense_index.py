@@ -120,3 +120,28 @@ def test_multi_embedding_chunks():
         (5, RetrievalType.IMAGE),
         (5, RetrievalType.IMAGE),
     ]
+
+
+def test_bfloat16_storage_ranking():
+    """bf16 index: half the HBM bytes, same top-k on separated data,
+    distances within bf16 tolerance."""
+    import numpy as np
+
+    from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+    from dial_rag_tpu.index.records import RetrievalType
+    from dial_rag_tpu.ops.metrics import Metric
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, limit=5)
+    bf16 = DenseIndex(
+        RetrievalType.TEXT, docs, limit=5, storage_dtype="bfloat16"
+    )
+    assert bf16.nbytes * 2 == f32.nbytes
+    q = emb[42] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    assert bf16.find(q)[0].chunk_id == 42
+    _, d32 = f32.find_with_distances(q)
+    _, d16 = bf16.find_with_distances(q)
+    np.testing.assert_allclose(d16, d32, atol=0.5, rtol=0.05)
