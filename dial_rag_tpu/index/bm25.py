@@ -19,9 +19,12 @@ ties broken by the LATER index first (the reverse of stable). We map this
 to the device stable top-k by scoring the flipped array and re-mapping
 indices.
 
-Dense [N, V] weights are used up to ``max_dense_bytes``; above that a host
-CSR matvec fallback keeps exactness (a Pallas postings kernel is the
-planned device-sparse path).
+Dense [N, V] weights are used up to ``max_dense_bytes``; above that the
+index switches to a device-resident CSC postings layout: rows/vals stay
+in HBM, the host sends only [t_pad] slice offsets per query, and ONE
+device kernel gathers the query terms' posting slices (bucket-padded),
+scatter-adds them into item scores, and takes the stable top-k —
+per-query work is O(postings of the query terms) instead of O(N·V).
 """
 
 from dataclasses import dataclass, field
@@ -59,6 +62,59 @@ def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int):
     return -vals, (n_pad - 1) - idx
 
 
+def _sparse_scores(rows_dev, vals_dev, starts, lens, counts, *, n_pad, l_pad):
+    """Gather the query terms' posting slices from the HBM-resident CSC
+    arrays and scatter-add into item scores. Masked (padding) entries
+    route to the extra slot n_pad; per-query host->device traffic is just
+    the [t_pad] starts/lens/counts vectors."""
+    t_pad = starts.shape[0]
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, l_pad), 1)
+    idx = starts[:, None] + l_iota
+    valid = l_iota < lens[:, None]
+    idx = jnp.clip(idx, 0, rows_dev.shape[0] - 1)
+    g_rows = jnp.where(valid, rows_dev[idx], n_pad)
+    g_vals = jnp.where(valid, vals_dev[idx] * counts[:, None], 0.0)
+    scores = jnp.zeros(n_pad + 1, dtype=jnp.float32)
+    scores = scores.at[g_rows.reshape(-1)].add(g_vals.reshape(-1))
+    return scores[:n_pad]
+
+
+@partial(jax.jit, static_argnames=("n_pad", "l_pad"))
+def _bm25_sparse_scores_kernel(
+    rows_dev, vals_dev, starts, lens, counts, *, n_pad: int, l_pad: int
+):
+    return _sparse_scores(
+        rows_dev, vals_dev, starts, lens, counts, n_pad=n_pad, l_pad=l_pad
+    )
+
+
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "k"))
+def _bm25_sparse_topk_kernel(
+    rows_dev,
+    vals_dev,
+    starts,
+    lens,
+    counts,
+    n_valid,
+    *,
+    n_pad: int,
+    l_pad: int,
+    k: int,
+):
+    scores = _sparse_scores(
+        rows_dev, vals_dev, starts, lens, counts, n_pad=n_pad, l_pad=l_pad
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
+    scores = jnp.where(row < n_valid, scores, -jnp.inf)
+    flipped = jnp.flip(-scores)
+    out_vals, idx = stable_topk_argmin(flipped, k)
+    return -out_vals, (n_pad - 1) - idx
+
+
+def _next_pow2(n: int, lo: int = 4) -> int:
+    return max(lo, 1 << max(0, (n - 1)).bit_length())
+
+
 @dataclass
 class Bm25Index:
     """Device-resident BM25 index over flattened items."""
@@ -67,15 +123,17 @@ class Bm25Index:
     idf: np.ndarray  # [V] f64
     n_items: int
     _weights_dev: jnp.ndarray | None = field(default=None, repr=False)
-    _weights_csr: tuple | None = field(default=None, repr=False)  # host fallback
+    # device CSC postings: (term_ptr [V+1] host, rows dev [nnz] i32,
+    # vals dev [nnz] f32)
+    _postings: tuple | None = field(default=None, repr=False)
 
     @property
     def nbytes(self) -> int:
         if self._weights_dev is not None:
             return self._weights_dev.size * 4
-        if self._weights_csr is not None:
-            indptr, cols, vals = self._weights_csr
-            return indptr.nbytes + cols.nbytes + vals.nbytes
+        if self._postings is not None:
+            _, rows, vals = self._postings
+            return rows.size * 4 + vals.size * 4
         return 0
 
     @classmethod
@@ -126,18 +184,29 @@ class Bm25Index:
                     w[i, tid] = idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
             index._weights_dev = jnp.asarray(w)
         else:
-            # host CSR fallback (item-major)
-            indptr = np.zeros(n + 1, dtype=np.int64)
-            cols, vals = [], []
+            # device CSC postings (term-major): rows/vals in HBM sorted by
+            # term then item; term_ptr stays on host for slice lookup
+            per_term_rows: list[list[int]] = [[] for _ in range(v)]
+            per_term_vals: list[list[float]] = [[] for _ in range(v)]
             for i, tf in enumerate(rows):
-                for tid, f in sorted(tf.items()):
-                    cols.append(tid)
-                    vals.append(idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i]))
-                indptr[i + 1] = len(cols)
-            index._weights_csr = (
-                indptr,
-                np.array(cols, dtype=np.int64),
-                np.array(vals, dtype=np.float64),
+                for tid, f in tf.items():
+                    per_term_rows[tid].append(i)
+                    per_term_vals[tid].append(
+                        idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
+                    )
+            term_ptr = np.zeros(v + 1, dtype=np.int64)
+            for tid in range(v):
+                term_ptr[tid + 1] = term_ptr[tid] + len(per_term_rows[tid])
+            rows_flat = np.concatenate(
+                [np.array(r, dtype=np.int32) for r in per_term_rows]
+            )
+            vals_flat = np.concatenate(
+                [np.array(x, dtype=np.float32) for x in per_term_vals]
+            )
+            index._postings = (
+                term_ptr,
+                jnp.asarray(rows_flat),
+                jnp.asarray(vals_flat),
             )
         return index
 
@@ -149,6 +218,32 @@ class Bm25Index:
                 q[tid] += 1.0
         return q
 
+    def _query_terms(self, query_tokens: list[str]):
+        """Unique in-vocab query term ids + occurrence counts, padded to
+        power-of-two buckets. Returns (starts, lens, counts, l_pad)."""
+        term_ptr = self._postings[0]
+        counts: dict[int, int] = {}
+        for t in query_tokens:
+            tid = self.vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        tids = sorted(counts)
+        t_pad = _next_pow2(max(len(tids), 1))
+        starts = np.zeros(t_pad, dtype=np.int32)
+        lens = np.zeros(t_pad, dtype=np.int32)
+        cnt = np.zeros(t_pad, dtype=np.float32)
+        max_len = 1
+        for j, tid in enumerate(tids):
+            starts[j] = term_ptr[tid]
+            lens[j] = term_ptr[tid + 1] - term_ptr[tid]
+            cnt[j] = counts[tid]
+            max_len = max(max_len, int(lens[j]))
+        return starts, lens, cnt, _next_pow2(max_len)
+
+    @property
+    def _n_pad(self) -> int:
+        return _pad_to(max(self.n_items, 8), 8)
+
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
         if self._weights_dev is not None:
             q = self._query_vector(query_tokens, self._weights_dev.shape[1])
@@ -158,13 +253,18 @@ class Bm25Index:
                 preferred_element_type=jnp.float32,
             )
             return np.asarray(scores)[: self.n_items]
-        indptr, cols, vals = self._weights_csr
-        q = self._query_vector(query_tokens, len(self.vocab)).astype(np.float64)
-        scores = np.zeros(self.n_items, dtype=np.float64)
-        for i in range(self.n_items):
-            s, e = indptr[i], indptr[i + 1]
-            scores[i] = vals[s:e] @ q[cols[s:e]]
-        return scores.astype(np.float32)
+        _, rows_dev, vals_dev = self._postings
+        starts, lens, cnt, l_pad = self._query_terms(query_tokens)
+        scores = _bm25_sparse_scores_kernel(
+            rows_dev,
+            vals_dev,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnt),
+            n_pad=self._n_pad,
+            l_pad=l_pad,
+        )
+        return np.asarray(scores)[: self.n_items]
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""
@@ -178,5 +278,17 @@ class Bm25Index:
                 k=k,
             )
             return np.asarray(idx)
-        scores = self.get_scores(query_tokens)
-        return np.argsort(scores, kind="stable")[::-1][:k]
+        _, rows_dev, vals_dev = self._postings
+        starts, lens, cnt, l_pad = self._query_terms(query_tokens)
+        _, idx = _bm25_sparse_topk_kernel(
+            rows_dev,
+            vals_dev,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnt),
+            jnp.int32(self.n_items),
+            n_pad=self._n_pad,
+            l_pad=l_pad,
+            k=k,
+        )
+        return np.asarray(idx)

@@ -151,3 +151,56 @@ class TestKeywordsPreprocess:
 
     def test_empty(self):
         assert keywords_preprocess("") == []
+
+
+def test_sparse_postings_matches_dense():
+    """Forcing the CSC path (max_dense_bytes=0) must give identical
+    scores and reference-exact tie-breaks vs the dense matrix path."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(7)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow",
+             "river", "pass", "summit", "trail"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 12))))
+        for _ in range(57)
+    ]
+    dense = Bm25Index.build(items)
+    sparse = Bm25Index.build(items, max_dense_bytes=0)
+    assert dense._weights_dev is not None
+    assert sparse._postings is not None
+
+    for q in (["alps"], ["climate", "glacier", "climate"],
+              ["summit", "missing-word"], ["valley", "snow", "river"]):
+        np.testing.assert_allclose(
+            sparse.get_scores(q), dense.get_scores(q), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            sparse.top_n(q, 7), dense.top_n(q, 7)
+        )
+
+
+def test_sparse_matches_rank_bm25_scores():
+    import numpy as np
+    import pytest
+
+    rank_bm25 = pytest.importorskip("rank_bm25", reason="rank-bm25 absent")
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    items = [
+        "the alps are high".split(),
+        "the climate varies with elevation".split(),
+        "glaciers shaped the valleys".split(),
+        "cadibona marks the boundary".split(),
+    ]
+    ours = Bm25Index.build(items, max_dense_bytes=0)
+    theirs = rank_bm25.BM25Okapi(items)
+    for q in (["alps"], ["the", "climate"], ["cadibona", "boundary"]):
+        np.testing.assert_allclose(
+            ours.get_scores(q),
+            np.asarray(theirs.get_scores(q), dtype=np.float32),
+            rtol=1e-5,
+            atol=1e-5,
+        )
