@@ -70,12 +70,14 @@ class BgeEmbedder:
         params = jax.device_put(
             self.params, NamedSharding(mesh, P())
         )
+        dp = mesh.shape.get("dp", 1)
+        batch_size = self.batch_size + (-self.batch_size) % dp
         return BgeEmbedder(
             tokenizer=self.tokenizer,
             encoder=self.encoder,
             params=params,
             query_instruction=self.query_instruction,
-            batch_size=self.batch_size,
+            batch_size=batch_size,  # rounded to a dp multiple
             max_len=self.max_len,
             mesh=mesh,
         )

@@ -81,3 +81,15 @@ def test_from_device_matrix_matches_host_index(single):
     assert [h.chunk_id for h in dev_index.find(q)] == [
         h.chunk_id for h in host_index.find(q)
     ]
+
+
+def test_shard_over_rounds_batch_size_to_dp_multiple(single, mesh):
+    odd = BgeEmbedder(
+        tokenizer=single.tokenizer,
+        encoder=single.encoder,
+        params=single.params,
+        batch_size=10,  # not a multiple of dp=8
+    ).shard_over(mesh)
+    assert odd.batch_size % 8 == 0
+    out = odd.embed_documents([f"doc {i} abc" for i in range(23)])
+    assert out.shape[0] == 23
