@@ -211,24 +211,19 @@ class BgeEmbedder:
         ]
         return outs[0] if n_batches == 1 else jnp.concatenate(outs, axis=0)
 
-    def embed_documents(self, texts: list[str]) -> np.ndarray:
-        """[n, D] float32.
-
-        Batches are *dispatched* in order (the reference's fairness
-        decision holds at dispatch granularity — batched.py:42-45) but
-        not synchronized individually. Batches are processed in groups
-        of _CONCAT_GROUP: each group is one host->device transfer, its
-        batches are separate in-order encode dispatches, and results
-        come back one transfer per group — transfer *latency* (not
-        bandwidth) dominates small arrays, especially on remote-attached
-        accelerators. Group tokenization runs ahead on the parse pool,
+    def _encode_grouped(self, texts: list[str]):
+        """Shared bulk pipeline: batches are *dispatched* in order (the
+        reference's fairness decision holds at dispatch granularity —
+        batched.py:42-45) but not synchronized individually. Batches are
+        processed in groups of _CONCAT_GROUP: each group is one
+        host->device transfer and its batches are separate in-order
+        encode dispatches — transfer *latency* (not bandwidth) dominates
+        small arrays, especially on remote-attached accelerators. Group
+        tokenization runs up to 2 groups ahead on the parse pool,
         overlapping the device compute of earlier groups.
-        """
-        if not texts:
-            return np.zeros((0, self.dim), dtype=np.float32)
-        if len(texts) <= self.batch_size:
-            return self._encode_batch(texts)
 
+        Returns (group_outs device arrays, batches).
+        """
         batches = [
             texts[i : i + self.batch_size]
             for i in range(0, len(texts), self.batch_size)
@@ -237,7 +232,6 @@ class BgeEmbedder:
             batches[i : i + _CONCAT_GROUP]
             for i in range(0, len(batches), _CONCAT_GROUP)
         ]
-
         from dial_rag_tpu.runtime.host_pools import get_pools
 
         pool = get_pools()["parse"]
@@ -257,7 +251,16 @@ class BgeEmbedder:
                 window.append(
                     (len(group), pool.submit(self._tokenize_group, group))
                 )
+        return group_outs, batches
 
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        """[n, D] float32 on host (for record persistence); results come
+        back one transfer per group."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        if len(texts) <= self.batch_size:
+            return self._encode_batch(texts)
+        group_outs, batches = self._encode_grouped(texts)
         jax.block_until_ready(group_outs)
         host = np.concatenate(jax.device_get(group_outs), axis=0)
         # each batch's real rows are the first len(batch) of its
@@ -286,34 +289,7 @@ class BgeEmbedder:
                 self.params, *self._device_put_batch(ids, mask)
             )
             return out[: len(texts)]
-
-        batches = [
-            texts[i : i + self.batch_size]
-            for i in range(0, len(texts), self.batch_size)
-        ]
-        groups = [
-            batches[i : i + _CONCAT_GROUP]
-            for i in range(0, len(batches), _CONCAT_GROUP)
-        ]
-        from dial_rag_tpu.runtime.host_pools import get_pools
-
-        pool = get_pools()["parse"]
-        window: deque = deque()
-        group_outs = []
-        it = iter(groups)
-        for group in it:
-            window.append(
-                (len(group), pool.submit(self._tokenize_group, group))
-            )
-            if len(window) >= 2:
-                break
-        for group in list(it) + [None] * len(window):
-            n_batches, fut = window.popleft()
-            group_outs.append(self._encode_group(fut.result(), n_batches))
-            if group is not None:
-                window.append(
-                    (len(group), pool.submit(self._tokenize_group, group))
-                )
+        group_outs, batches = self._encode_grouped(texts)
         full = (
             group_outs[0]
             if len(group_outs) == 1

@@ -21,10 +21,11 @@ indices.
 
 Dense [N, V] weights are used up to ``max_dense_bytes``; above that the
 index switches to a device-resident CSC postings layout: rows/vals stay
-in HBM, the host sends only [t_pad] slice offsets per query, and ONE
-device kernel gathers the query terms' posting slices (bucket-padded),
-scatter-adds them into item scores, and takes the stable top-k —
-per-query work is O(postings of the query terms) instead of O(N·V).
+in HBM and the host sends only slice offsets per query. Query terms are
+grouped by posting-length bucket (so one ubiquitous term cannot inflate
+the padding of rare terms); each group is one gather + scatter-add
+kernel, and a final stable top-k finishes the ranking — per-query work
+is O(postings of the query terms) instead of O(N·V).
 """
 
 from dataclasses import dataclass, field
@@ -34,7 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
+from dial_rag_tpu.ops.stable_topk import (
+    _ARGMIN_MAX_K,
+    stable_topk_argmin,
+    stable_topk_sort,
+)
 
 K1 = 1.5
 B = 0.75
@@ -47,8 +52,8 @@ def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int):
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int, use_sort: bool):
     scores = jnp.dot(weights, query_vec, preferred_element_type=jnp.float32)
     n_pad = scores.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
@@ -58,7 +63,8 @@ def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int):
     # indices back.
     scores = jnp.where(row < n_valid, scores, -jnp.inf)
     flipped = jnp.flip(-scores)
-    vals, idx = stable_topk_argmin(flipped, k)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    vals, idx = topk(flipped, k)
     return -vals, (n_pad - 1) - idx
 
 
@@ -88,26 +94,15 @@ def _bm25_sparse_scores_kernel(
     )
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "k"))
-def _bm25_sparse_topk_kernel(
-    rows_dev,
-    vals_dev,
-    starts,
-    lens,
-    counts,
-    n_valid,
-    *,
-    n_pad: int,
-    l_pad: int,
-    k: int,
-):
-    scores = _sparse_scores(
-        rows_dev, vals_dev, starts, lens, counts, n_pad=n_pad, l_pad=l_pad
-    )
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _bm25_topk_from_scores_kernel(scores, n_valid, *, k: int, use_sort: bool):
+    """Reference-exact descending top-k over precomputed scores."""
+    n_pad = scores.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
     scores = jnp.where(row < n_valid, scores, -jnp.inf)
     flipped = jnp.flip(-scores)
-    out_vals, idx = stable_topk_argmin(flipped, k)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    out_vals, idx = topk(flipped, k)
     return -out_vals, (n_pad - 1) - idx
 
 
@@ -218,27 +213,55 @@ class Bm25Index:
                 q[tid] += 1.0
         return q
 
-    def _query_terms(self, query_tokens: list[str]):
-        """Unique in-vocab query term ids + occurrence counts, padded to
-        power-of-two buckets. Returns (starts, lens, counts, l_pad)."""
+    def _query_term_groups(self, query_tokens: list[str]):
+        """Unique in-vocab query terms grouped by posting-length bucket,
+        so one ubiquitous term (huge df) cannot inflate the padded work
+        of every other term. Yields (starts, lens, counts, l_pad) per
+        bucket; each group's arrays are padded to a pow2 term count."""
         term_ptr = self._postings[0]
         counts: dict[int, int] = {}
         for t in query_tokens:
             tid = self.vocab.get(t)
             if tid is not None:
                 counts[tid] = counts.get(tid, 0) + 1
-        tids = sorted(counts)
-        t_pad = _next_pow2(max(len(tids), 1))
-        starts = np.zeros(t_pad, dtype=np.int32)
-        lens = np.zeros(t_pad, dtype=np.int32)
-        cnt = np.zeros(t_pad, dtype=np.float32)
-        max_len = 1
-        for j, tid in enumerate(tids):
-            starts[j] = term_ptr[tid]
-            lens[j] = term_ptr[tid + 1] - term_ptr[tid]
-            cnt[j] = counts[tid]
-            max_len = max(max_len, int(lens[j]))
-        return starts, lens, cnt, _next_pow2(max_len)
+        by_bucket: dict[int, list[int]] = {}
+        for tid in sorted(counts):
+            length = int(term_ptr[tid + 1] - term_ptr[tid])
+            by_bucket.setdefault(_next_pow2(max(length, 1)), []).append(tid)
+        groups = []
+        for l_pad in sorted(by_bucket):
+            tids = by_bucket[l_pad]
+            t_pad = _next_pow2(len(tids))
+            starts = np.zeros(t_pad, dtype=np.int32)
+            lens = np.zeros(t_pad, dtype=np.int32)
+            cnt = np.zeros(t_pad, dtype=np.float32)
+            for j, tid in enumerate(tids):
+                starts[j] = term_ptr[tid]
+                lens[j] = term_ptr[tid + 1] - term_ptr[tid]
+                cnt[j] = counts[tid]
+            groups.append((starts, lens, cnt, l_pad))
+        return groups
+
+    def _sparse_total_scores(self, query_tokens: list[str]):
+        """Device [n_pad] scores accumulated over the term-length groups."""
+        _, rows_dev, vals_dev = self._postings
+        total = None
+        for starts, lens, cnt, l_pad in self._query_term_groups(
+            query_tokens
+        ):
+            scores = _bm25_sparse_scores_kernel(
+                rows_dev,
+                vals_dev,
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(cnt),
+                n_pad=self._n_pad,
+                l_pad=l_pad,
+            )
+            total = scores if total is None else total + scores
+        if total is None:
+            total = jnp.zeros(self._n_pad, dtype=jnp.float32)
+        return total
 
     @property
     def _n_pad(self) -> int:
@@ -253,18 +276,9 @@ class Bm25Index:
                 preferred_element_type=jnp.float32,
             )
             return np.asarray(scores)[: self.n_items]
-        _, rows_dev, vals_dev = self._postings
-        starts, lens, cnt, l_pad = self._query_terms(query_tokens)
-        scores = _bm25_sparse_scores_kernel(
-            rows_dev,
-            vals_dev,
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(cnt),
-            n_pad=self._n_pad,
-            l_pad=l_pad,
-        )
-        return np.asarray(scores)[: self.n_items]
+        return np.asarray(self._sparse_total_scores(query_tokens))[
+            : self.n_items
+        ]
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""
@@ -276,19 +290,14 @@ class Bm25Index:
                 jnp.asarray(q),
                 jnp.int32(self.n_items),
                 k=k,
+                use_sort=k > _ARGMIN_MAX_K,
             )
             return np.asarray(idx)
-        _, rows_dev, vals_dev = self._postings
-        starts, lens, cnt, l_pad = self._query_terms(query_tokens)
-        _, idx = _bm25_sparse_topk_kernel(
-            rows_dev,
-            vals_dev,
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(cnt),
+        scores = self._sparse_total_scores(query_tokens)
+        _, idx = _bm25_topk_from_scores_kernel(
+            scores,
             jnp.int32(self.n_items),
-            n_pad=self._n_pad,
-            l_pad=l_pad,
             k=k,
+            use_sort=k > _ARGMIN_MAX_K,
         )
         return np.asarray(idx)

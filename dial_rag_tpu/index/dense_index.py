@@ -39,10 +39,13 @@ from dial_rag_tpu.ops.metrics import (
     pairwise_distances,
     pairwise_distances_batch,
 )
-from dial_rag_tpu.ops.stable_topk import stable_topk_argmin, stable_topk_sort
+from dial_rag_tpu.ops.stable_topk import (
+    _ARGMIN_MAX_K,
+    stable_topk_argmin,
+    stable_topk_sort,
+)
 
 _LANE = 128
-_ARGMIN_MAX_K = 32
 
 
 def _bucket_rows(n: int) -> int:

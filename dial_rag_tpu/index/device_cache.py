@@ -22,6 +22,7 @@ class DeviceIndexCache:
     def __init__(self, capacity_bytes: int = DEFAULT_CAPACITY_BYTES):
         self.capacity_bytes = capacity_bytes
         self._entries: OrderedDict = OrderedDict()
+        self._building: dict = {}  # key -> Lock (single-flight)
         self._size = 0
         self._lock = Lock()
         self.hits = 0
@@ -30,7 +31,10 @@ class DeviceIndexCache:
     def get_or_build(self, records: list, config_key: tuple, builder):
         """Return the cached index for (record tokens, config_key) or
         build + insert one. ``builder()`` must return an object with an
-        ``nbytes`` attribute."""
+        ``nbytes`` attribute. Concurrent first requests for the same key
+        single-flight the build: one thread uploads, the rest wait —
+        without this, C cold-start requests would upload C copies of the
+        index to HBM simultaneously."""
         tokens = [getattr(r, "cache_token", None) for r in records]
         if not records or any(t is None for t in tokens):
             return builder()  # unpersisted records: no stable identity
@@ -41,9 +45,22 @@ class DeviceIndexCache:
                 self._entries.move_to_end(key)
                 self.hits += 1
                 return index
-        index = builder()
-        with self._lock:
-            if key not in self._entries:
+            build_lock = self._building.get(key)
+            if build_lock is None:
+                build_lock = Lock()
+                self._building[key] = build_lock
+        with build_lock:
+            with self._lock:
+                index = self._entries.get(key)
+                if index is not None:  # a racer finished the build
+                    self.hits += 1
+                    return index
+            try:
+                index = builder()
+            finally:
+                with self._lock:
+                    self._building.pop(key, None)
+            with self._lock:
                 self._entries[key] = index
                 self._size += index.nbytes
                 self.misses += 1

@@ -92,7 +92,7 @@ def _forward(q, k, v, attention_mask):
                   _qkv_spec(s, dh)],
         out_specs=_qkv_spec(s, dh),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
-        interpret=jax.default_backend() != "tpu",
+        interpret=jax.default_backend() == "cpu",
     )(_mask_to_bias(attention_mask), q, k, v)
 
 
@@ -152,7 +152,7 @@ def _backward(attention_mask, q, k, v, do):
             jax.ShapeDtypeStruct((b, h, s, dh), k.dtype),
             jax.ShapeDtypeStruct((b, h, s, dh), v.dtype),
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=jax.default_backend() == "cpu",
     )(_mask_to_bias(attention_mask), q, k, v, do)
 
 

@@ -31,9 +31,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dial_rag_tpu.index.dense_index import DocEmbeddings
 from dial_rag_tpu.index.records import RetrievalType, SearchHit
 from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
-from dial_rag_tpu.ops.stable_topk import stable_topk_argmin, stable_topk_sort
+from dial_rag_tpu.ops.stable_topk import (
+    _ARGMIN_MAX_K,
+    stable_topk_argmin,
+    stable_topk_sort,
+)
 
-_ARGMIN_MAX_K = 32
 _ROW_BLOCK = 512  # per-shard row padding quantum (jit-cache friendly)
 
 
@@ -83,6 +86,52 @@ def _sharded_find_kernel(emb, query, n_valid, *, mesh, metric, k, use_sort):
     return merged_vals[:k], flat_idx[merged_order[:k]]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "k", "use_sort"),
+)
+def _sharded_find_batch_kernel(
+    emb, queries, n_valid, *, mesh, metric, k, use_sort
+):
+    """[Q, D] queries: per-shard batched scan + vmapped local top-k, then
+    a per-query stable merge of the gathered winner lists."""
+    from dial_rag_tpu.ops.metrics import pairwise_distances_batch
+
+    n_shards = mesh.devices.size
+    rows_per_shard = emb.shape[0] // n_shards
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(emb_local, queries, n_valid):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        dists = pairwise_distances_batch(queries, emb_local, metric)
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        dists = jnp.where(row[None, :] < n_valid, dists, jnp.inf)
+        vals, idx = jax.vmap(lambda d: topk(d, k))(dists)  # [Q, k]
+        return vals[None], (base + idx)[None]
+
+    vals, idx = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P("idx", None), P(), P()),
+        out_specs=(P("idx"), P("idx")),
+    )(emb, queries, n_valid)  # [n_shards, Q, k]
+
+    q = queries.shape[0]
+    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
+    flat_idx = idx.transpose(1, 0, 2).reshape(q, -1)
+    order = jnp.broadcast_to(
+        jnp.arange(flat_vals.shape[1], dtype=jnp.int32), flat_vals.shape
+    )
+    merged_vals, merged_order = jax.lax.sort(
+        (flat_vals, order), num_keys=1, is_stable=True, dimension=-1
+    )
+    merged_idx = jnp.take_along_axis(flat_idx, merged_order, axis=-1)
+    return merged_vals[:, :k], merged_idx[:, :k]
+
+
 class ShardedDenseIndex:
     """Dense index with rows sharded over every device of a mesh.
 
@@ -99,10 +148,12 @@ class ShardedDenseIndex:
         mesh: Mesh,
         metric: Metric | str = Metric.SQEUCLIDEAN_DIST,
         limit: int = 1,
+        storage_dtype: str = "float32",
     ):
         self.retrieval_type = retrieval_type
         self.metric = Metric(metric)
         self.limit = limit
+        self.storage_dtype = storage_dtype
         # one flat shard axis over every device in the mesh
         self._mesh = Mesh(
             mesh.devices.reshape(-1), ("idx",)
@@ -127,16 +178,59 @@ class ShardedDenseIndex:
         self._doc_ids = doc_ids
         self._chunk_ids = chunk_ids
         self._emb = jax.device_put(
-            emb, NamedSharding(self._mesh, P("idx", None))
+            emb.astype(np.dtype(storage_dtype)),
+            NamedSharding(self._mesh, P("idx", None)),
         )
 
     @property
     def nbytes(self) -> int:
-        return 0 if self._emb is None else self._emb.size * 4
+        return (
+            0
+            if self._emb is None
+            else self._emb.size * self._emb.dtype.itemsize
+        )
 
     def find(self, query: np.ndarray) -> list[SearchHit]:
         hits, _ = self.find_with_distances(query)
         return hits
+
+    def find_batch(self, queries: np.ndarray) -> list[list[SearchHit]]:
+        """Per-query hits for ``queries`` [Q, D] in one sharded dispatch
+        (same semantics as DenseIndex.find_batch)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        q = queries.shape[0]
+        if q == 0 or self._emb is None:
+            return [[] for _ in range(q)]
+        q_pad = 1 << max(3, (q - 1).bit_length())
+        if q_pad != q:
+            queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
+        k = min(self.limit, self.n_rows)
+        vals, idx = _sharded_find_batch_kernel(
+            self._emb,
+            jnp.asarray(queries),
+            jnp.int32(self.n_rows),
+            mesh=self._mesh,
+            metric=self.metric,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        vals = np.asarray(vals)[:q]
+        idx = np.asarray(idx)[:q]
+        results = []
+        for qi in range(q):
+            hits = []
+            for v, i in zip(vals[qi], idx[qi]):
+                if not np.isfinite(v) and i >= self.n_rows:
+                    break
+                hits.append(
+                    SearchHit(
+                        doc_id=int(self._doc_ids[i]),
+                        chunk_id=int(self._chunk_ids[i]),
+                        retrieval_type=self.retrieval_type,
+                    )
+                )
+            results.append(hits)
+        return results
 
     def find_with_distances(self, query):
         if self._emb is None:

@@ -58,6 +58,7 @@ class SemanticRetriever:
                     mesh,
                     metric=metric,
                     limit=k,
+                    storage_dtype=storage_dtype,
                 )
             return DenseIndex(
                 RetrievalType.TEXT,

@@ -90,3 +90,53 @@ def test_storage_stamps_cache_token(tmp_path):
         return True
 
     assert asyncio.run(run())
+
+
+def test_single_flight_concurrent_builds():
+    import threading
+    import time
+
+    cache = DeviceIndexCache()
+    records = [Rec(("u", "s"))]
+    builds = []
+
+    def slow_builder():
+        builds.append(1)
+        time.sleep(0.05)
+        return FakeIndex()
+
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                cache.get_or_build(records, ("c",), slow_builder)
+            )
+        )
+        for _ in range(5)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1  # only one thread built
+    assert all(r is results[0] for r in results)
+    assert cache.hits == 4 and cache.misses == 1
+
+
+def test_failed_build_can_retry():
+    cache = DeviceIndexCache()
+    records = [Rec(("u2", "s"))]
+    calls = []
+
+    def failing_then_ok():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+        return FakeIndex()
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        cache.get_or_build(records, ("c",), failing_then_ok)
+    out = cache.get_or_build(records, ("c",), failing_then_ok)
+    assert isinstance(out, FakeIndex) and len(calls) == 2

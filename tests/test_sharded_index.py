@@ -124,3 +124,27 @@ def test_multihost_helpers_single_process():
 
     with pytest.raises(ValueError):
         create_global_mesh(tp=3)
+
+
+def test_find_batch_matches_single_chip_batch(mesh):
+    rng = np.random.default_rng(5)
+    docs = _random_docs(rng, n_docs=4, rows_per_doc=50)
+    queries = rng.standard_normal((6, 16)).astype(np.float32)
+    single = DenseIndex(RetrievalType.TEXT, docs, limit=7)
+    sharded = ShardedDenseIndex(RetrievalType.TEXT, docs, mesh, limit=7)
+    assert sharded.find_batch(queries) == single.find_batch(queries)
+
+
+def test_sharded_bfloat16_storage(mesh):
+    rng = np.random.default_rng(6)
+    n = 1200
+    emb = rng.standard_normal((n, 16)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    idx = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=3, storage_dtype="bfloat16"
+    )
+    f32 = ShardedDenseIndex(RetrievalType.TEXT, docs, mesh, limit=3)
+    assert idx.nbytes * 2 == f32.nbytes
+    target = 321
+    q = emb[target] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    assert idx.find(q)[0].chunk_id == target
