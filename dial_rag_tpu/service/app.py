@@ -122,7 +122,7 @@ class DialRagApplication:
 
     def _merge_config_sources(
         self, request: ChatRequest, commands: Commands
-    ) -> ConfigDigest:
+    ) -> tuple[ConfigDigest, Configuration]:
         configuration = merge_config(
             Configuration(),
             self.app_config.request.model_dump(exclude_none=True),
@@ -346,8 +346,21 @@ def create_app(
     app.on_startup.append(warm_pools)
 
     async def chat_completions(request: web.Request) -> web.StreamResponse:
-        body = await request.json()
-        chat_request = ChatRequest.model_validate(body)
+        try:
+            body = await request.json()
+            chat_request = ChatRequest.model_validate(body)
+        except Exception as e:  # malformed JSON / schema violation -> 400
+            logger.info(f"invalid request body: {type(e).__name__}")
+            return web.json_response(
+                {
+                    "error": {
+                        "message": "Invalid request body",
+                        "type": "invalid_request_error",
+                        "code": "400",
+                    }
+                },
+                status=400,
+            )
         chat_request.api_key = request.headers.get("api-key", "")
 
         responder = ChatCompletionResponder(model=APP_NAME)
@@ -367,18 +380,31 @@ def create_app(
                     "Cache-Control": "no-cache",
                 }
             )
-            await response.prepare(request)
-            async for chunk in responder.sse_chunks():
-                await response.write(chunk)
             try:
-                await task
-            except Exception as e:
-                logger.exception("chat_completion failed mid-stream")
-                _, payload = _error_payload(e)
-                await response.write(
-                    f"data: {json.dumps(payload)}\n\n".encode()
-                )
-            await response.write_eof()
+                await response.prepare(request)
+                async for chunk in responder.sse_data_chunks():
+                    await response.write(chunk)
+                # terminate the stream based on the producer's outcome:
+                # errors must precede [DONE] or clients never see them
+                try:
+                    await task
+                except Exception as e:
+                    logger.exception("chat_completion failed mid-stream")
+                    _, payload = _error_payload(e)
+                    await response.write(
+                        f"data: {json.dumps(payload)}\n\n".encode()
+                    )
+                    await response.write(b"data: [DONE]\n\n")
+                else:
+                    for chunk in responder.sse_finish_chunks():
+                        await response.write(chunk)
+                await response.write_eof()
+            finally:
+                # client disconnects must not leave the pipeline running
+                # for a dead connection (or its exception unobserved)
+                if not task.done():
+                    task.cancel()
+                await asyncio.gather(task, return_exceptions=True)
             return response
 
         result = await responder.aggregate()

@@ -181,7 +181,13 @@ class TimedStage:
         return self.stage
 
     async def __aexit__(self, exc_type, exc, tb):
+        # await the cancelled ping so a just-woken ping cannot append a
+        # content delta AFTER the stage's completed/failed status delta
         self._ping_task.cancel()
+        try:
+            await self._ping_task
+        except asyncio.CancelledError:
+            pass
         elapsed = perf_counter() - self._start
         self.stage.append_name(f" [{elapsed:.2f}s]")
         self.stage.close("failed" if exc_type else "completed")
@@ -249,19 +255,32 @@ class ChatCompletionResponder:
             "choices": [payload],
         }
 
-    async def sse_chunks(self) -> AsyncIterator[bytes]:
+    async def sse_data_chunks(self) -> AsyncIterator[bytes]:
+        """Delta chunks only — the caller decides how to terminate the
+        stream (finish chunk + [DONE] on success, error payload on
+        failure) AFTER awaiting the producer task."""
         async for delta in self.choice.deltas():
             chunk = self._envelope(
                 {"index": 0, "delta": delta, "finish_reason": None},
                 "chat.completion.chunk",
             )
             yield f"data: {json.dumps(chunk, separators=(',', ':'))}\n\n".encode()
+
+    def sse_finish_chunks(self) -> list[bytes]:
         final = self._envelope(
             {"index": 0, "delta": {}, "finish_reason": "stop"},
             "chat.completion.chunk",
         )
-        yield f"data: {json.dumps(final, separators=(',', ':'))}\n\n".encode()
-        yield b"data: [DONE]\n\n"
+        return [
+            f"data: {json.dumps(final, separators=(',', ':'))}\n\n".encode(),
+            b"data: [DONE]\n\n",
+        ]
+
+    async def sse_chunks(self) -> AsyncIterator[bytes]:
+        async for chunk in self.sse_data_chunks():
+            yield chunk
+        for chunk in self.sse_finish_chunks():
+            yield chunk
 
     async def aggregate(self) -> dict:
         deltas = [d async for d in self.choice.deltas()]

@@ -4,6 +4,7 @@ streamed citation rewriting (mirror of reference qa_chain.py)."""
 from datetime import date
 from typing import AsyncIterator, Callable
 
+from dial_rag_tpu.errors import DialRagError
 from dial_rag_tpu.index.records import SearchHit
 from dial_rag_tpu.service.api import RetrievalResponse
 from dial_rag_tpu.service.citations import rewrite_citations
@@ -96,7 +97,13 @@ def create_chat_prompt(
 
     # merge the retrieved context into the last (user) message
     last = prompt[-1]
-    assert last["role"] == "user"
+    if last["role"] != "user":
+        # a conversation must end with the user's turn (reference
+        # qa_chain builds the same shape); reject instead of silently
+        # relabeling an assistant message
+        error = DialRagError("The last message must be a user message")
+        error.status_code = 400
+        raise error
     content = last["content"]
     parts = [text_element(content)] if isinstance(content, str) else list(content)
     parts.extend(create_docs_message(retrieval_response))

@@ -559,3 +559,60 @@ async def test_multi_document_rag(harness):
         # both documents went through the pipeline
         assert any("alps.pdf" in s and "Processing" in s for s in stages)
         assert any("second.pdf" in s and "Processing" in s for s in stages)
+
+
+async def test_malformed_body_returns_400(harness):
+    async with harness() as h:
+        resp = await h.client.post(
+            "/openai/deployments/dial-rag/chat/completions",
+            data=b"not json at all",
+            headers={"api-key": "k", "Content-Type": "application/json"},
+        )
+        assert resp.status == 400
+        body = await resp.json()
+        assert body["error"]["type"] == "invalid_request_error"
+
+
+async def test_stream_error_before_done(harness):
+    """Mid-stream failures must surface as an error event BEFORE the
+    [DONE] terminator (clients stop reading at [DONE])."""
+    async with harness() as h:
+        resp = await h.client.post(
+            "/openai/deployments/dial-rag/chat/completions",
+            json={
+                "stream": True,
+                "messages": [_attach_message("q")],
+                "custom_fields": {
+                    "configuration": {"no_such_field": True}
+                },
+            },
+            headers={"api-key": "k"},
+        )
+        assert resp.status == 200
+        raw = (await resp.read()).decode()
+        events = [e for e in raw.split("\n\n") if e.startswith("data: ")]
+        payloads = [e[len("data: "):] for e in events]
+        assert payloads[-1] == "[DONE]"
+        error_positions = [
+            i for i, p in enumerate(payloads) if '"error"' in p
+        ]
+        assert error_positions, raw[-500:]
+        assert error_positions[-1] < len(payloads) - 1  # before [DONE]
+        # no finish_reason 'stop' after the error
+        assert all(
+            '"finish_reason":"stop"' not in p
+            for p in payloads[error_positions[-1]:]
+        )
+
+
+async def test_assistant_last_message_is_400(harness):
+    async with harness() as h:
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message("what is this?"),
+                    {"role": "assistant", "content": "an answer"},
+                ]
+            }
+        )
+        assert resp.status == 400
