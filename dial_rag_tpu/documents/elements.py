@@ -24,7 +24,12 @@ _TITLE_MAX_LEN = 200
 
 
 def pdf_elements(data: bytes) -> list[Element]:
-    pages = extract_pages_text(data)
+    return pdf_elements_from_pages(extract_pages_text(data))
+
+
+def pdf_elements_from_pages(pages) -> list[Element]:
+    """Elements from already-extracted PageText (lets the parser reuse
+    one PDF parse for both text elements and the page count)."""
     sizes = [
         b.font_size for p in pages for b in p.blocks if len(b.text) > 40
     ] or [b.font_size for p in pages for b in p.blocks]
@@ -63,7 +68,6 @@ def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
         tag.decompose()
 
     elements = []
-    seen_texts: set[int] = set()
     for tag in soup.find_all(_HTML_BLOCK_TAGS):
         # skip nested block tags (e.g. p inside li already captured)
         if any(p.name in _HTML_BLOCK_TAGS for p in tag.parents):
@@ -75,7 +79,7 @@ def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
             text = " | ".join(c for c in cells if c)
         else:
             text = tag.get_text(" ", strip=True)
-        if not text or id(tag) in seen_texts:
+        if not text:
             continue
         elements.append(
             Element(

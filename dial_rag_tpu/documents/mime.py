@@ -56,11 +56,22 @@ _MAGIC = [
     (b"%PDF-", MIME_PDF),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
-    (b"BM", "image/bmp"),
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
-    (b"GIF8", "image/gif"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
 ]
+
+
+def _looks_like_bmp(data: bytes) -> bool:
+    """'BM' alone matches ordinary text ("BMW sales..."); require the BMP
+    header's reserved words to be zero and a sane header size too."""
+    return (
+        len(data) >= 18
+        and data[:2] == b"BM"
+        and data[6:10] == b"\x00\x00\x00\x00"
+        and data[14] in (12, 40, 52, 56, 108, 124)
+    )
 
 
 def normalize_content_type(content_type: str) -> str:
@@ -77,6 +88,8 @@ def mime_from_name(name: str) -> str | None:
 
 
 def sniff_mime(data: bytes) -> str | None:
+    if _looks_like_bmp(data):
+        return "image/bmp"
     head = data[:16]
     for magic, mime in _MAGIC:
         if head.startswith(magic):

@@ -80,12 +80,16 @@ def _elements_for(data: bytes, mime: str):
 
 
 def _add_image_only_chunks(
-    data: bytes, mime: str, chunks: list[tuple[str, dict]]
+    data: bytes,
+    mime: str,
+    chunks: list[tuple[str, dict]],
+    number_of_pages: int | None = None,
 ) -> list[tuple[str, dict]]:
     """Insert empty chunks for pages that produced no text so page-image
     indexes cover every page (reference add_image_only_chunks,
     document_loaders.py:164-204)."""
-    number_of_pages = extract_number_of_pages(mime, data)
+    if number_of_pages is None:
+        number_of_pages = extract_number_of_pages(mime, data)
     result: list[tuple[str, dict]] = []
     idx = 0
     for page in range(1, number_of_pages + 1):
@@ -107,12 +111,22 @@ def parse_document(
     config: ParserConfig | None = None,
 ) -> list[Chunk]:
     config = config or ParserConfig()
-    elements = _elements_for(document_bytes, mime_type)
+    number_of_pages = None
+    if mime_type == MIME_PDF:
+        # one PDF parse serves both the text elements and the page count
+        from dial_rag_tpu.documents.elements import pdf_elements_from_pages
+        from dial_rag_tpu.documents.pdf import extract_pages_text
+
+        pages = extract_pages_text(document_bytes)
+        elements = pdf_elements_from_pages(pages)
+        number_of_pages = len(pages)
+    else:
+        elements = _elements_for(document_bytes, mime_type)
     chunk_pairs = chunk_by_title(elements, max_characters=config.chunk_size)
 
     if are_image_pages_supported(mime_type):
         chunk_pairs = _add_image_only_chunks(
-            document_bytes, mime_type, chunk_pairs
+            document_bytes, mime_type, chunk_pairs, number_of_pages
         )
 
     if not chunk_pairs:

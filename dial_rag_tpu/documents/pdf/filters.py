@@ -102,7 +102,7 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 table[dict_size] = prev + entry[:1]
                 dict_size += 1
             prev = entry
-            if dict_size + early_change - 1 >= (1 << code_len) and code_len < 12:
+            if dict_size + early_change >= (1 << code_len) and code_len < 12:
                 code_len += 1
     return bytes(out)
 
@@ -183,8 +183,11 @@ def decode_stream(stream: Stream, resolve=None) -> bytes:
             try:
                 data = zlib.decompress(data)
             except zlib.error:
-                # tolerate trailing garbage / missing checksum
-                data = zlib.decompressobj().decompress(data)
+                try:
+                    # tolerate trailing garbage / missing checksum
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error as e:
+                    raise PdfError(f"corrupt Flate stream: {e}") from e
             data = apply_predictor(data, p)
         elif name in ("LZWDecode", "LZW"):
             data = lzw_decode(data, p.get("EarlyChange", 1))

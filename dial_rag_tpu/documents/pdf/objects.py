@@ -268,12 +268,15 @@ class Lexer:
                 is_float = True
             self.pos += 1
         text = data[start : self.pos].decode("ascii")
-        if is_float:
-            # PDF allows "4." and ".5"
-            return float(text)
-        if text in ("+", "-", ""):
-            raise PdfError(f"bad number at {start}")
-        return int(text)
+        try:
+            if is_float:
+                # PDF allows "4." and ".5"; "1.2.3" or "." are malformed
+                return float(text)
+            if text in ("+", "-", ""):
+                raise ValueError(text)
+            return int(text)
+        except ValueError as e:
+            raise PdfError(f"bad number {text!r} at {start}") from e
 
     def _maybe_stream(self, d: dict):
         save = self.pos

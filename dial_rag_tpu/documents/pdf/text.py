@@ -6,12 +6,15 @@ Tc/Tw/Tz/TL/Ts, Tj/TJ/'/") with full text-space -> device-space transforms
 into lines and blocks ordered top-to-bottom, left-to-right. Block font
 sizes drive the by-title chunker's heading detection."""
 
+import logging
 import math
 from dataclasses import dataclass, field
 
 from dial_rag_tpu.documents.pdf.document import PdfDocument
 from dial_rag_tpu.documents.pdf.fonts import PdfFont
 from dial_rag_tpu.documents.pdf.objects import Lexer, Name, PdfError, Ref, Stream
+
+logger = logging.getLogger(__name__)
 
 Matrix = tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1, 0, 0, 1, 0, 0)
@@ -46,14 +49,28 @@ class Glyph:
 @dataclass
 class TextLine:
     glyphs: list[Glyph] = field(default_factory=list)
+    # running aggregates so line assembly stays O(glyphs·lines) with O(1)
+    # comparisons instead of re-summing every glyph per comparison
+    _y_sum: float = 0.0
+    _size_max: float = 0.0
+
+    def __post_init__(self):
+        for g in self.glyphs:
+            self._y_sum += g.y
+            self._size_max = max(self._size_max, g.size)
+
+    def add(self, g: Glyph) -> None:
+        self.glyphs.append(g)
+        self._y_sum += g.y
+        self._size_max = max(self._size_max, g.size)
 
     @property
     def y(self) -> float:
-        return sum(g.y for g in self.glyphs) / len(self.glyphs)
+        return self._y_sum / len(self.glyphs)
 
     @property
     def size(self) -> float:
-        return max(g.size for g in self.glyphs)
+        return self._size_max
 
     def render(self) -> str:
         """Glyphs -> string with heuristic space insertion."""
@@ -151,7 +168,6 @@ class TextExtractor:
                 ch = font.code_to_unicode(code)
                 scale = math.hypot(trm[0], trm[1])
                 adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * h
-                dev_w = w0 * tfs * h * (math.hypot(trm[0], trm[1]) / max(tfs * h, 1e-9))
                 # device-space glyph origin
                 gx, gy = trm[4], trm[5]
                 dev_size = math.hypot(trm[2], trm[3]) or tfs
@@ -197,73 +213,77 @@ class TextExtractor:
                 lex.pos += 1
                 continue
 
-            if op == b"q":
-                gs_stack.append(ctm)
-            elif op == b"Q":
-                if gs_stack:
-                    ctm = gs_stack.pop()
-            elif op == b"cm" and len(stack) >= 6:
-                m = tuple(float(v) for v in stack[-6:])
-                ctm = mat_mul(m, ctm)
-            elif op == b"BT":
-                tm = tlm = IDENTITY
-            elif op == b"ET":
-                pass
-            elif op == b"Tf" and len(stack) >= 2:
-                size = stack[-1]
-                fname = stack[-2]
-                if isinstance(fname, Name):
-                    font = self._get_font(fname.value, resources)
-                tfs = float(size)
-            elif op == b"Tc" and stack:
-                tc = float(stack[-1])
-            elif op == b"Tw" and stack:
-                tw = float(stack[-1])
-            elif op == b"Tz" and stack:
-                tz = float(stack[-1])
-            elif op == b"TL" and stack:
-                tl = float(stack[-1])
-            elif op == b"Ts" and stack:
-                ts = float(stack[-1])
-            elif op == b"Td" and len(stack) >= 2:
-                tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
-                tm = tlm
-            elif op == b"TD" and len(stack) >= 2:
-                tl = -float(stack[-1])
-                tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
-                tm = tlm
-            elif op == b"Tm" and len(stack) >= 6:
-                tlm = tuple(float(v) for v in stack[-6:])
-                tm = tlm
-            elif op == b"T*":
-                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
-                tm = tlm
-            elif op == b"Tj" and stack:
-                show(stack[-1])
-            elif op == b"TJ" and stack:
-                if isinstance(stack[-1], list):
-                    tj_array(stack[-1])
-            elif op == b"'" and stack:
-                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
-                tm = tlm
-                show(stack[-1])
-            elif op == b'"' and len(stack) >= 3:
-                tw = float(stack[-3])
-                tc = float(stack[-2])
-                tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
-                tm = tlm
-                show(stack[-1])
-            elif op == b"Do" and stack:
-                xname = stack[-1]
-                if isinstance(xname, Name):
-                    self._run_xobject(xname.value, resources, ctm, depth)
-            elif op == b"BI":
-                # inline image: skip to EI
-                idx = content.find(b"EI", lex.pos)
-                lex.pos = idx + 2 if idx >= 0 else n
+            try:
+                if op == b"q":
+                    gs_stack.append(ctm)
+                elif op == b"Q":
+                    if gs_stack:
+                        ctm = gs_stack.pop()
+                elif op == b"cm" and len(stack) >= 6:
+                    m = tuple(float(v) for v in stack[-6:])
+                    ctm = mat_mul(m, ctm)
+                elif op == b"BT":
+                    tm = tlm = IDENTITY
+                elif op == b"ET":
+                    pass
+                elif op == b"Tf" and len(stack) >= 2:
+                    size = stack[-1]
+                    fname = stack[-2]
+                    if isinstance(fname, Name):
+                        font = self._get_font(fname.value, resources)
+                    tfs = float(size)
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    tz = float(stack[-1])
+                elif op == b"TL" and stack:
+                    tl = float(stack[-1])
+                elif op == b"Ts" and stack:
+                    ts = float(stack[-1])
+                elif op == b"Td" and len(stack) >= 2:
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"TD" and len(stack) >= 2:
+                    tl = -float(stack[-1])
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"Tm" and len(stack) >= 6:
+                    tlm = tuple(float(v) for v in stack[-6:])
+                    tm = tlm
+                elif op == b"T*":
+                    tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                    tm = tlm
+                elif op == b"Tj" and stack:
+                    show(stack[-1])
+                elif op == b"TJ" and stack:
+                    if isinstance(stack[-1], list):
+                        tj_array(stack[-1])
+                elif op == b"'" and stack:
+                    tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b'"' and len(stack) >= 3:
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
+                    tlm = mat_mul((1, 0, 0, 1, 0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b"Do" and stack:
+                    xname = stack[-1]
+                    if isinstance(xname, Name):
+                        self._run_xobject(xname.value, resources, ctm, depth)
+                elif op == b"BI":
+                    # inline image: skip to EI
+                    idx = content.find(b"EI", lex.pos)
+                    lex.pos = idx + 2 if idx >= 0 else n
 
-            if op in _SHOW_OPS or op not in (b"",):
-                stack.clear()
+            except (TypeError, ValueError, KeyError) as e:
+                # malformed operands (e.g. a Name where a number is
+                # expected) must not abort the whole page/document
+                logger.debug(f"skipping malformed operator {op!r}: {e}")
+            stack.clear()  # operands are consumed per operator
 
         return
 
@@ -295,18 +315,30 @@ class TextExtractor:
 
 
 def _assemble_lines(glyphs: list[Glyph]) -> list[TextLine]:
-    """Group glyphs into baseline lines (y within half the font size)."""
+    """Group glyphs into baseline lines (y within half the font size).
+
+    Glyphs arrive sorted by descending y, so the matching line is almost
+    always the most recently touched one — check it first, then fall back
+    to the full scan for out-of-order layouts."""
     lines: list[TextLine] = []
+    last: TextLine | None = None
     for g in sorted(glyphs, key=lambda g: (-g.y, g.x)):
+        if last is not None and abs(last.y - g.y) <= (
+            max(last.size, g.size) * 0.5
+        ):
+            last.add(g)
+            continue
         placed = False
         for line in lines:
             tol = max(line.size, g.size) * 0.5
             if abs(line.y - g.y) <= tol:
-                line.glyphs.append(g)
+                line.add(g)
+                last = line
                 placed = True
                 break
         if not placed:
-            lines.append(TextLine(glyphs=[g]))
+            last = TextLine(glyphs=[g])
+            lines.append(last)
     lines.sort(key=lambda ln: -ln.y)
     return lines
 

@@ -14,6 +14,7 @@ from abc import ABC, abstractmethod
 from collections import OrderedDict
 from pathlib import Path
 
+from dial_rag_tpu.errors import InvalidAttachmentError
 from dial_rag_tpu.documents.model import (
     FORMAT_VERSION,
     DocumentRecord,
@@ -88,10 +89,17 @@ class LocalFileStorage(IndexStorageBackend):
     """Filesystem backend (self-hosted deployments without Dial Core)."""
 
     def __init__(self, root: str):
-        self._root = Path(root)
+        self._root = Path(root).resolve()
 
     def _path(self, url: str) -> Path:
-        return self._root / url.lstrip("/")
+        # index URLs can be user-supplied (index attachments); refuse any
+        # path that escapes the storage root ('..' traversal)
+        path = (self._root / url.lstrip("/")).resolve()
+        if not path.is_relative_to(self._root):
+            raise InvalidAttachmentError(
+                f"Index path escapes the storage root: {url}"
+            )
+        return path
 
     async def load(self, url: str) -> bytes | None:
         path = self._path(url)

@@ -160,3 +160,22 @@ class TestParseOtherFormats:
                 source_link="u",
                 config=ParserConfig(max_document_text_size=100),
             )
+
+
+def test_text_starting_with_bm_is_not_bmp():
+    from dial_rag_tpu.documents.mime import detect_mime
+
+    text = b"BMW sales report for 2026\nnumbers follow..."
+    assert detect_mime("text/plain", "report.txt", text) == "text/plain"
+
+
+def test_real_bmp_still_sniffed():
+    import io as _io
+
+    from PIL import Image
+
+    from dial_rag_tpu.documents.mime import sniff_mime
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (4, 4)).save(buf, format="BMP")
+    assert sniff_mime(buf.getvalue()) == "image/bmp"

@@ -203,3 +203,86 @@ class TestRealWorldPdf:
     def test_total_text_volume(self, pages):
         total = sum(len(p.text) for p in pages)
         assert total > 20000  # a real extraction, not fragments
+
+
+def test_lzw_long_stream_roundtrip():
+    """LZW code width must grow at dict_size + EarlyChange; regression
+    for the off-by-one that corrupted streams past the 511-entry table."""
+    from dial_rag_tpu.documents.pdf.filters import lzw_decode
+
+    # encode with a minimal reference LZW encoder (early-change variant)
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        code_len = 9
+        out = bytearray()
+        buf = 0
+        bits = 0
+
+        def emit(code):
+            nonlocal buf, bits
+            buf = (buf << code_len) | code
+            bits += code_len
+            while bits >= 8:
+                bits -= 8
+                out.append((buf >> bits) & 0xFF)
+
+        emit(256)  # clear table
+        w = b""
+        for b in data:
+            c = bytes([b])
+            if w + c in table:
+                w = w + c
+                continue
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            # early change: width grows one code earlier
+            if next_code + 1 - 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+            w = c
+        if w:
+            emit(table[w])
+        emit(257)  # EOD
+        if bits:
+            out.append((buf << (8 - bits)) & 0xFF)
+        return bytes(out)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # long enough to cross the 511- and 1023-entry boundaries
+    payload = bytes(rng.integers(0, 16, size=5000, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(payload), early_change=1) == payload
+
+
+def test_corrupt_flate_stream_is_pdf_error():
+    from dial_rag_tpu.documents.pdf.filters import decode_stream
+    from dial_rag_tpu.documents.pdf.objects import Name, PdfError, Stream
+
+    stream = Stream(
+        dict={"Filter": Name("FlateDecode"), "Length": 4},
+        raw=b"\xff\xfe\xfd\xfc",
+    )
+    with pytest.raises(PdfError):
+        decode_stream(stream, resolve=lambda x: x)
+
+
+def test_malformed_number_is_pdf_error():
+    from dial_rag_tpu.documents.pdf.objects import Lexer, PdfError
+
+    with pytest.raises(PdfError):
+        Lexer(b"1.2.3 ").parse_object()
+
+
+def test_malformed_operand_does_not_abort_page():
+    """A Name where a number is expected must skip the operator, not the
+    whole document."""
+    from tests.utils.pdf_builder import build_pdf
+    from dial_rag_tpu.documents.pdf import extract_pages_text
+
+    pdf = build_pdf([[(72, 720, 12, "real text")]])
+    # splice a malformed cm operator before the text
+    bad = pdf.replace(b"BT /F1", b"/F1 1 0 0 1 0 cm BT /F1", 1)
+    pages = extract_pages_text(bad)
+    assert any("real text" in b.text for p in pages for b in p.blocks)

@@ -144,3 +144,26 @@ async def test_holder_shares_cache_across_storages(tmp_path):
     (tmp_path / "files/b/x/index.bin").unlink()
     s2 = holder.get_storage(remote)
     assert await s2.load("files/b/x/index.bin", settings) is not None
+
+
+def test_local_storage_rejects_path_traversal(tmp_path):
+    import asyncio
+
+    import pytest
+
+    from dial_rag_tpu.errors import InvalidAttachmentError
+    from dial_rag_tpu.storage.storage import LocalFileStorage
+
+    storage = LocalFileStorage(str(tmp_path / "root"))
+    for url in (
+        "files/../../../../etc/evil",
+        "../outside",
+        "files/b/../../../x",
+    ):
+        with pytest.raises(InvalidAttachmentError):
+            asyncio.run(storage.store(url, b"x"))
+        with pytest.raises(InvalidAttachmentError):
+            asyncio.run(storage.load(url))
+    # normal paths still work
+    asyncio.run(storage.store("files/b/ok/index.bin", b"data"))
+    assert asyncio.run(storage.load("files/b/ok/index.bin")) == b"data"
