@@ -273,10 +273,10 @@ def bert_forward(
 ):
     """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states."""
     if attention_impl == "auto":
-        # fused Pallas kernel on real TPUs; on the CPU test mesh the
-        # interpreter-mode kernel is much slower than the jnp path
+        # the fused kernel is Mosaic-TPU-only; every other backend
+        # (cpu test mesh, gpu) takes the jnp path
         attention_impl = (
-            "pallas" if jax.default_backend() != "cpu" else "xla"
+            "pallas" if jax.default_backend() == "tpu" else "xla"
         )
     emb = params["embeddings"]
     b, s = input_ids.shape

@@ -121,6 +121,10 @@ class WordPieceTokenizer:
         self._native_tried = True
         if not self.lowercase:
             return None  # C core implements the lowercased pipeline only
+        # the C core assigns ids by vocab-line order, which is only
+        # correct when the dict's ids are exactly 0..N-1
+        if sorted(self.vocab.values()) != list(range(len(self.vocab))):
+            return None
         try:
             import ctypes
 

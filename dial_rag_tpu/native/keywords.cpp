@@ -30,8 +30,11 @@ namespace {
 std::unordered_set<std::string> g_stopwords;
 
 inline bool is_ws(char c) {
+  // matches Python's str whitespace for ASCII: \t\n\v\f\r space plus the
+  // FILE/GROUP/RECORD/UNIT separators \x1c-\x1f (str.split and re \s on
+  // str treat those as whitespace too)
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
-         c == '\f';
+         c == '\f' || (c >= '\x1c' && c <= '\x1f');
 }
 
 inline bool is_word_char(char c) {  // python re \w for ASCII

@@ -80,6 +80,10 @@ def stable_topk_sort(values: jnp.ndarray, k: int):
 
 def stable_topk(values: jnp.ndarray, k: int):
     """Dispatch between the argmin-scan and full-sort implementations."""
+    if values.shape[0] == 0:
+        # argmin over a size-0 array fails at trace time; match the sort
+        # path's empty result instead
+        return values[:0], jnp.zeros((0,), dtype=jnp.int32)
     if k <= _ARGMIN_MAX_K:
         return stable_topk_argmin(values, k)
     return stable_topk_sort(values, k)

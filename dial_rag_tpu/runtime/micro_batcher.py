@@ -35,6 +35,9 @@ class MicroBatcher(Generic[T, R]):
         self.window_s = window_s
         self._pending: list[tuple[T, asyncio.Future]] = []
         self._flush_handle: asyncio.TimerHandle | None = None
+        # strong refs: the loop keeps only weak refs to tasks, and a
+        # GC-collected flush task would strand every waiter in its batch
+        self._tasks: set[asyncio.Task] = set()
 
     async def submit(self, item: T) -> R:
         loop = asyncio.get_running_loop()
@@ -56,7 +59,9 @@ class MicroBatcher(Generic[T, R]):
             return
         batch = self._pending
         self._pending = []
-        asyncio.get_event_loop().create_task(self._run(batch))
+        task = asyncio.get_event_loop().create_task(self._run(batch))
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
 
     async def _run(self, batch: list[tuple[T, asyncio.Future]]) -> None:
         items = [item for item, _ in batch]
@@ -67,10 +72,12 @@ class MicroBatcher(Generic[T, R]):
                     f"batch_fn returned {len(results)} results for "
                     f"{len(items)} items"
                 )
-        except Exception as e:
+        except BaseException as e:  # incl. CancelledError: never strand
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
+            if not isinstance(e, Exception):
+                raise  # propagate cancellation to the task machinery
             return
         for (_, fut), result in zip(batch, results):
             if not fut.done():

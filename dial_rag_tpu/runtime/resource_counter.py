@@ -53,9 +53,12 @@ class ResourceCounter:
                 self._waiters.remove(wait_item)
         except asyncio.CancelledError:
             # The wakeup may have already debited the units before the
-            # cancellation landed; return them.
+            # cancellation landed; return them AND wake the next waiter,
+            # or the refunded capacity is stranded and queued waiters
+            # deadlock (asyncio.Semaphore does the same here).
             if not wait_item.future.cancelled():
                 self._value += count
+                self._wake_up_next()
             raise
 
     def release(self, count: int):

@@ -165,16 +165,25 @@ def train(
         temperature=train_config.temperature,
     )
 
-    losses = []
+    losses = []  # device scalars; converted once at the end (a float()
+    # per step would synchronize host and device every iteration)
     step = start_step
-    for batch in pairs_to_batches(tokenizer, pairs, train_config):
+    last_saved = ckpt.latest_step() if ckpt is not None else None
+    batches = pairs_to_batches(tokenizer, pairs, train_config)
+    # resume continues the data stream where the checkpointed run left
+    # off; without the skip, the first start_step batches are re-trained
+    for _ in range(start_step):
+        if next(batches, None) is None:
+            break
+    for batch in batches:
         if step >= train_config.total_steps:
             break
         params, opt_state, loss = step_fn(params, opt_state, batch)
         step += 1
-        losses.append(float(loss))
+        losses.append(loss)
         if ckpt is not None and step % train_config.checkpoint_every == 0:
             ckpt.save(step, jax.device_get(params), jax.device_get(opt_state))
-    if ckpt is not None and step > start_step:
+            last_saved = step
+    if ckpt is not None and step > start_step and step != last_saved:
         ckpt.save(step, jax.device_get(params), jax.device_get(opt_state))
-    return params, losses
+    return params, [float(l) for l in losses]

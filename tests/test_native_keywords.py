@@ -161,3 +161,10 @@ def test_stemmer_wordlist_parity():
             if stem(w) != native_stem(w):
                 mismatches.append((w, stem(w), native_stem(w)))
     assert not mismatches, mismatches[:20]
+
+
+def test_control_separator_whitespace_parity():
+    """\\x1c-\\x1f are str-whitespace in Python; the native splitter must
+    agree (regression for glued BM25 terms)."""
+    text = "alpha.\x1cbeta gamma\x1ddelta\x1eepsilon\x1fzeta"
+    assert _native_only(text) == _keywords_preprocess_python(text)

@@ -235,3 +235,25 @@ def test_format_chunk_stats():
     )
     line = format_chunk_stats(chunks)
     assert "Chunks: 2" in line and "total 14 B" in line and "pages 2" in line
+
+
+async def test_resource_counter_cancelled_waiter_wakes_next():
+    """Regression: a cancelled waiter's refunded units must wake queued
+    waiters, or capacity strands and the queue deadlocks."""
+    from dial_rag_tpu.runtime.resource_counter import ResourceCounter
+
+    counter = ResourceCounter(10)
+    await counter.acquire(10)
+
+    async def waiter(n):
+        await counter.acquire(n)
+        return n
+
+    b = asyncio.create_task(waiter(10))
+    await asyncio.sleep(0)
+    c = asyncio.create_task(waiter(5))
+    await asyncio.sleep(0)
+    counter.release(10)  # wakes B (debits 10)
+    b.cancel()  # B never resumes; refund must wake C
+    await asyncio.sleep(0)
+    assert await asyncio.wait_for(c, timeout=1.0) == 5

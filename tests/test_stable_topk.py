@@ -44,3 +44,12 @@ def test_nan_sorts_last(impl):
     vals = np.array([np.nan, 1.0, 0.5, np.nan, 2.0], dtype=np.float32)
     _, idx = impl(vals, 5)
     np.testing.assert_array_equal(np.asarray(idx), [2, 1, 4, 0, 3])
+
+
+def test_empty_input_returns_empty():
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.ops.stable_topk import stable_topk
+
+    vals, idx = stable_topk(jnp.zeros((0,), dtype=jnp.float32), 5)
+    assert vals.shape == (0,) and idx.shape == (0,)

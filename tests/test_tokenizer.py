@@ -86,3 +86,15 @@ def test_parity_with_hf_tokenizers(vocab, tok, tmp_path):
         ours = tok.encode(text, max_len=512)
         theirs = hf.encode(text).ids
         assert ours == theirs, f"mismatch on {text!r}: {ours} vs {theirs}"
+
+
+def test_gapped_vocab_ids_skip_native():
+    """Non-contiguous vocab ids would silently mis-map in the C core; the
+    tokenizer must fall back to Python (regression)."""
+    from dial_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "the": 10}
+    tok = WordPieceTokenizer(vocab=vocab)
+    assert tok._get_native() is None
+    ids, mask = tok.encode_batch(["the the"], max_len=16)
+    assert ids[0][1] == 10  # python path uses the dict's real ids

@@ -118,3 +118,25 @@ def test_restore_is_exact(tokenizer, tmp_path):
     assert step == 2
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_final_step_on_checkpoint_boundary_no_double_save(
+    tokenizer, tmp_path
+):
+    """total_steps a multiple of checkpoint_every: the in-loop save and
+    the final save target the same step; orbax raises on duplicates."""
+    cfg = TrainConfig(
+        batch_size=4,
+        seq_len=32,
+        total_steps=4,
+        checkpoint_every=4,
+        warmup_steps=1,
+    )
+    train(
+        BertConfig.tiny(),
+        cfg,
+        _pairs(cfg.batch_size * 4),
+        tokenizer,
+        checkpoint_dir=str(tmp_path / "b"),
+    )
+    assert Checkpointer(str(tmp_path / "b")).latest_step() == 4
