@@ -63,6 +63,8 @@ class DialLimitedResources:
 
     async def reserve_daily_tokens(self, model_name: str, expected_tokens: int):
         limits = await self._get_user_limits(model_name)
+        if limits.day_token_stats.total <= 0:
+            return  # no configured day limit means unlimited, not zero
         reserved = self._reserved_tokens[model_name]
         available = limits.day_token_stats.total - limits.day_token_stats.used
         if expected_tokens + reserved > available:
@@ -77,6 +79,9 @@ class DialLimitedResources:
     async def get_counter(self, model_name: str) -> ResourceCounter:
         if model_name not in self._counters:
             minute_limit = await self.get_minute_token_limit(model_name)
+            if minute_limit <= 0:
+                # no configured limit: effectively unbounded concurrency
+                minute_limit = 1_000_000_000
             self._counters[model_name] = ResourceCounter(minute_limit)
         return self._counters[model_name]
 
@@ -109,6 +114,12 @@ async def map_with_resource_limits(
     minute_token_limit = await dial_limited_resources.get_minute_token_limit(
         model_name
     )
+    if minute_token_limit <= 0:
+        # no configured minute limit means unlimited: pace by a generous
+        # default concurrency instead of dividing by zero
+        minute_token_limit = max(
+            total_tokens, estimated_task_tokens * 16, 1
+        )
     estimated_minutes = float(total_tokens) / minute_token_limit
     if estimated_minutes > 1:
         file.write(
@@ -128,9 +139,14 @@ async def map_with_resource_limits(
     async with dial_limited_resources.get_lock(model_name):
         async with timeout(time_limit_sec):
             async with asyncio.TaskGroup() as task_group:
+                # a task estimate above the whole minute budget would make
+                # acquire() raise; clamp so such tasks serialize instead
+                task_units = min(
+                    estimated_task_tokens, resource_counter.total
+                )
                 async for item in items.agen:
                     task = await resource_counter.acquire_and_create_task(
-                        coro_func(item), estimated_task_tokens, task_group
+                        coro_func(item), task_units, task_group
                     )
                     if progress is not None:
                         task.add_done_callback(lambda _: progress())

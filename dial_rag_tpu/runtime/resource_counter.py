@@ -28,6 +28,10 @@ class ResourceCounter:
         self._value = total
 
     @property
+    def total(self) -> int:
+        return self._total
+
+    @property
     def available(self) -> int:
         return self._value
 

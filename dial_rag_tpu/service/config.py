@@ -111,6 +111,11 @@ class LlmConfig(BaseConfig):
     max_retries: int = Field(
         default=2, description="Retries for LLM requests."
     )
+    request_timeout_seconds: int = Field(
+        default=1200,
+        description="Total wall-clock budget for one LLM request, "
+        "including a long streamed answer.",
+    )
     temperature: float = Field(default=0.0, description="LLM temperature.")
 
 

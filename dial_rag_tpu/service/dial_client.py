@@ -25,6 +25,18 @@ def _client_timeout(config: HttpClientConfig) -> aiohttp.ClientTimeout:
     )
 
 
+def _require_dial_relative(url: str) -> str:
+    """The File API client only ever talks to Dial Core. An absolute URL
+    here would win over the session base_url and ship the caller's
+    api-key header (and the uploaded index bytes) to an arbitrary host —
+    a key-exfiltration channel via user-supplied index attachments."""
+    if "://" in url.split("?", 1)[0] or url.startswith("//"):
+        raise InvalidDocumentError(
+            f"Dial file paths must be relative to the Dial API: {url}"
+        )
+    return url.lstrip("/")
+
+
 class DialApiClient:
     def __init__(self, dial_api_base_url: str, headers: dict, bucket_id: str):
         self.bucket_id = bucket_id
@@ -32,6 +44,7 @@ class DialApiClient:
         self._headers = headers
 
     async def get_file(self, relative_url: str) -> bytes | None:
+        relative_url = _require_dial_relative(relative_url)
         async with aiohttp.ClientSession(base_url=self._base_url) as session:
             async with session.get(
                 relative_url, headers=self._headers
@@ -44,6 +57,7 @@ class DialApiClient:
     ) -> dict:
         import io
 
+        relative_url = _require_dial_relative(relative_url)
         form = aiohttp.FormData()
         form.add_field(
             "file",

@@ -64,6 +64,11 @@ def get_user_facing_error_message(leaf_exception: BaseException) -> str:
     return "Internal error"
 
 
+def _table_cell(text: str) -> str:
+    """Pipes/newlines in file names would break the markdown table."""
+    return text.replace("|", "\\|").replace("\n", " ").replace("\r", " ")
+
+
 def format_document_loading_errors(
     failures: list[DocumentIndexingFailure],
 ) -> str:
@@ -74,8 +79,8 @@ def format_document_loading_errors(
             "|Document|Error|",
             "|---|---|",
             *(
-                f"|{failure.task.attachment_link.display_name}|"
-                f"{get_user_facing_error_message(exception)}|"
+                f"|{_table_cell(failure.task.attachment_link.display_name)}|"
+                f"{_table_cell(get_user_facing_error_message(exception))}|"
                 for failure in failures
                 for exception in failure.iter_leaf_exceptions()
             ),

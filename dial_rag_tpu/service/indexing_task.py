@@ -33,7 +33,8 @@ def _is_rag_index(attachment: AttachmentLink) -> bool:
 
 
 def is_in_dial_rag_bucket(url: str, bucket_id: str) -> bool:
-    return url.startswith(f"files/{bucket_id}")
+    # trailing slash: bucket 'abc' must not claim 'files/abcdef/...'
+    return url.startswith(f"files/{bucket_id}/")
 
 
 def validate_indexing_task(
@@ -59,11 +60,25 @@ def create_indexing_tasks(
     attachment_links: list[AttachmentLink],
     dial_api_client: DialApiClient,
 ) -> list[IndexingTask]:
-    index_attachments = {
-        str(a.reference_url): a.dial_link
-        for a in attachment_links
-        if _is_rag_index(a)
-    }
+    # single pass: validation side effects (unknown index type, missing
+    # reference) run exactly once per attachment
+    index_attachments: dict[str, str] = {}
+    document_links: list[AttachmentLink] = []
+    for a in attachment_links:
+        if _is_rag_index(a):
+            ref = str(a.reference_url)
+            index_attachments[ref] = a.dial_link
+            # also key the normalized dial-relative form so an absolute
+            # reference matches a relatively-attached document and
+            # vice versa
+            for prefix in ("/v1/", "v1/"):
+                marker = f"{prefix}files/"
+                if marker in ref:
+                    index_attachments.setdefault(
+                        "files/" + ref.split(marker, 1)[1], a.dial_link
+                    )
+        else:
+            document_links.append(a)
     return [
         IndexingTask(
             attachment_link=link,
@@ -72,6 +87,5 @@ def create_indexing_tasks(
                 or link_to_index_url(link.dial_link, dial_api_client.bucket_id)
             ),
         )
-        for link in attachment_links
-        if not _is_rag_index(link)
+        for link in document_links
     ]

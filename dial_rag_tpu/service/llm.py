@@ -4,13 +4,14 @@ replaces the reference's AzureChatOpenAI/langchain stack — llm.py:40-56).
 Supports streamed content deltas, non-streamed completion, and forced
 function calling (for the standalone-question chain)."""
 
+import asyncio
 import json
 import logging
 from typing import Any, AsyncIterator
 
 import aiohttp
 
-from dial_rag_tpu.errors import RateLimitError
+from dial_rag_tpu.errors import DialRagError, RateLimitError
 from dial_rag_tpu.service.config import LlmConfig
 
 logger = logging.getLogger(__name__)
@@ -18,11 +19,34 @@ logger = logging.getLogger(__name__)
 API_VERSION = "2023-03-15-preview"
 
 
+def _raise_streamed_error(chunk: dict) -> None:
+    """DIAL/OpenAI stream failures arrive as a data: {"error": ...} event
+    with HTTP 200; silently skipping it would present a truncated answer
+    as a successful completion."""
+    if "error" in chunk:
+        message = chunk["error"].get("message", "LLM request failed")
+        code = str(chunk["error"].get("code", ""))
+        error: DialRagError = (
+            RateLimitError(message) if code == "429" else DialRagError(message)
+        )
+        raise error
+
+
 class LlmClient:
     def __init__(self, dial_url: str, api_key: str, config: LlmConfig):
         self.dial_url = dial_url
         self.api_key = api_key
         self.config = config
+
+    def _session(self) -> aiohttp.ClientSession:
+        # generous streaming budget (aiohttp defaults to total=300s, which
+        # kills long answers mid-stream); sock_read guards stalls instead
+        return aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(
+                total=self.config.request_timeout_seconds,
+                sock_read=120,
+            )
+        )
 
     @property
     def _url(self) -> str:
@@ -62,7 +86,7 @@ class LlmClient:
         for attempt in range(attempts):
             started = False
             try:
-                async with aiohttp.ClientSession() as session:
+                async with self._session() as session:
                     response = await self._post(
                         session, self._body(messages, stream=True)
                     )
@@ -74,6 +98,7 @@ class LlmClient:
                         if payload == b"[DONE]":
                             return
                         chunk = json.loads(payload)
+                        _raise_streamed_error(chunk)
                         for choice in chunk.get("choices", []):
                             delta = choice.get("delta", {})
                             content = delta.get("content")
@@ -81,13 +106,17 @@ class LlmClient:
                                 started = True
                                 yield content
                     return
-            except (aiohttp.ClientError, json.JSONDecodeError) as e:
+            except (
+                aiohttp.ClientError,
+                asyncio.TimeoutError,
+                json.JSONDecodeError,
+            ) as e:
                 if started or attempt == attempts - 1:
                     raise
                 logger.warning(f"LLM stream failed (attempt {attempt}): {e}")
 
     async def acomplete(self, messages: list[dict]) -> str:
-        async with aiohttp.ClientSession() as session:
+        async with self._session() as session:
             response = await self._post(
                 session, self._body(messages, stream=False)
             )
@@ -113,7 +142,7 @@ class LlmClient:
             ],
             tool_choice={"type": "function", "function": {"name": name}},
         )
-        async with aiohttp.ClientSession() as session:
+        async with self._session() as session:
             response = await self._post(session, body)
             data = await response.json()
         message = data["choices"][0]["message"]

@@ -616,3 +616,45 @@ async def test_assistant_last_message_is_400(harness):
             }
         )
         assert resp.status == 400
+
+
+async def test_absolute_index_url_cannot_exfiltrate(harness):
+    """A user-supplied index attachment with an absolute URL must not be
+    fetched/stored with the api-key (exfiltration regression); the
+    request fails cleanly for that document."""
+    async with harness(
+        {"index_storage": {"use_dial_file_storage": True}}
+    ) as h:
+        resp = await h.chat(
+            {
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": "q",
+                        "custom_content": {
+                            "attachments": [
+                                {"url": "files/user-bucket/alps.pdf"},
+                                {
+                                    "type": (
+                                        "application/"
+                                        "x.aidial-rag.index.v1+tpu"
+                                    ),
+                                    "url": "https://attacker.example/x",
+                                    "reference_url": (
+                                        "files/user-bucket/alps.pdf"
+                                    ),
+                                },
+                            ]
+                        },
+                    }
+                ]
+            }
+        )
+        body = await resp.json()
+        # either a clean 4xx or an error table; never a successful answer
+        # built by talking to the attacker host
+        if resp.status == 200:
+            content = body["choices"][0]["message"]["content"]
+            assert "error" in content.lower(), content
+        else:
+            assert 400 <= resp.status < 500

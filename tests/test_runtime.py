@@ -257,3 +257,73 @@ async def test_resource_counter_cancelled_waiter_wakes_next():
     b.cancel()  # B never resumes; refund must wake C
     await asyncio.sleep(0)
     assert await asyncio.wait_for(c, timeout=1.0) == 5
+
+
+async def test_zero_limits_mean_unlimited():
+    """Missing/zero token limits must not zero out the budget (regression:
+    429 on every document / ZeroDivisionError)."""
+    from dial_rag_tpu.runtime.limited import (
+        AsyncGeneratorWithTotal,
+        DialLimitedResources,
+        TokenStats,
+        UserLimitsForModel,
+        map_with_resource_limits,
+    )
+    from dial_rag_tpu.utils.streams import NullStream
+
+    async def limits(_model):
+        return UserLimitsForModel(
+            minute_token_stats=TokenStats(total=0, used=0),
+            day_token_stats=TokenStats(total=0, used=0),
+        )
+
+    resources = DialLimitedResources(limits)
+
+    async def gen():
+        for i in range(3):
+            yield i
+
+    out = await map_with_resource_limits(
+        resources,
+        AsyncGeneratorWithTotal(gen(), 3),
+        lambda i: asyncio.sleep(0, result=i * 2),
+        estimated_task_tokens=4000,
+        model_name="m",
+        file=NullStream(),
+    )
+    assert out == [0, 2, 4]
+
+
+async def test_estimate_above_minute_limit_serializes():
+    """A per-task estimate above the minute budget must serialize, not
+    raise ValueError (regression)."""
+    from dial_rag_tpu.runtime.limited import (
+        AsyncGeneratorWithTotal,
+        DialLimitedResources,
+        TokenStats,
+        UserLimitsForModel,
+        map_with_resource_limits,
+    )
+    from dial_rag_tpu.utils.streams import NullStream
+
+    async def limits(_model):
+        return UserLimitsForModel(
+            minute_token_stats=TokenStats(total=2000, used=0),
+            day_token_stats=TokenStats(total=100000, used=0),
+        )
+
+    resources = DialLimitedResources(limits)
+
+    async def gen():
+        for i in range(2):
+            yield i
+
+    out = await map_with_resource_limits(
+        resources,
+        AsyncGeneratorWithTotal(gen(), 2),
+        lambda i: asyncio.sleep(0, result=i),
+        estimated_task_tokens=4000,  # > minute limit
+        model_name="m2",
+        file=NullStream(),
+    )
+    assert out == [0, 1]

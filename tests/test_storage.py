@@ -167,3 +167,23 @@ def test_local_storage_rejects_path_traversal(tmp_path):
     # normal paths still work
     asyncio.run(storage.store("files/b/ok/index.bin", b"data"))
     assert asyncio.run(storage.load("files/b/ok/index.bin")) == b"data"
+
+
+def test_dial_client_rejects_absolute_urls():
+    import asyncio
+
+    import pytest
+
+    from dial_rag_tpu.errors import InvalidDocumentError
+    from dial_rag_tpu.service.dial_client import DialApiClient
+
+    client = DialApiClient("http://dial/v1/", {}, "bkt")
+    for url in (
+        "https://attacker.example/x",
+        "http://attacker.example/x",
+        "//attacker.example/x",
+    ):
+        with pytest.raises(InvalidDocumentError):
+            asyncio.run(client.get_file(url))
+        with pytest.raises(InvalidDocumentError):
+            asyncio.run(client.put_file(url, b"d", "t"))
