@@ -171,23 +171,26 @@ class BgeEmbedder:
         )
         return np.asarray(out)[: len(texts)]
 
-    def _tokenize_group(self, group: list[list[str]]):
-        """Tokenize a group of batches into ONE stacked [2, gB, S] int32
-        array (ids + mask) so the whole group rides a single host->device
-        transfer. All batches are row-padded to batch_size; padded rows
-        are fully masked and sliced away after decode."""
-        toks = [
-            self.tokenizer.encode_batch(b, max_len=self.max_len)
-            for b in group
-        ]
+    def _assemble_group(self, toks: list) -> np.ndarray:
+        """Stack a group's (ids, mask) pairs into ONE [2, gB, S] int32
+        array so the whole group rides a single host->device transfer.
+        All batches are row-padded to batch_size; padded rows are fully
+        masked and sliced away after decode."""
         s = max(t[0].shape[1] for t in toks)
-        gb = len(group) * self.batch_size
+        gb = len(toks) * self.batch_size
         stacked = np.zeros((2, gb, s), dtype=np.int32)
         for i, (ids, mask) in enumerate(toks):
             r0 = i * self.batch_size
             stacked[0, r0 : r0 + ids.shape[0], : ids.shape[1]] = ids
             stacked[1, r0 : r0 + mask.shape[0], : mask.shape[1]] = mask
         return stacked
+
+    def _tokenize_group(self, group: list[list[str]]):
+        toks = [
+            self.tokenizer.encode_batch(b, max_len=self.max_len)
+            for b in group
+        ]
+        return self._assemble_group(toks)
 
     def _encode_group(self, stacked: np.ndarray, n_batches: int):
         """One H2D transfer, n_batches in-order encode dispatches on
@@ -235,22 +238,35 @@ class BgeEmbedder:
         from dial_rag_tpu.runtime.host_pools import get_pools
 
         pool = get_pools()["parse"]
+
+        def submit_group(group):
+            # per-BATCH futures: the group's batches tokenize in parallel
+            # across the parse pool's workers (flat submissions — nesting
+            # group tasks that wait on sub-tasks could deadlock a small
+            # pool); the consumer assembles when all are done
+            return (
+                len(group),
+                [
+                    pool.submit(
+                        self.tokenizer.encode_batch, b, self.max_len
+                    )
+                    for b in group
+                ],
+            )
+
         window: deque = deque()
         group_outs = []
         it = iter(groups)
         for group in it:
-            window.append(
-                (len(group), pool.submit(self._tokenize_group, group))
-            )
+            window.append(submit_group(group))
             if len(window) >= 2:  # tokenize at most 2 groups ahead
                 break
         for group in list(it) + [None] * len(window):
-            n_batches, fut = window.popleft()
-            group_outs.append(self._encode_group(fut.result(), n_batches))
+            n_batches, futures = window.popleft()
+            stacked = self._assemble_group([f.result() for f in futures])
+            group_outs.append(self._encode_group(stacked, n_batches))
             if group is not None:
-                window.append(
-                    (len(group), pool.submit(self._tokenize_group, group))
-                )
+                window.append(submit_group(group))
         return group_outs, batches
 
     def embed_documents(self, texts: list[str]) -> np.ndarray:
