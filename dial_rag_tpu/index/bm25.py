@@ -95,6 +95,22 @@ def _bm25_sparse_scores_kernel(
 
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
+def _bm25_topk_batch_kernel(weights, query_mat, n_valid, *, k, use_sort):
+    """[V, Q] query-count columns: one MXU matmul scores Q queries, then
+    per-column reference-exact top-k (vmapped)."""
+    scores = jnp.dot(
+        weights, query_mat, preferred_element_type=jnp.float32
+    )  # [N, Q]
+    n_pad = scores.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
+    scores = jnp.where(row[:, None] < n_valid, scores, -jnp.inf)
+    flipped = jnp.flip(-scores, axis=0)  # [N, Q]
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    vals, idx = jax.vmap(lambda col: topk(col, k))(flipped.T)
+    return -vals, (n_pad - 1) - idx  # [Q, k]
+
+
+@partial(jax.jit, static_argnames=("k", "use_sort"))
 def _bm25_topk_from_scores_kernel(scores, n_valid, *, k: int, use_sort: bool):
     """Reference-exact descending top-k over precomputed scores."""
     n_pad = scores.shape[0]
@@ -279,6 +295,35 @@ class Bm25Index:
         return np.asarray(self._sparse_total_scores(query_tokens))[
             : self.n_items
         ]
+
+    def top_n_batch(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[np.ndarray]:
+        """top_n for many queries; the dense path scores them with ONE
+        MXU matmul (the sparse path loops)."""
+        k = min(n, self.n_items)
+        if not queries_tokens:
+            return []
+        if self._weights_dev is not None:
+            v_pad = self._weights_dev.shape[1]
+            qmat = np.stack(
+                [self._query_vector(q, v_pad) for q in queries_tokens],
+                axis=1,
+            )  # [V, Q]
+            q = len(queries_tokens)
+            q_pad = 1 << max(2, (q - 1).bit_length())
+            if q_pad != q:
+                qmat = np.pad(qmat, ((0, 0), (0, q_pad - q)))
+            _, idx = _bm25_topk_batch_kernel(
+                self._weights_dev,
+                jnp.asarray(qmat),
+                jnp.int32(self.n_items),
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+            idx = np.asarray(idx)
+            return [idx[i] for i in range(q)]
+        return [self.top_n(q, n) for q in queries_tokens]
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""

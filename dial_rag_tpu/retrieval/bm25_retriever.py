@@ -67,6 +67,23 @@ class Bm25Retriever:
             for i in top
         ]
 
+    def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
+        """Many queries in one device matmul (dense weights path)."""
+        tops = self._index.top_n_batch(
+            [keywords_preprocess(q) for q in queries], self.k
+        )
+        return [
+            [
+                SearchHit(
+                    doc_id=self._items[i][0],
+                    chunk_id=self._items[i][1],
+                    retrieval_type=RetrievalType.TEXT,
+                )
+                for i in top
+            ]
+            for top in tops
+        ]
+
     async def aretrieve(self, query: str) -> list[SearchHit]:
         return await asyncio.get_running_loop().run_in_executor(
             None, self.retrieve, query

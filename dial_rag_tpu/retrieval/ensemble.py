@@ -52,3 +52,30 @@ class EnsembleRetriever:
             *(r.aretrieve(query) for r in self.retrievers)
         )
         return weighted_reciprocal_rank(list(hit_lists), self.weights)
+
+    async def aretrieve_batch(
+        self, queries: list[str]
+    ) -> list[list[SearchHit]]:
+        """Batch fusion: sub-retrievers exposing retrieve_batch (semantic
+        dense scan, dense BM25) serve all queries in one device dispatch
+        each; the rest fall back to per-query calls."""
+        loop = asyncio.get_running_loop()
+
+        async def per_retriever(r) -> list[list[SearchHit]]:
+            if hasattr(r, "retrieve_batch"):
+                return await loop.run_in_executor(
+                    None, r.retrieve_batch, queries
+                )
+            return list(
+                await asyncio.gather(*(r.aretrieve(q) for q in queries))
+            )
+
+        all_lists = await asyncio.gather(
+            *(per_retriever(r) for r in self.retrievers)
+        )  # [n_retrievers][n_queries]
+        return [
+            weighted_reciprocal_rank(
+                [lists[qi] for lists in all_lists], self.weights
+            )
+            for qi in range(len(queries))
+        ]

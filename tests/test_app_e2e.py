@@ -658,3 +658,38 @@ async def test_absolute_index_url_cannot_exfiltrate(harness):
             assert "error" in content.lower(), content
         else:
             assert 400 <= resp.status < 500
+
+
+async def test_system_prompt_override(harness):
+    """Per-request system prompt override reaches the LLM (mirror of
+    reference test_system_prompt_override.py)."""
+    async with harness() as h:
+        h.fake.script_llm("overridden answer")
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("what is this?")],
+                "custom_fields": {
+                    "configuration": {
+                        "qa_chain": {
+                            "chat_chain": {
+                                "system_prompt_template_override": (
+                                    "CUSTOM SYSTEM PROMPT _date_"
+                                )
+                            }
+                        }
+                    }
+                },
+            }
+        )
+        assert resp.status == 200
+        # find the chat LLM request the fake served and check its system msg
+        chat_calls = [
+            r
+            for r in h.fake.llm_requests
+            if r.get("messages")
+            and r["messages"][0].get("role") == "system"
+        ]
+        assert chat_calls, "no LLM chat call recorded"
+        system = chat_calls[-1]["messages"][0]["content"]
+        assert system.startswith("CUSTOM SYSTEM PROMPT")
+        assert "_date_" not in system  # template variable substituted

@@ -87,3 +87,40 @@ def test_semantic_retrieve_batch_matches_single():
     queries = ["beta", "eta theta", "missing words"]
     batched = r.retrieve_batch(queries)
     assert batched == [r.retrieve(q) for q in queries]
+
+
+def test_bm25_top_n_batch_matches_single():
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(9)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 10))))
+        for _ in range(40)
+    ]
+    index = Bm25Index.build(items)
+    queries = [["alps"], ["climate", "glacier"], ["peak", "missing"], []]
+    batched = index.top_n_batch(queries, 5)
+    for q, got in zip(queries, batched):
+        np.testing.assert_array_equal(got, index.top_n(q, 5))
+
+
+async def test_ensemble_batch_matches_single():
+    from dial_rag_tpu.retrieval.ensemble import EnsembleRetriever
+
+    class Fixed:
+        def __init__(self, by_query):
+            self.by_query = by_query
+
+        async def aretrieve(self, query):
+            return self.by_query[query]
+
+    from dial_rag_tpu.index.records import RetrievalType, SearchHit
+
+    h = lambda d, c: SearchHit(d, c, RetrievalType.TEXT)
+    r1 = Fixed({"a": [h(0, 0), h(0, 1)], "b": [h(1, 0)]})
+    r2 = Fixed({"a": [h(0, 1)], "b": [h(0, 0), h(1, 0)]})
+    ens = EnsembleRetriever([r1, r2])
+    batched = await ens.aretrieve_batch(["a", "b"])
+    singles = [await ens.aretrieve(q) for q in ["a", "b"]]
+    assert batched == singles
