@@ -329,6 +329,32 @@ def _error_payload(e: BaseException) -> tuple[int, dict]:
     }
 
 
+def _warmup_device(application: "DialRagApplication") -> None:
+    """Compile the serving-path programs ahead of traffic: the encoder at
+    every sequence bucket (query-sized and full batches) and the dense
+    scan. First TPU compiles cost tens of seconds each; paying them at
+    boot keeps first-request latency at serving speed."""
+    import numpy as np
+
+    from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+    from dial_rag_tpu.index.records import RetrievalType
+
+    embedder = application.embedder
+    logger.info("warmup: compiling encoder/scan programs")
+    for bucket in embedder.tokenizer.buckets:
+        word = "a " * max(1, bucket // 2 - 2)
+        embedder.embed_queries([word])
+        embedder.embed_documents([word] * embedder.batch_size)
+    emb = embedder.embed_documents(["warmup text"])
+    index = DenseIndex(
+        RetrievalType.TEXT,
+        [DocEmbeddings(chunk_ids=np.arange(1), embeddings=emb)],
+        limit=7,
+    )
+    index.find(emb[0])
+    logger.info("warmup: done")
+
+
 def create_app(
     app_config: AppConfig, embedder: BgeEmbedder | None = None
 ) -> web.Application:
@@ -342,6 +368,10 @@ def create_app(
         from dial_rag_tpu.runtime.host_pools import init_host_pools
 
         init_host_pools()
+        if app_config.embedder.warmup_on_startup:
+            await asyncio.get_running_loop().run_in_executor(
+                None, _warmup_device, application
+            )
 
     app.on_startup.append(warm_pools)
 

@@ -153,6 +153,12 @@ class EmbedderConfig(BaseConfig):
     batch_size: int = Field(
         default=128, description="Embedding batch size per device dispatch."
     )
+    warmup_on_startup: bool = Field(
+        default=False,
+        description="Compile the encoder (all sequence buckets) and the "
+        "index-scan kernels during startup so the first request does not "
+        "pay jit latency. Adds tens of seconds to boot on a TPU.",
+    )
 
 
 class MultimodalIndexConfig(BaseConfig):

@@ -693,3 +693,21 @@ async def test_system_prompt_override(harness):
         system = chat_calls[-1]["messages"][0]["content"]
         assert system.startswith("CUSTOM SYSTEM PROMPT")
         assert "_date_" not in system  # template variable substituted
+
+
+async def test_warmup_on_startup(harness):
+    """warmup_on_startup compiles the serving programs during boot."""
+    async with harness(
+        {"embedder": {"warmup_on_startup": True}}
+    ) as h:
+        # startup completed means warmup ran without error; a request
+        # still works
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("cadibona")],
+                "custom_fields": {
+                    "configuration": {"request": {"type": "retrieval"}}
+                },
+            }
+        )
+        assert resp.status == 200
