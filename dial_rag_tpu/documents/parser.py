@@ -116,8 +116,15 @@ def parse_document(
         # one PDF parse serves both the text elements and the page count
         from dial_rag_tpu.documents.elements import pdf_elements_from_pages
         from dial_rag_tpu.documents.pdf import extract_pages_text
+        from dial_rag_tpu.documents.pdf.objects import PdfError
 
-        pages = extract_pages_text(document_bytes)
+        try:
+            pages = extract_pages_text(document_bytes)
+        except PdfError as e:
+            # corrupt user input is a 400, not an internal error
+            raise InvalidDocumentError(
+                f"Unable to parse the PDF document: {e}"
+            ) from e
         elements = pdf_elements_from_pages(pages)
         number_of_pages = len(pages)
     else:

@@ -87,7 +87,10 @@ class PdfDocument:
                 off, _gen, kind = fields[0], fields[1], fields[2]
                 num = start + i
                 if kind == b"n" and num not in self._offsets:
-                    self._offsets[num] = int(off)
+                    try:
+                        self._offsets[num] = int(off)
+                    except ValueError as e:
+                        raise PdfError(f"bad xref offset {off!r}") from e
                 # advance: entries are 20 bytes but tolerate 19/18
                 nl = entry.find(b"\n")
                 lex.pos += 20 if nl in (-1, 19) else nl + 1
@@ -109,10 +112,13 @@ class PdfDocument:
             if k not in ("Length", "Filter", "DecodeParms", "W", "Index", "Type"):
                 self.trailer.setdefault(k, v)
         data = decode_stream(stream, resolve=self.resolve)
-        w = [int(self.resolve(x)) for x in d["W"]]
-        size = int(self.resolve(d["Size"]))
-        index = d.get("Index", [0, size])
-        index = [int(self.resolve(x)) for x in index]
+        try:
+            w = [int(self.resolve(x)) for x in d["W"]]
+            size = int(self.resolve(d["Size"]))
+            index = d.get("Index", [0, size])
+            index = [int(self.resolve(x)) for x in index]
+        except (KeyError, TypeError, ValueError) as e:
+            raise PdfError(f"malformed xref stream dict: {e!r}") from e
         row_len = sum(w)
         pos = 0
 
@@ -199,15 +205,25 @@ class PdfDocument:
             if not isinstance(stm, Stream):
                 raise PdfError(f"object stream {stm_num} missing")
             data = decode_stream(stm, resolve=self.resolve)
-            n = int(self.resolve(stm.dict["N"]))
-            first = int(self.resolve(stm.dict["First"]))
+            try:
+                n = int(self.resolve(stm.dict["N"]))
+                first = int(self.resolve(stm.dict["First"]))
+            except (KeyError, TypeError, ValueError) as e:
+                raise PdfError(
+                    f"malformed object stream {stm_num}: {e!r}"
+                ) from e
             head = Lexer(data, 0)
             pairs = []
             for _ in range(n):
                 head.skip_ws()
                 onum = head.parse_object()
                 ooff = head.parse_object()
-                pairs.append((int(onum), int(ooff)))
+                try:
+                    pairs.append((int(onum), int(ooff)))
+                except (TypeError, ValueError) as e:
+                    raise PdfError(
+                        f"malformed object stream header: {e!r}"
+                    ) from e
             entries = []
             for onum, ooff in pairs:
                 body = Lexer(data, first + ooff)

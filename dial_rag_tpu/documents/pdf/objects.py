@@ -139,7 +139,8 @@ class Lexer:
         raise PdfError(f"unexpected token {word!r} at {self.pos}")
 
     def parse_name(self) -> Name:
-        assert self.data[self.pos] == 0x2F
+        if self.data[self.pos] != 0x2F:
+            raise PdfError(f"expected name at {self.pos}")
         self.pos += 1
         raw = bytearray()
         data, n = self.data, len(self.data)
@@ -157,7 +158,8 @@ class Lexer:
         return Name(raw.decode("latin-1"))
 
     def parse_literal_string(self) -> bytes:
-        assert self.data[self.pos] == 0x28
+        if self.data[self.pos] != 0x28:
+            raise PdfError(f"expected string at {self.pos}")
         self.pos += 1
         out = bytearray()
         depth = 1
@@ -202,7 +204,8 @@ class Lexer:
         raise PdfError("unterminated string")
 
     def parse_hex_string(self) -> bytes:
-        assert self.data[self.pos] == 0x3C
+        if self.data[self.pos] != 0x3C:
+            raise PdfError(f"expected hex string at {self.pos}")
         self.pos += 1
         hex_digits = bytearray()
         data, n = self.data, len(self.data)
@@ -218,7 +221,8 @@ class Lexer:
         return bytes.fromhex(hex_digits.decode("ascii"))
 
     def parse_array(self) -> list:
-        assert self.data[self.pos] == 0x5B
+        if self.data[self.pos] != 0x5B:
+            raise PdfError(f"expected array at {self.pos}")
         self.pos += 1
         items = []
         while True:
@@ -229,7 +233,8 @@ class Lexer:
             items.append(self.parse_object())
 
     def parse_dict(self) -> dict:
-        assert self.data[self.pos : self.pos + 2] == b"<<"
+        if self.data[self.pos : self.pos + 2] != b"<<":
+            raise PdfError(f"expected dict at {self.pos}")
         self.pos += 2
         d = {}
         while True:

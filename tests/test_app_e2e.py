@@ -4,6 +4,7 @@ The analogue of the reference's tiers-3 e2e tests (tests/test_app.py et
 al.): the full service runs in-process, documents are served over real
 HTTP by the fake core, LLM/embeddings responses are scripted."""
 
+import asyncio
 import json
 
 import pytest
@@ -711,3 +712,41 @@ async def test_warmup_on_startup(harness):
             }
         )
         assert resp.status == 200
+
+
+async def test_concurrent_requests(harness):
+    """8 concurrent requests: micro-batcher coalescing, device-cache
+    single-flight, and pool lanes all under real concurrency."""
+    async with harness() as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        payload = {
+            "messages": [
+                _attach_message(
+                    "cadibona boundary", url="files/user-bucket/big.pdf"
+                )
+            ],
+            "custom_fields": {
+                "configuration": {"request": {"type": "retrieval"}}
+            },
+        }
+        responses = await asyncio.gather(
+            *(h.chat(dict(payload)) for _ in range(8))
+        )
+        assert all(r.status == 200 for r in responses)
+        for r in responses:
+            body = await r.json()
+            attachments = body["choices"][0]["message"]["custom_content"][
+                "attachments"
+            ]
+            payloads = [
+                a
+                for a in attachments
+                if a.get("type")
+                == "application/x.aidial-rag.retrieval-response+json"
+            ]
+            assert len(payloads) == 1
+            assert json.loads(payloads[0]["data"])["chunks"]

@@ -286,3 +286,34 @@ def test_malformed_operand_does_not_abort_page():
     bad = pdf.replace(b"BT /F1", b"/F1 1 0 0 1 0 cm BT /F1", 1)
     pages = extract_pages_text(bad)
     assert any("real text" in b.text for p in pages for b in p.blocks)
+
+
+def test_fuzzed_garbage_never_escapes_pdf_error():
+    """Random mutations of a valid PDF must either parse or raise
+    InvalidDocumentError/PdfError — never TypeError/ValueError/zlib.error."""
+    import numpy as np
+
+    from dial_rag_tpu.documents.parser import parse_document
+    from dial_rag_tpu.errors import InvalidDocumentError
+    from tests.utils.pdf_builder import build_pdf
+
+    rng = np.random.default_rng(0)
+    for use_xref_stream in (False, True):
+        base = bytearray(
+            build_pdf(
+                [[(72, 720, 12, "some text to mutate around")]],
+                compress=True,
+                use_xref_stream=use_xref_stream,
+            )
+        )
+        for trial in range(80):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 10))):
+                pos = int(rng.integers(0, len(data)))
+                data[pos] = int(rng.integers(0, 256))
+            try:
+                parse_document(
+                    bytes(data), "application/pdf", source_link="f.pdf"
+                )
+            except InvalidDocumentError:
+                pass  # the acceptable failure mode
