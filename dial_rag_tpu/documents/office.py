@@ -21,7 +21,9 @@ images (and a direct path for text-only configs).
 
 import io
 import re
+import struct
 import zipfile
+import zlib
 from xml.etree import ElementTree
 
 from dial_rag_tpu.errors import InvalidDocumentError
@@ -354,4 +356,23 @@ def office_elements(data: bytes, mime: str) -> list[Element]:
             "This office format requires LibreOffice conversion, which is "
             "not available. Please convert the document to PDF."
         )
-    return parser(data, mime)
+    try:
+        return parser(data, mime)
+    except (
+        zipfile.BadZipFile,
+        zlib.error,
+        NotImplementedError,  # unsupported zip features in corrupt archives
+        EOFError,
+        OSError,
+        UnicodeDecodeError,
+        struct.error,
+        ValueError,  # zipfile seeks/int parses on corrupt central dirs
+        IndexError,
+        KeyError,
+        RuntimeError,  # zipfile 'encrypted, password required'
+    ) as e:
+        # corrupt archives surface mid-read (CRC, deflate, overlap checks);
+        # they are bad user input, not internal errors
+        raise InvalidDocumentError(
+            f"The office document is corrupt: {type(e).__name__}"
+        ) from e

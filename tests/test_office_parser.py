@@ -180,3 +180,32 @@ def test_xlsx_parse_document_end_to_end():
         data, MIME_XLSX, source_link="t.xlsx", display_name="t.xlsx"
     )
     assert chunks and "alpha | beta" in chunks[0].text
+
+
+def test_fuzzed_office_never_escapes_invalid_document_error():
+    """Random mutations of valid office archives must parse or raise
+    InvalidDocumentError — zip/zlib/xml internals must not leak."""
+    import numpy as np
+
+    from dial_rag_tpu.documents.office import MIME_XLSX
+    from tests.utils.office_builder import build_xlsx
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (build_docx([("Head", "Heading1"), ("Body text.", None)]), MIME_DOCX),
+        (build_pptx([[("Title", True)]]), MIME_PPTX),
+        (build_xlsx({"S": [["a", "b"]]}), MIME_XLSX),
+        (build_odt([("H", True)]), MIME_ODT),
+    ]
+    for base, mime in cases:
+        base = bytearray(base)
+        for trial in range(60):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 10))):
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                parse_document(bytes(data), mime, source_link="f")
+            except InvalidDocumentError:
+                pass
