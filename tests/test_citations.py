@@ -71,3 +71,29 @@ async def test_multi_citation_same_sentence():
     text, used = await run(["x <[1]> <[2]> y"], 2)
     assert text == "x [1] [2] y"
     assert used == [0, 1]
+
+
+async def test_fuzz_chunk_splits_invariant():
+    """Rewriting must be invariant to how the stream is split into
+    chunks (the hard contract — reference qa_chain.py:144-195)."""
+    import numpy as np
+
+    text = (
+        "The boundary <[2]> is at Cadibona <[1]> as noted <[2]>; "
+        "climate varies <[3]> and <[10]> is out of bounds, "
+        "while [4] literal brackets stay <[1]> untouched."
+    )
+    # reference output: whole text in one chunk
+    expected_text, expected_used = await run([text], 5)
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        cuts = sorted(
+            set(rng.integers(1, len(text), size=int(rng.integers(1, 12))))
+        )
+        pieces = [
+            text[a:b]
+            for a, b in zip([0] + list(cuts), list(cuts) + [len(text)])
+        ]
+        got_text, got_used = await run(pieces, 5)
+        assert got_text == expected_text, pieces
+        assert got_used == expected_used

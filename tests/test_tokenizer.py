@@ -98,3 +98,30 @@ def test_gapped_vocab_ids_skip_native():
     assert tok._get_native() is None
     ids, mask = tok.encode_batch(["the the"], max_len=16)
     assert ids[0][1] == 10  # python path uses the dict's real ids
+
+
+def test_fuzz_unicode_parity_with_hf(vocab, tok, tmp_path):
+    """Random unicode (forcing the Python fallback) and random ASCII
+    (native path) must both match HF tokenizers exactly."""
+    tokenizers = pytest.importorskip("tokenizers")
+    import numpy as np
+
+    vocab_file = tmp_path / "vocab.txt"
+    inv = sorted(vocab, key=vocab.get)
+    vocab_file.write_text("\n".join(inv) + "\n", encoding="utf-8")
+    hf = tokenizers.BertWordPieceTokenizer(
+        str(vocab_file), lowercase=True, strip_accents=True
+    )
+    rng = np.random.default_rng(4)
+    pools = [
+        list("abcdefghij klmnopqrstuvwxyz.,!?'-"),
+        list("abc déjà vü 中文 Ωμέγα £€¥   "),
+        list("ABC mixed 123 \t\n àéîõü ..."),
+    ]
+    for pool in pools:
+        for _ in range(60):
+            n = int(rng.integers(0, 40))
+            text = "".join(rng.choice(pool, size=n))
+            assert tok.encode(text, max_len=128) == hf.encode(text).ids[:128], (
+                repr(text)
+            )
