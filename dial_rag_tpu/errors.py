@@ -38,7 +38,16 @@ class DocumentProcessingError(DialRagError):
         self.cause = cause
         status = getattr(cause, "status_code", 500)
         self.status_code = status if isinstance(status, int) else 500
-        message = getattr(cause, "message", None) or str(cause)
+        # our own error types carry safe messages; foreign exceptions
+        # (e.g. aiohttp's ClientResponseError) embed the full document
+        # URL in str() — redact to the type name
+        message = getattr(cause, "message", None)
+        if not isinstance(message, str) or not message:
+            message = (
+                str(cause)
+                if isinstance(cause, DialRagError)
+                else type(cause).__name__
+            )
         super().__init__(
             f"Unable to process document '{display_name}': {message}"
         )

@@ -16,13 +16,24 @@ def init_logging(level: str | None = None):
     handler.setFormatter(logging.Formatter(LOG_FORMAT))
     root = logging.getLogger()
     root.handlers[:] = [handler]
-    root.setLevel(level.upper())
+    try:
+        root.setLevel(level.upper())
+    except ValueError:
+        root.setLevel(logging.INFO)
+        root.warning(f"Unknown LOG_LEVEL {level!r}; defaulting to INFO")
 
     overrides = os.environ.get("LOG_LEVEL_OVERRIDE", "")
     for item in overrides.split(","):
         if "=" in item:
             name, mod_level = item.split("=", 1)
-            logging.getLogger(name.strip()).setLevel(mod_level.strip().upper())
+            try:
+                logging.getLogger(name.strip()).setLevel(
+                    mod_level.strip().upper()
+                )
+            except ValueError:
+                root.warning(
+                    f"Ignoring invalid LOG_LEVEL_OVERRIDE entry {item!r}"
+                )
 
 
 def init_telemetry_if_available():

@@ -66,7 +66,9 @@ def process_message_commands(message: Message, commands: Commands) -> Message:
     if message.content is None or message.role != Role.USER:
         return message
     if not isinstance(message.content, str):
-        raise ValueError("Message content must be a string")
+        # list-of-parts content carries no commands; the request handler
+        # rejects it later with the curated 400
+        return message
 
     lines = message.content.split("\n")
     content_lines = []

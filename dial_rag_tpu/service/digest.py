@@ -18,8 +18,17 @@ class RepositoryDigest:
     status: str = "unknown"
 
 
+DEFAULT_DIGEST_PATH = "/opt/repository-digest.json"
+
+
 def read_repository_digest(path: str | None = None) -> RepositoryDigest:
-    """Baked digest file if present (container builds), else git describe."""
+    """Baked digest file if present (container builds bake it at
+    /opt/repository-digest.json like the reference — app.py:200-207;
+    overridable via REPOSITORY_DIGEST_PATH), else git describe."""
+    if path is None:
+        import os
+
+        path = os.environ.get("REPOSITORY_DIGEST_PATH", DEFAULT_DIGEST_PATH)
     if path:
         try:
             with open(path) as f:

@@ -35,7 +35,10 @@ class Message(BaseModel):
     model_config = ConfigDict(extra="allow")
 
     role: Role
-    content: str | None = None
+    # str for normal messages; OpenAI list-of-parts content is accepted
+    # at the schema level and rejected later with the curated
+    # "Message content is not a string" 400 (reference behavior)
+    content: str | list | None = None
     custom_content: CustomContent | None = None
 
 

@@ -13,7 +13,10 @@ class StreamWithPrefix:
 
     def write(self, content: str):
         if not content.strip(" \n"):
-            return  # don't prefix keep-alive/empty writes
+            # keep-alive/empty writes pass through unprefixed (dropping
+            # them would break keep-alive semantics downstream)
+            self.stream.write(content)
+            return
         self.stream.write(f"{self.prefix} {content}")
 
 

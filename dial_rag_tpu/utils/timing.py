@@ -7,16 +7,6 @@ from time import perf_counter
 from dial_rag_tpu.errors import DialRagError
 
 
-async def periodic_ping(file, interval: float = 15.0):
-    """Keep-alive pings into a stage stream while a long step runs."""
-    while True:
-        try:
-            await asyncio.sleep(interval)
-        except asyncio.CancelledError:
-            break
-        file.write("")
-
-
 @asynccontextmanager
 async def timed_block(name: str, file):
     file.write(f"{name} started\n")
@@ -30,13 +20,18 @@ async def timed_block(name: str, file):
 @asynccontextmanager
 async def timeout(seconds: float, error_message: str | None = None):
     try:
-        async with asyncio.timeout(seconds):
+        async with asyncio.timeout(seconds) as cm:
             yield
-    except TimeoutError as e:
+    except TimeoutError:
+        # only relabel OUR expiry; an inner operation's TimeoutError
+        # (e.g. an aiohttp request timeout) keeps its own identity so the
+        # dedicated download-timeout mapping still applies
+        if not cm.expired():
+            raise
         raise DialRagError(
             error_message
             or f"Failed to process request in {seconds} seconds"
-        ) from e
+        ) from None
 
 
 def format_size(size: int) -> str:
@@ -46,4 +41,4 @@ def format_size(size: int) -> str:
                 return f"{size} {unit}"
             return f"{size:.2f} {unit}"
         size /= 1024
-    return f"{size} bytes"
+    raise AssertionError("unreachable")

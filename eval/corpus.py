@@ -29,13 +29,22 @@ _ANIMALS = ["ibex", "marmot", "chamois", "eagle", "lynx", "grouse",
 
 
 def _unique_name(rng: np.random.Generator, used: set) -> str:
-    while True:
+    for _ in range(50):
         name = (
             rng.choice(_ONSETS) + rng.choice(_NUCLEI) + rng.choice(_CODAS)
         ).capitalize()
         if name not in used:
             used.add(name)
             return name
+    # the syllable pool has 1000 combinations; large corpora get numeric
+    # suffixes instead of looping forever
+    base = name
+    i = 2
+    while f"{base}{i}" in used:
+        i += 1
+    name = f"{base}{i}"
+    used.add(name)
+    return name
 
 
 @dataclass(frozen=True)

@@ -750,3 +750,20 @@ async def test_concurrent_requests(harness):
             ]
             assert len(payloads) == 1
             assert json.loads(payloads[0]["data"])["chunks"]
+
+
+async def test_list_content_rejected_with_curated_400(harness):
+    async with harness() as h:
+        resp = await h.chat(
+            {
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [{"type": "text", "text": "hi"}],
+                    }
+                ]
+            }
+        )
+        assert resp.status == 400
+        body = await resp.json()
+        assert "not a string" in body["error"]["message"]

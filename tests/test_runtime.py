@@ -327,3 +327,54 @@ async def test_estimate_above_minute_limit_serializes():
         file=NullStream(),
     )
     assert out == [0, 1]
+
+
+async def test_timeout_does_not_relabel_inner_timeouts():
+    """An inner operation's TimeoutError keeps its identity; only the
+    block's own expiry becomes the DialRagError (regression)."""
+    import pytest
+
+    from dial_rag_tpu.errors import DialRagError
+    from dial_rag_tpu.utils.timing import timeout
+
+    with pytest.raises(TimeoutError) as exc_info:
+        async with timeout(30.0):
+            raise TimeoutError("inner download timed out")
+    assert not isinstance(exc_info.value, DialRagError)
+
+    with pytest.raises(DialRagError):
+        async with timeout(0.01):
+            await asyncio.sleep(1.0)
+
+
+def test_document_processing_error_redacts_foreign_exceptions():
+    from dial_rag_tpu.errors import (
+        DocumentProcessingError,
+        InvalidDocumentError,
+    )
+
+    class Foreign(Exception):
+        def __str__(self):
+            return "GET https://dial/v1/files/secret/doc.pdf failed"
+
+    err = DocumentProcessingError("doc.pdf", Foreign())
+    assert "secret" not in str(err)
+    assert "Foreign" in str(err)
+    # our own error types keep their safe messages
+    err2 = DocumentProcessingError(
+        "doc.pdf", InvalidDocumentError("The document is empty")
+    )
+    assert "The document is empty" in str(err2)
+
+
+async def test_profiler_concurrent_requests_do_not_crash():
+    from dial_rag_tpu.service.profiler import profiler_if_enabled
+    from dial_rag_tpu.service.protocol import Choice
+
+    async def profiled():
+        choice = Choice(0)
+        async with profiler_if_enabled(choice, True):
+            await asyncio.sleep(0.05)
+        choice.close()
+
+    await asyncio.gather(*(profiled() for _ in range(4)))
