@@ -82,17 +82,75 @@ def _bias_spec(s):
     )
 
 
+# sequences up to this length use one [S, S] score tile per (b, h);
+# longer ones block the query dimension so VMEM holds [Q_BLOCK, S]
+_FULL_TILE_MAX_S = 512
+_Q_BLOCK = 256
+
+
+def _attention_q_blocked_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Query-blocked fused attention: K/V stay whole in VMEM (512 KB at
+    S=4096, Dh=64) while scores materialize only [Q_BLOCK, S] per step —
+    the long-context design point up to ~8k tokens. Softmax is exact per
+    query row (full row in VMEM), so no online rescaling is needed."""
+    q = q_ref[0, 0]  # [Q_BLOCK, Dh]
+    k = k_ref[0, 0]  # [S, Dh]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q_BLOCK, S]
+    scores = scores * scale + bias_ref[0, 0][None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(
+        probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _q_blocked_specs(s, dh, qb):
+    q_spec = pl.BlockSpec(
+        (1, 1, qb, dh),
+        lambda i, j, g: (i, j, g, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, s, dh),
+        lambda i, j, g: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bias_spec = pl.BlockSpec(
+        (1, 1, s), lambda i, j, g: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return bias_spec, q_spec, kv_spec
+
+
 def _forward(q, k, v, attention_mask):
     b, h, s, dh = q.shape
-    kernel = partial(_attention_kernel, scale=1.0 / math.sqrt(dh))
+    scale = 1.0 / math.sqrt(dh)
+    interpret = jax.default_backend() == "cpu"
+    if s <= _FULL_TILE_MAX_S or s % _Q_BLOCK != 0:
+        kernel = partial(_attention_kernel, scale=scale)
+        return pl.pallas_call(
+            kernel,
+            grid=(b, h),
+            in_specs=[_bias_spec(s), _qkv_spec(s, dh), _qkv_spec(s, dh),
+                      _qkv_spec(s, dh)],
+            out_specs=_qkv_spec(s, dh),
+            out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+            interpret=interpret,
+        )(_mask_to_bias(attention_mask), q, k, v)
+    bias_spec, q_spec, kv_spec = _q_blocked_specs(s, dh, _Q_BLOCK)
+    kernel = partial(_attention_q_blocked_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
-        in_specs=[_bias_spec(s), _qkv_spec(s, dh), _qkv_spec(s, dh),
-                  _qkv_spec(s, dh)],
-        out_specs=_qkv_spec(s, dh),
+        grid=(b, h, s // _Q_BLOCK),
+        in_specs=[bias_spec, q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
-        interpret=jax.default_backend() == "cpu",
+        interpret=interpret,
     )(_mask_to_bias(attention_mask), q, k, v)
 
 
@@ -139,21 +197,94 @@ def _attention_bwd_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+def _attention_bwd_q_blocked_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
+):
+    """Query-blocked recompute backward. dq is per-block; dk/dv accumulate
+    across the (innermost) q-block grid dimension — their output blocks
+    map to the same (b, h) slot, so they stay VMEM-resident while the
+    q-block index varies. Accumulation runs in f32 output buffers."""
+    g = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale + bias_ref[0, 0][None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    p_c = p.astype(q.dtype)
+    dv_part = jax.lax.dot_general(
+        p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_c = (ds * scale).astype(q.dtype)
+    dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+    dk_part = jax.lax.dot_general(
+        ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(g == 0)
+    def _():
+        dk_ref[0, 0] = dk_part
+        dv_ref[0, 0] = dv_part
+
+    @pl.when(g != 0)
+    def _():
+        dk_ref[0, 0] += dk_part
+        dv_ref[0, 0] += dv_part
+
+
 def _backward(attention_mask, q, k, v, do):
     b, h, s, dh = q.shape
-    kernel = partial(_attention_bwd_kernel, scale=1.0 / math.sqrt(dh))
-    return pl.pallas_call(
+    scale = 1.0 / math.sqrt(dh)
+    interpret = jax.default_backend() == "cpu"
+    if s <= _FULL_TILE_MAX_S or s % _Q_BLOCK != 0:
+        kernel = partial(_attention_bwd_kernel, scale=scale)
+        return pl.pallas_call(
+            kernel,
+            grid=(b, h),
+            in_specs=[_bias_spec(s)] + [_qkv_spec(s, dh)] * 4,
+            out_specs=(_qkv_spec(s, dh),) * 3,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+                jax.ShapeDtypeStruct((b, h, s, dh), k.dtype),
+                jax.ShapeDtypeStruct((b, h, s, dh), v.dtype),
+            ),
+            interpret=interpret,
+        )(_mask_to_bias(attention_mask), q, k, v, do)
+    bias_spec, q_spec, kv_spec = _q_blocked_specs(s, dh, _Q_BLOCK)
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, s, dh),
+        lambda i, j, g: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = partial(_attention_bwd_q_blocked_kernel, scale=scale)
+    dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b, h),
-        in_specs=[_bias_spec(s)] + [_qkv_spec(s, dh)] * 4,
-        out_specs=(_qkv_spec(s, dh),) * 3,
+        grid=(b, h, s // _Q_BLOCK),
+        in_specs=[bias_spec, q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=(q_spec, kv_out_spec, kv_out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s, dh), k.dtype),
-            jax.ShapeDtypeStruct((b, h, s, dh), v.dtype),
+            jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
         ),
-        interpret=jax.default_backend() == "cpu",
+        interpret=interpret,
     )(_mask_to_bias(attention_mask), q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @jax.custom_vjp

@@ -137,3 +137,50 @@ def test_training_step_through_pallas_attention():
     assert all(
         np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads)
     )
+
+
+def test_q_blocked_long_sequence_matches_xla():
+    """S > 512 takes the query-blocked path; outputs match the XLA
+    reference including padding."""
+    from dial_rag_tpu.ops.flash_attention import _FULL_TILE_MAX_S, _Q_BLOCK
+
+    s = _FULL_TILE_MAX_S + _Q_BLOCK * 2  # forces the blocked path
+    rng = np.random.default_rng(7)
+    b, h, dh = 1, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[0, s - 100:] = 0
+    mask = jnp.asarray(mask_np)
+    out = np.asarray(flash_attention(q, k, v, mask))
+    ref = np.asarray(_xla_ref(q, k, v, mask))
+    np.testing.assert_allclose(
+        out[0, :, : s - 100], ref[0, :, : s - 100], atol=5e-6
+    )
+
+
+def test_q_blocked_gradients_match_xla():
+    from dial_rag_tpu.ops.flash_attention import _FULL_TILE_MAX_S, _Q_BLOCK
+
+    s = _FULL_TILE_MAX_S + _Q_BLOCK * 2
+    rng = np.random.default_rng(8)
+    b, h, dh = 1, 1, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask = jnp.asarray(np.ones((b, s), dtype=np.int32))
+    cot = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+
+    gp = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v, mask) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_ref(q, k, v, mask) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3
+        )
