@@ -48,3 +48,30 @@ def test_every_fact_maps_to_one_chunk():
     assert timings["n_chunks"] >= 5
     metrics = asyncio.run(run_eval(corpus, embedder, record))
     assert metrics["unmapped_questions"] == 0
+
+
+def test_frozen_retrieval_goldens():
+    """Exact chunk-id goldens on the seeded corpus + seeded encoder —
+    the counterpart of the reference's alps goldens
+    (test_retrievers.py:82-104). Any change to the tokenizer, encoder
+    init, parse/chunk pipeline, BM25 weights, or top-k tie-breaks shows
+    up here as an exact-id diff."""
+    from dial_rag_tpu.retrieval import Bm25Retriever, SemanticRetriever
+
+    corpus = build_corpus(n_pages=5, seed=0)
+    embedder = make_test_embedder(corpus)
+    record, _ = asyncio.run(build_record(corpus, embedder))
+    assert len(record.chunks) == 5
+
+    bm25 = Bm25Retriever.from_doc_records([record], k=3)
+    sem = SemanticRetriever.from_doc_records(embedder, [record], k=3)
+
+    q0 = corpus.questions[0].question
+    assert q0 == "How many meters tall is Mount Drorfell?"
+    assert [h.chunk_id for h in bm25.retrieve(q0)] == [0, 4, 3]
+    assert [h.chunk_id for h in sem.retrieve(q0)] == [3, 2, 1]
+
+    q3 = corpus.questions[3].question
+    assert q3 == "How many meters tall is Mount Glinwick?"
+    assert [h.chunk_id for h in bm25.retrieve(q3)] == [1, 4, 3]
+    assert [h.chunk_id for h in sem.retrieve(q3)] == [3, 2, 1]
