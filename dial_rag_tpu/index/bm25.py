@@ -134,6 +134,7 @@ class Bm25Index:
     idf: np.ndarray  # [V] f64
     n_items: int
     _weights_dev: jnp.ndarray | None = field(default=None, repr=False)
+    _weights_host: np.ndarray | None = field(default=None, repr=False)
     # device CSC postings: (term_ptr [V+1] host, rows dev [nnz] i32,
     # vals dev [nnz] f32)
     _postings: tuple | None = field(default=None, repr=False)
@@ -152,7 +153,10 @@ class Bm25Index:
         cls,
         tokenized_items: list[list[str]],
         max_dense_bytes: int = 256 * 1024 * 1024,
+        device: bool = True,
     ) -> "Bm25Index":
+        """``device=False`` keeps the dense weights host-side (the
+        sharded wrapper uploads its own flipped copy instead)."""
         n = len(tokenized_items)
         if sum(map(len, tokenized_items)) == 0:
             raise ValueError("Text index is empty.")
@@ -193,7 +197,8 @@ class Bm25Index:
             for i, tf in enumerate(rows):
                 for tid, f in tf.items():
                     w[i, tid] = idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
-            index._weights_dev = jnp.asarray(w)
+            index._weights_dev = jnp.asarray(w) if device else None
+            index._weights_host = w
         else:
             # device CSC postings (term-major): rows/vals in HBM sorted by
             # term then item; term_ptr stays on host for slice lookup

@@ -261,3 +261,78 @@ class ShardedDenseIndex:
             )
             dists.append(float(v))
         return hits, dists
+
+
+class ShardedBm25Index:
+    """BM25 weights row-sharded over a device mesh.
+
+    Reuses the sharded dense scan: BM25 scoring is the inner product of
+    the saturation-weight matrix with the query term-count vector, and
+    the reference's descending-with-LATER-index-ties ranking
+    (``argsort(kind="stable")[::-1]``) maps onto the dense index's
+    earliest-row-stable ascending top-k by storing the weight rows
+    FLIPPED — the earliest flipped row is the latest real item.
+    """
+
+    def __init__(self, base, mesh: Mesh, limit: int):
+        from dial_rag_tpu.index.bm25 import Bm25Index
+
+        assert isinstance(base, Bm25Index)
+        if base._weights_host is None:
+            raise ValueError(
+                "sharded BM25 requires the dense weights path "
+                "(build with device=False)"
+            )
+        self._base = base
+        self.limit = limit
+        n = base.n_items
+        flipped = np.ascontiguousarray(base._weights_host[:n][::-1])
+        self._dense = ShardedDenseIndex(
+            RetrievalType.TEXT,
+            [
+                DocEmbeddings(
+                    chunk_ids=np.arange(n)[::-1], embeddings=flipped
+                )
+            ],
+            mesh,
+            metric=Metric.INNER_PRODUCT,
+            limit=limit,
+        )
+
+    @property
+    def vocab(self):
+        return self._base.vocab
+
+    @property
+    def n_items(self) -> int:
+        return self._base.n_items
+
+    @property
+    def nbytes(self) -> int:
+        return self._dense.nbytes
+
+    def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
+        if n > self.limit:
+            raise ValueError(f"n={n} exceeds the index limit {self.limit}")
+        v_pad = self._dense._emb.shape[1]
+        q = self._base._query_vector(query_tokens, v_pad)
+        hits = self._dense.find(q)
+        return np.array([h.chunk_id for h in hits[:n]], dtype=np.int64)
+
+    def top_n_batch(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[np.ndarray]:
+        if not queries_tokens:
+            return []
+        v_pad = self._dense._emb.shape[1]
+        qmat = np.stack(
+            [
+                self._base._query_vector(q, v_pad)
+                for q in queries_tokens
+            ]
+        )  # [Q, V]
+        results = self._dense.find_batch(qmat)
+        return [
+            np.array([h.chunk_id for h in hits[:n]], dtype=np.int64)
+            for hits in results
+        ]

@@ -41,17 +41,31 @@ class Bm25Retriever:
         doc_records: list[DocumentRecord],
         k: int = 4,
         device_cache=None,
+        mesh=None,
     ) -> "Bm25Retriever":
+        """With ``mesh`` the weight rows shard over its devices (exact
+        reverse-stable tie-breaks preserved via the flipped layout)."""
         items, tokenized = [], []
         for doc_index, chunk_index, tokens in cls._iter_items(doc_records):
             items.append((doc_index, chunk_index))
             tokenized.append(tokens)
 
         def build():
+            if mesh is not None:
+                from dial_rag_tpu.parallel.sharded_index import (
+                    ShardedBm25Index,
+                )
+
+                base = Bm25Index.build(tokenized, device=False)
+                if base._weights_host is not None:
+                    return ShardedBm25Index(base, mesh, limit=k)
+                return base  # CSC sparse path stays single-device
             return Bm25Index.build(tokenized)  # raises on empty text index
 
         if device_cache is not None:
-            index = device_cache.get_or_build(doc_records, ("bm25",), build)
+            index = device_cache.get_or_build(
+                doc_records, ("bm25", k, mesh is not None), build
+            )
         else:
             index = build()
         return cls(items=items, index=index, k=k)

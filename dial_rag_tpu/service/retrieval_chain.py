@@ -133,7 +133,10 @@ def create_retriever(
         retrievers.append(
             make_retrieval_stage(
                 Bm25Retriever.from_doc_records(
-                    document_records, RETRIEVER_K, device_cache=device_cache
+                    document_records,
+                    RETRIEVER_K,
+                    device_cache=device_cache,
+                    mesh=mesh,
                 ),
                 "Keywords search",
             )

@@ -148,3 +148,39 @@ def test_sharded_bfloat16_storage(mesh):
     target = 321
     q = emb[target] + 0.01 * rng.standard_normal(16).astype(np.float32)
     assert idx.find(q)[0].chunk_id == target
+
+
+def test_sharded_bm25_matches_single_chip(mesh):
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25Index
+
+    rng = np.random.default_rng(8)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow",
+             "river", "pass"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 10))))
+        for _ in range(60)
+    ]
+    single = Bm25Index.build(items)
+    sharded = ShardedBm25Index(
+        Bm25Index.build(items, device=False), mesh, limit=7
+    )
+    for q in (["alps"], ["climate", "glacier"], ["peak", "missing"],
+              ["snow", "snow", "river"]):
+        np.testing.assert_array_equal(
+            sharded.top_n(q, 7), single.top_n(q, 7)
+        )
+
+
+def test_sharded_bm25_tiebreak_later_item_wins(mesh):
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25Index
+
+    # identical items: all scores tie; reference order is reversed-index
+    items = [["alps", "peak"]] * 40
+    sharded = ShardedBm25Index(
+        Bm25Index.build(items, device=False), mesh, limit=5
+    )
+    np.testing.assert_array_equal(
+        sharded.top_n(["alps"], 5), np.array([39, 38, 37, 36, 35])
+    )
