@@ -1,0 +1,77 @@
+"""Training data: sharded JSONL (query, passage) pair reader.
+
+Feeds training/loop.py from files instead of in-memory lists: each line
+is ``{"query": ..., "passage": ...}``; shards are read in a seeded
+order with a bounded shuffle buffer (deterministic given the seed, so
+checkpoint resume + the loop's skip-consumed-batches logic replays the
+same stream)."""
+
+import glob
+import json
+import logging
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def jsonl_pairs(
+    pattern: str | list[str],
+    seed: int = 0,
+    shuffle_buffer: int = 4096,
+    repeat: int = 1,
+) -> Iterator[tuple[str, str]]:
+    """Yield (query, passage) pairs from JSONL shard(s).
+
+    - ``pattern``: a glob (or list of paths); shard ORDER is shuffled
+      per epoch with the seeded rng.
+    - ``shuffle_buffer``: reservoir size for within-stream shuffling
+      (0 disables).
+    - ``repeat``: number of epochs (-1 = endless).
+    """
+    if isinstance(pattern, str):
+        paths = sorted(glob.glob(pattern))
+    else:
+        paths = [str(p) for p in pattern]
+    if not paths:
+        raise FileNotFoundError(f"no training shards match {pattern!r}")
+    rng = np.random.default_rng(seed)
+
+    def read_shards(epoch_paths):
+        for path in epoch_paths:
+            with open(path, encoding="utf-8") as f:
+                for line_no, line in enumerate(f, start=1):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        row = json.loads(line)
+                        yield str(row["query"]), str(row["passage"])
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        logger.warning(
+                            f"skipping malformed pair at "
+                            f"{Path(path).name}:{line_no}"
+                        )
+
+    epoch = 0
+    while repeat < 0 or epoch < repeat:
+        epoch += 1
+        epoch_paths = list(paths)
+        rng.shuffle(epoch_paths)
+        stream = read_shards(epoch_paths)
+        if shuffle_buffer <= 1:
+            yield from stream
+            continue
+        buffer: list[tuple[str, str]] = []
+        for pair in stream:
+            if len(buffer) < shuffle_buffer:
+                buffer.append(pair)
+                continue
+            j = int(rng.integers(0, shuffle_buffer))
+            yield buffer[j]
+            buffer[j] = pair
+        order = rng.permutation(len(buffer))
+        for j in order:
+            yield buffer[int(j)]

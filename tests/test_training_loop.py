@@ -140,3 +140,58 @@ def test_final_step_on_checkpoint_boundary_no_double_save(
         checkpoint_dir=str(tmp_path / "b"),
     )
     assert Checkpointer(str(tmp_path / "b")).latest_step() == 4
+
+
+def test_jsonl_pairs_reader(tmp_path):
+    import json as _json
+
+    from dial_rag_tpu.training.data import jsonl_pairs
+
+    for shard in range(3):
+        with open(tmp_path / f"pairs-{shard}.jsonl", "w") as f:
+            for i in range(10):
+                f.write(
+                    _json.dumps(
+                        {"query": f"q{shard}-{i}", "passage": f"p{shard}-{i}"}
+                    )
+                    + "\n"
+                )
+            f.write("not json\n")  # malformed lines are skipped
+    pattern = str(tmp_path / "pairs-*.jsonl")
+    a = list(jsonl_pairs(pattern, seed=7, shuffle_buffer=8))
+    b = list(jsonl_pairs(pattern, seed=7, shuffle_buffer=8))
+    assert a == b  # deterministic given the seed
+    assert len(a) == 30
+    assert sorted(a) != a  # actually shuffled
+    assert set(a) == {
+        (f"q{s}-{i}", f"p{s}-{i}") for s in range(3) for i in range(10)
+    }
+    # epochs
+    two = list(jsonl_pairs(pattern, seed=7, shuffle_buffer=0, repeat=2))
+    assert len(two) == 60
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        next(jsonl_pairs(str(tmp_path / "missing-*.jsonl")))
+
+
+def test_train_from_jsonl(tmp_path, tokenizer):
+    import json as _json
+
+    from dial_rag_tpu.training.data import jsonl_pairs
+
+    with open(tmp_path / "pairs.jsonl", "w") as f:
+        for q, p in _pairs(40):
+            f.write(_json.dumps({"query": q, "passage": p}) + "\n")
+    cfg = TrainConfig(
+        batch_size=8, seq_len=32, total_steps=3, warmup_steps=1,
+        checkpoint_every=100,
+    )
+    params, losses = train(
+        BertConfig.tiny(),
+        cfg,
+        jsonl_pairs(str(tmp_path / "pairs.jsonl"), shuffle_buffer=16),
+        tokenizer,
+    )
+    assert len(losses) == 3 and all(np.isfinite(losses))
