@@ -185,12 +185,21 @@ class BgeEmbedder:
             stacked[1, r0 : r0 + mask.shape[0], : mask.shape[1]] = mask
         return stacked
 
-    def _tokenize_group(self, group: list[list[str]]):
-        toks = [
-            self.tokenizer.encode_batch(b, max_len=self.max_len)
-            for b in group
-        ]
-        return self._assemble_group(toks)
+    def _encode_group_mixed(self, toks: list):
+        """Per-batch encodes at each batch's own sequence bucket; rows
+        still pad to batch_size so the caller's span math holds."""
+        outs = []
+        for ids, mask in toks:
+            b = ids.shape[0]
+            if b != self.batch_size:
+                ids = np.pad(ids, ((0, self.batch_size - b), (0, 0)))
+                mask = np.pad(mask, ((0, self.batch_size - b), (0, 0)))
+            outs.append(
+                self.encoder.encode(
+                    self.params, *self._device_put_batch(ids, mask)
+                )
+            )
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def _encode_group(self, stacked: np.ndarray, n_batches: int):
         """One H2D transfer, n_batches in-order encode dispatches on
@@ -263,8 +272,16 @@ class BgeEmbedder:
                 break
         for group in list(it) + [None] * len(window):
             n_batches, futures = window.popleft()
-            stacked = self._assemble_group([f.result() for f in futures])
-            group_outs.append(self._encode_group(stacked, n_batches))
+            toks = [f.result() for f in futures]
+            buckets = {t[0].shape[1] for t in toks}
+            if len(buckets) == 1:
+                stacked = self._assemble_group(toks)
+                group_outs.append(self._encode_group(stacked, n_batches))
+            else:
+                # mixed sequence buckets: stacking would pad every batch
+                # to the group max (up to 8x wasted encoder FLOPs);
+                # encode each batch at its own width instead
+                group_outs.append(self._encode_group_mixed(toks))
             if group is not None:
                 window.append(submit_group(group))
         return group_outs, batches

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dial_rag_tpu.ops.metrics import _PRECISION
 from dial_rag_tpu.ops.stable_topk import (
     _ARGMIN_MAX_K,
     stable_topk_argmin,
@@ -54,7 +55,12 @@ def _pad_to(n: int, m: int) -> int:
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
 def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int, use_sort: bool):
-    scores = jnp.dot(weights, query_vec, preferred_element_type=jnp.float32)
+    scores = jnp.dot(
+        weights,
+        query_vec,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
     n_pad = scores.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
     # padding rows must lose to every real row: scores desc -> use -inf...
@@ -99,7 +105,10 @@ def _bm25_topk_batch_kernel(weights, query_mat, n_valid, *, k, use_sort):
     """[V, Q] query-count columns: one MXU matmul scores Q queries, then
     per-column reference-exact top-k (vmapped)."""
     scores = jnp.dot(
-        weights, query_mat, preferred_element_type=jnp.float32
+        weights,
+        query_mat,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
     )  # [N, Q]
     n_pad = scores.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
@@ -289,12 +298,18 @@ class Bm25Index:
         return _pad_to(max(self.n_items, 8), 8)
 
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
+        if self._weights_dev is None and self._weights_host is not None:
+            # host-only build (device=False): numpy matvec keeps the API
+            # usable without re-uploading weights
+            q = self._query_vector(query_tokens, self._weights_host.shape[1])
+            return (self._weights_host @ q)[: self.n_items]
         if self._weights_dev is not None:
             q = self._query_vector(query_tokens, self._weights_dev.shape[1])
             scores = jnp.dot(
                 self._weights_dev,
                 jnp.asarray(q),
                 preferred_element_type=jnp.float32,
+                precision=_PRECISION,
             )
             return np.asarray(scores)[: self.n_items]
         return np.asarray(self._sparse_total_scores(query_tokens))[
@@ -309,6 +324,8 @@ class Bm25Index:
         k = min(n, self.n_items)
         if not queries_tokens:
             return []
+        if self._weights_dev is None and self._weights_host is not None:
+            return [self.top_n(q, n) for q in queries_tokens]
         if self._weights_dev is not None:
             v_pad = self._weights_dev.shape[1]
             qmat = np.stack(
@@ -333,6 +350,9 @@ class Bm25Index:
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""
         k = min(n, self.n_items)
+        if self._weights_dev is None and self._weights_host is not None:
+            scores = self.get_scores(query_tokens)
+            return np.argsort(scores, kind="stable")[::-1][:k]
         if self._weights_dev is not None:
             q = self._query_vector(query_tokens, self._weights_dev.shape[1])
             _, idx = _bm25_topk_kernel(

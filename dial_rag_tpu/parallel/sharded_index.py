@@ -322,6 +322,8 @@ class ShardedBm25Index:
     def top_n_batch(
         self, queries_tokens: list[list[str]], n: int
     ) -> list[np.ndarray]:
+        if n > self.limit:
+            raise ValueError(f"n={n} exceeds the index limit {self.limit}")
         if not queries_tokens:
             return []
         v_pad = self._dense._emb.shape[1]

@@ -342,7 +342,8 @@ def _warmup_device(application: "DialRagApplication") -> None:
     embedder = application.embedder
     logger.info("warmup: compiling encoder/scan programs")
     for bucket in embedder.tokenizer.buckets:
-        word = "a " * max(1, bucket // 2 - 2)
+        # bucket-2 single-token words + CLS/SEP lands exactly in `bucket`
+        word = "a " * max(1, bucket - 2)
         embedder.embed_queries([word])
         embedder.embed_documents([word] * embedder.batch_size)
     emb = embedder.embed_documents(["warmup text"])
@@ -437,7 +438,12 @@ def create_app(
                 await asyncio.gather(task, return_exceptions=True)
             return response
 
-        result = await responder.aggregate()
+        try:
+            result = await responder.aggregate()
+        finally:
+            # client disconnects must not leave the pipeline running
+            if not task.done():
+                task.cancel()
         try:
             await task
         except Exception as e:

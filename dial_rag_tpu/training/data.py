@@ -48,7 +48,12 @@ def jsonl_pairs(
                         continue
                     try:
                         row = json.loads(line)
-                        yield str(row["query"]), str(row["passage"])
+                        query, passage = row["query"], row["passage"]
+                        if not isinstance(query, str) or not isinstance(
+                            passage, str
+                        ):
+                            raise TypeError("non-string pair")
+                        yield query, passage
                     except (json.JSONDecodeError, KeyError, TypeError):
                         logger.warning(
                             f"skipping malformed pair at "

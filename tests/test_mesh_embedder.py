@@ -93,3 +93,17 @@ def test_shard_over_rounds_batch_size_to_dp_multiple(single, mesh):
     assert odd.batch_size % 8 == 0
     out = odd.embed_documents([f"doc {i} abc" for i in range(23)])
     assert out.shape[0] == 23
+
+
+def test_mixed_bucket_group_matches_per_text(single):
+    """A group whose batches land in different sequence buckets encodes
+    each batch at its own width; outputs stay identical."""
+    short = ["ab cd"] * single.batch_size
+    long = ["ab " * 40] * single.batch_size  # bucketed higher
+    texts = (short + long) * 2 + short[:3]
+    host = single.embed_documents(texts)
+    per_text = np.concatenate(
+        [single.embed_documents(texts[i : i + 1]) for i in range(7)]
+    )
+    np.testing.assert_allclose(host[:7], per_text, rtol=1e-5, atol=1e-6)
+    assert host.shape == (len(texts), single.dim)

@@ -53,11 +53,11 @@ async def test_record_then_replay(tmp_path):
     await replayer.stop()
 
 
-def test_cache_key_is_body_md5():
+def test_cache_key_includes_path():
     body = b'{"messages": []}'
-    import hashlib
-
-    assert body_cache_key(body) == hashlib.md5(body).hexdigest()
+    a = body_cache_key(body, "/openai/deployments/model-a/chat/completions")
+    b = body_cache_key(body, "/openai/deployments/model-b/chat/completions")
+    assert a != b  # same body, different deployment -> different fixture
 
 
 async def test_get_passthrough(tmp_path):

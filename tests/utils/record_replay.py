@@ -19,8 +19,11 @@ import aiohttp
 from aiohttp import web
 
 
-def body_cache_key(body: bytes) -> str:
-    return hashlib.md5(body).hexdigest()
+def body_cache_key(body: bytes, path: str = "") -> str:
+    """Key on path + body: the deployment lives in the URL, not the
+    body, so body-only keys would replay one model's fixture for
+    another."""
+    return hashlib.md5(path.encode() + b"\x00" + body).hexdigest()
 
 
 class RecordReplayProxy:
@@ -60,7 +63,7 @@ class RecordReplayProxy:
 
     async def _proxy_post(self, request: web.Request) -> web.Response:
         body = await request.read()
-        key = body_cache_key(body)
+        key = body_cache_key(body, str(request.rel_url))
         path = self._cache_path(key)
         if path.exists():
             return web.Response(
