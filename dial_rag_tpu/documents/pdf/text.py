@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 from dial_rag_tpu.documents.pdf.document import PdfDocument
 from dial_rag_tpu.documents.pdf.fonts import PdfFont
-from dial_rag_tpu.documents.pdf.objects import Lexer, Name, PdfError, Ref, Stream
+from dial_rag_tpu.documents.pdf.objects import Lexer, Name, PdfError, Stream
 
 logger = logging.getLogger(__name__)
 
