@@ -104,6 +104,27 @@ def _find_batch_kernel(
     return jax.vmap(lambda d: topk(d, k))(dists)
 
 
+def hits_from_topk(
+    vals, idx, n_rows, doc_ids, chunk_ids, retrieval_type
+) -> tuple[list[SearchHit], list[float]]:
+    """(values, indices) from a top-k kernel -> SearchHits + distances,
+    stopping at padding rows (shared by the dense and sharded indexes)."""
+    hits: list[SearchHit] = []
+    dists: list[float] = []
+    for v, i in zip(vals, idx):
+        if not np.isfinite(v) and i >= n_rows:
+            break  # padding rows reached (fewer valid rows than k)
+        hits.append(
+            SearchHit(
+                doc_id=int(doc_ids[i]),
+                chunk_id=int(chunk_ids[i]),
+                retrieval_type=retrieval_type,
+            )
+        )
+        dists.append(float(v))
+    return hits, dists
+
+
 class DenseIndex:
     """Flat dense index over multiple documents; query on device."""
 
@@ -223,21 +244,17 @@ class DenseIndex:
         )
         vals = np.asarray(vals)[:q]
         idx = np.asarray(idx)[:q]
-        results = []
-        for qi in range(q):
-            hits = []
-            for v, i in zip(vals[qi], idx[qi]):
-                if not np.isfinite(v) and i >= self.n_rows:
-                    break
-                hits.append(
-                    SearchHit(
-                        doc_id=int(self._doc_ids[i]),
-                        chunk_id=int(self._chunk_ids[i]),
-                        retrieval_type=self.retrieval_type,
-                    )
-                )
-            results.append(hits)
-        return results
+        return [
+            hits_from_topk(
+                vals[qi],
+                idx[qi],
+                self.n_rows,
+                self._doc_ids,
+                self._chunk_ids,
+                self.retrieval_type,
+            )[0]
+            for qi in range(q)
+        ]
 
     def find_with_distances(self, query):
         if self._emb is None:
@@ -252,18 +269,11 @@ class DenseIndex:
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        hits, dists = [], []
-        for v, i in zip(vals, idx):
-            if not np.isfinite(v) and i >= self.n_rows:
-                break  # padding reached (fewer valid rows than k)
-            hits.append(
-                SearchHit(
-                    doc_id=int(self._doc_ids[i]),
-                    chunk_id=int(self._chunk_ids[i]),
-                    retrieval_type=self.retrieval_type,
-                )
-            )
-            dists.append(float(v))
-        return hits, dists
+        return hits_from_topk(
+            np.asarray(vals),
+            np.asarray(idx),
+            self.n_rows,
+            self._doc_ids,
+            self._chunk_ids,
+            self.retrieval_type,
+        )

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dial_rag_tpu.index.dense_index import DocEmbeddings
+from dial_rag_tpu.index.dense_index import DocEmbeddings, hits_from_topk
 from dial_rag_tpu.index.records import RetrievalType, SearchHit
 from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
 from dial_rag_tpu.ops.stable_topk import (
@@ -216,21 +216,17 @@ class ShardedDenseIndex:
         )
         vals = np.asarray(vals)[:q]
         idx = np.asarray(idx)[:q]
-        results = []
-        for qi in range(q):
-            hits = []
-            for v, i in zip(vals[qi], idx[qi]):
-                if not np.isfinite(v) and i >= self.n_rows:
-                    break
-                hits.append(
-                    SearchHit(
-                        doc_id=int(self._doc_ids[i]),
-                        chunk_id=int(self._chunk_ids[i]),
-                        retrieval_type=self.retrieval_type,
-                    )
-                )
-            results.append(hits)
-        return results
+        return [
+            hits_from_topk(
+                vals[qi],
+                idx[qi],
+                self.n_rows,
+                self._doc_ids,
+                self._chunk_ids,
+                self.retrieval_type,
+            )[0]
+            for qi in range(q)
+        ]
 
     def find_with_distances(self, query):
         if self._emb is None:
@@ -246,21 +242,14 @@ class ShardedDenseIndex:
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        hits, dists = [], []
-        for v, i in zip(vals, idx):
-            if not np.isfinite(v) and i >= self.n_rows:
-                break  # padding rows reached
-            hits.append(
-                SearchHit(
-                    doc_id=int(self._doc_ids[i]),
-                    chunk_id=int(self._chunk_ids[i]),
-                    retrieval_type=self.retrieval_type,
-                )
-            )
-            dists.append(float(v))
-        return hits, dists
+        return hits_from_topk(
+            np.asarray(vals),
+            np.asarray(idx),
+            self.n_rows,
+            self._doc_ids,
+            self._chunk_ids,
+            self.retrieval_type,
+        )
 
 
 class ShardedBm25Index:
