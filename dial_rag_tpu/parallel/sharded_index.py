@@ -276,6 +276,7 @@ class ShardedBm25Index:
         self.limit = limit
         n = base.n_items
         flipped = np.ascontiguousarray(base._weights_host[:n][::-1])
+        base._weights_host = None  # uploaded below; free the host copy
         self._dense = ShardedDenseIndex(
             RetrievalType.TEXT,
             [
