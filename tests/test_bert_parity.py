@@ -7,6 +7,7 @@ numerics, and the bge CLS+normalize pooling contract
 (SURVEY.md §7 hard part 1).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -138,3 +139,57 @@ def test_bf16_compute_close(params):
     # normalized vectors: cosine similarity should stay very high
     cos = (f32 * bf16).sum(axis=1)
     assert (cos > 0.995).all(), cos
+
+
+def test_from_hf_checkpoint_end_to_end(tmp_path):
+    """The production loading path: an HF BertModel checkpoint directory
+    (config.json + model.safetensors + vocab.txt) loads into the
+    embedder and matches transformers' CLS pooling on real text."""
+    import json
+
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=64,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(hf_cfg)
+    model.eval()
+
+    vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        chr(c) for c in range(97, 123)
+    ] + [f"##{chr(c)}" for c in range(97, 123)]
+    vocab_tokens += [f"tok{i}" for i in range(64 - len(vocab_tokens))]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab_tokens) + "\n")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+
+    embedder = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    )
+    assert embedder.dim == 32
+    text = "ab cd efg"
+    ours = embedder.embed_documents([text])[0]
+
+    ids, mask = embedder.tokenizer.encode_batch([text], max_len=64)
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.from_numpy(ids.astype("int64")),
+            attention_mask=torch.from_numpy(mask.astype("int64")),
+        ).last_hidden_state[0, 0]
+    hf_cls = torch.nn.functional.normalize(hf_out, dim=-1).numpy()
+    np.testing.assert_allclose(ours, hf_cls, atol=2e-5)
