@@ -255,7 +255,7 @@ _NS_REL = (
 def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
     if "xl/sharedStrings.xml" not in zf.namelist():
         return []
-    root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+    root = _read_xml(zf, "xl/sharedStrings.xml")
     strings = []
     for si in root.iter(_NS_S + "si"):
         strings.append("".join(t.text or "" for t in si.iter(_NS_S + "t")))
@@ -267,12 +267,16 @@ def _xlsx_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     wb = _read_xml(zf, "xl/workbook.xml")
     rels = {}
     if "xl/_rels/workbook.xml.rels" in zf.namelist():
-        rel_root = ElementTree.fromstring(
-            zf.read("xl/_rels/workbook.xml.rels")
-        )
+        rel_root = _read_xml(zf, "xl/_rels/workbook.xml.rels")
         pkg = "{http://schemas.openxmlformats.org/package/2006/relationships}"
         for rel in rel_root.iter(pkg + "Relationship"):
-            rels[rel.get("Id")] = "xl/" + rel.get("Target", "").lstrip("/")
+            target = rel.get("Target", "")
+            if target.startswith("/"):
+                # package-absolute target (valid per OPC): resolve from
+                # the package root, not relative to xl/
+                rels[rel.get("Id")] = target.lstrip("/")
+            else:
+                rels[rel.get("Id")] = "xl/" + target
     sheets = []
     for sh in wb.iter(_NS_S + "sheet"):
         rid = sh.get(_NS_REL + "id")
@@ -316,7 +320,7 @@ def xlsx_elements(data: bytes, mime: str = MIME_XLSX) -> list[Element]:
         for sheet_name, path in sheets:
             if path not in zf.namelist():
                 continue
-            root = ElementTree.fromstring(zf.read(path))
+            root = _read_xml(zf, path)
             elements.append(
                 Element(
                     text=sheet_name,
@@ -370,6 +374,7 @@ def office_elements(data: bytes, mime: str) -> list[Element]:
         IndexError,
         KeyError,
         RuntimeError,  # zipfile 'encrypted, password required'
+        ElementTree.ParseError,  # SyntaxError subclass — not a ValueError
     ) as e:
         # corrupt archives surface mid-read (CRC, deflate, overlap checks);
         # they are bad user input, not internal errors

@@ -57,10 +57,17 @@ class DeviceIndexCache:
                     return index
             try:
                 index = builder()
-            finally:
+            except BaseException:
                 with self._lock:
                     self._building.pop(key, None)
+                raise
             with self._lock:
+                # insert before dropping the build lock from _building —
+                # popping it first opens a window where a newcomer sees
+                # neither an entry nor a lock and starts a duplicate build
+                replaced = self._entries.pop(key, None)
+                if replaced is not None:
+                    self._size -= replaced.nbytes
                 self._entries[key] = index
                 self._size += index.nbytes
                 self.misses += 1
@@ -70,6 +77,7 @@ class DeviceIndexCache:
                 ):
                     _, evicted = self._entries.popitem(last=False)
                     self._size -= evicted.nbytes
+                self._building.pop(key, None)
         return index
 
     def __len__(self) -> int:

@@ -123,6 +123,28 @@ def test_single_flight_concurrent_builds():
     assert cache.hits == 4 and cache.misses == 1
 
 
+def test_duplicate_insert_replaces_and_subtracts_bytes():
+    """If a racer's entry lands between the build-lock re-check and this
+    build's insert (the old single-flight window), the replacement must
+    subtract the replaced entry's bytes — otherwise _size inflates
+    permanently and causes premature eviction."""
+    cache = DeviceIndexCache()
+    records = [Rec(("u", "s"))]
+    key = ((("u", "s"),), ("c",))
+
+    def builder():
+        # simulate the racer's duplicate insert mid-build
+        with cache._lock:
+            cache._entries[key] = FakeIndex(300)
+            cache._size += 300
+        return FakeIndex(100)
+
+    out = cache.get_or_build(records, ("c",), builder)
+    assert out.nbytes == 100
+    assert cache.size_bytes == 100  # 300-byte racer entry was replaced
+    assert not cache._building  # build lock released after insert
+
+
 def test_failed_build_can_retry():
     cache = DeviceIndexCache()
     records = [Rec(("u2", "s"))]

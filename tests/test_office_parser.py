@@ -182,6 +182,74 @@ def test_xlsx_parse_document_end_to_end():
     assert chunks and "alpha | beta" in chunks[0].text
 
 
+def _rewrite_zip_member(data: bytes, name: str, payload: str) -> bytes:
+    """Rebuild a zip with one member replaced (valid CRC, bad content)."""
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(data))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for item in src.namelist():
+            zf.writestr(item, payload if item == name else src.read(item))
+    return out.getvalue()
+
+
+@pytest.mark.parametrize(
+    "part",
+    [
+        "xl/sharedStrings.xml",
+        "xl/_rels/workbook.xml.rels",
+        "xl/worksheets/sheet1.xml",
+        "xl/workbook.xml",
+    ],
+)
+def test_valid_zip_malformed_xml_is_invalid_document(part):
+    """A structurally valid archive whose XML parts are garbage must be a
+    400 (InvalidDocumentError), not a raw ElementTree.ParseError — byte
+    fuzzing can't reach this because flips fail the zip CRC first."""
+    from dial_rag_tpu.documents.office import MIME_XLSX
+    from tests.utils.office_builder import build_xlsx
+
+    base = build_xlsx({"S": [["a", "b"]]})
+    data = _rewrite_zip_member(base, part, "<not </xml")
+    with pytest.raises(InvalidDocumentError):
+        office_elements(data, MIME_XLSX)
+
+
+def test_valid_zip_malformed_docx_xml_is_invalid_document():
+    data = _rewrite_zip_member(
+        build_docx([("Body text.", None)]), "word/document.xml", "<a><b></a>"
+    )
+    with pytest.raises(InvalidDocumentError):
+        office_elements(data, MIME_DOCX)
+
+
+def test_xlsx_package_absolute_relationship_target():
+    """Target="/xl/worksheets/sheet1.xml" is package-absolute per OPC and
+    must resolve from the package root, not become xl/xl/..."""
+    import re
+
+    from dial_rag_tpu.documents.office import MIME_XLSX, xlsx_elements
+    from tests.utils.office_builder import build_xlsx
+
+    base = build_xlsx({"Peaks": [["Zarvok", "4123"]]})
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(base))
+    rels = src.read("xl/_rels/workbook.xml.rels").decode()
+    rels = re.sub(
+        r'Target="worksheets/', 'Target="/xl/worksheets/', rels
+    )
+    data = _rewrite_zip_member(base, "xl/_rels/workbook.xml.rels", rels)
+    els = xlsx_elements(data)
+    assert [(e.text, e.is_title) for e in els] == [
+        ("Peaks", True),
+        ("Zarvok | 4123", False),
+    ]
+
+
 def test_fuzzed_office_never_escapes_invalid_document_error():
     """Random mutations of valid office archives must parse or raise
     InvalidDocumentError — zip/zlib/xml internals must not leak."""
