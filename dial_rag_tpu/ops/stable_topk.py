@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Above this k the full sort beats k argmin passes.
 _ARGMIN_MAX_K = 32
@@ -34,7 +35,10 @@ def _sanitize(values: jnp.ndarray) -> jnp.ndarray:
 
 # Sentinel strictly greater than the key of any sanitized float (the max
 # sanitized key is +inf -> 0xFF800000), so taken entries never win argmin.
-_TAKEN = jnp.uint32(0xFFFFFFFF)
+# A host (numpy) scalar on purpose: a jnp constant here would eagerly
+# initialize the JAX backend at import time, pinning whichever platform
+# is ambient before callers can configure one.
+_TAKEN = np.uint32(0xFFFFFFFF)
 
 
 def _sortable_key(values: jnp.ndarray) -> jnp.ndarray:

@@ -28,15 +28,18 @@ import os
 import time
 from pathlib import Path
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var (and the axon
-# site pre-imports jax); honor the env var programmatically so
-# `JAX_PLATFORMS=cpu python -m eval.eval_retriever` runs hermetically on
-# CPU (same workaround as the test conftest). Safe as long as the
-# backend has not been used yet.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+def _honor_jax_platforms_env() -> None:
+    """The axon TPU plugin ignores the JAX_PLATFORMS env var (and the
+    axon site pre-imports jax); honor it programmatically so
+    `JAX_PLATFORMS=cpu python -m eval.eval_retriever` runs hermetically
+    on CPU. Called from main() ONLY: at import time it would hijack the
+    backend of an importer (e.g. the test suite's forced 8-device CPU
+    mesh while the ambient env says JAX_PLATFORMS=axon)."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 from dial_rag_tpu.documents.model import (
     FORMAT_VERSION,
@@ -202,6 +205,7 @@ async def run_eval(
 
 
 def main(argv=None) -> dict:
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--pages", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
