@@ -1,31 +1,36 @@
-"""Token-weighted counting semaphore with FIFO multi-waiter wakeup.
+"""Token-weighted FIFO admission gate.
 
-Same contract as the reference's ResourceCounter (resource_counter.py):
-``acquire(n)`` takes n units at once; ``release`` wakes as many queued
-waiters as fit, in FIFO order (so one large waiter blocks later small
-ones — intentional fairness); ``acquire_and_create_task`` ties the units'
-lifetime to a spawned task. Used to bound concurrent remote-model calls
-by the user's minute token limit."""
+Same admission contract as the reference's ResourceCounter
+(reference resources/resource_counter.py): ``acquire(n)`` debits n
+units at once; FIFO order is strict — a large waiter at the head
+blocks smaller latecomers (intentional fairness, so big requests
+can't starve); one ``release`` admits as many queued waiters as now
+fit. The mechanism is this codebase's own: waiters queue as
+``(units, future)`` tickets and a single ``_admit`` sweep pops
+granted tickets off the head, debiting units at grant time. A ticket
+cancelled before its grant just stays in the queue until the sweep
+reaches and discards it; one cancelled after its grant refunds the
+debit. Both cases re-run the sweep so freed capacity is never
+stranded (the deadlock class asyncio.Semaphore also guards against).
+
+Used to bound concurrent remote-model calls by the user's
+minute-token budget (runtime/limited.py).
+"""
 
 import asyncio
 from collections import deque
-from contextlib import asynccontextmanager
-from dataclasses import dataclass
 from typing import Coroutine
 
 
 class ResourceCounter:
-    @dataclass
-    class _WaitItem:
-        future: asyncio.Future
-        count: int
+    """FIFO weighted admission over a fixed budget of ``total`` units."""
 
     def __init__(self, total: int):
         if total <= 0:
             raise ValueError("ResourceCounter total value must be > 0")
-        self._waiters: deque[ResourceCounter._WaitItem] = deque()
         self._total = total
-        self._value = total
+        self._free = total
+        self._tickets: deque[tuple[int, asyncio.Future]] = deque()
 
     @property
     def total(self) -> int:
@@ -33,60 +38,51 @@ class ResourceCounter:
 
     @property
     def available(self) -> int:
-        return self._value
+        return self._free
 
-    def locked(self, count: int = 1) -> bool:
-        # Pending waiters get priority over new acquirers (FIFO fairness).
-        return self._value < count or any(
-            not w.future.cancelled() for w in self._waiters
-        )
+    def _admit(self) -> None:
+        """Grant queue-head tickets while they fit; stop at the first
+        live ticket that doesn't (never skip over it — FIFO)."""
+        while self._tickets:
+            units, ticket = self._tickets[0]
+            if ticket.cancelled():
+                self._tickets.popleft()  # swept lazily, nothing to refund
+                continue
+            if units > self._free:
+                break
+            self._tickets.popleft()
+            self._free -= units
+            ticket.set_result(None)
 
-    async def acquire(self, count: int):
+    def _queue_is_live(self) -> bool:
+        return any(not t.cancelled() for _, t in self._tickets)
+
+    async def acquire(self, count: int) -> None:
         if count > self._total:
             raise ValueError("Requested count is more than total")
-        if not self.locked(count):
-            self._value -= count
+        # the fast path must not jump over queued waiters
+        if not self._queue_is_live() and count <= self._free:
+            self._free -= count
             return
-        loop = asyncio.get_running_loop()
-        wait_item = ResourceCounter._WaitItem(loop.create_future(), count)
-        self._waiters.append(wait_item)
+        ticket = asyncio.get_running_loop().create_future()
+        self._tickets.append((count, ticket))
         try:
-            try:
-                await wait_item.future
-            finally:
-                self._waiters.remove(wait_item)
+            await ticket
         except asyncio.CancelledError:
-            # The wakeup may have already debited the units before the
-            # cancellation landed; return them AND wake the next waiter,
-            # or the refunded capacity is stranded and queued waiters
-            # deadlock (asyncio.Semaphore does the same here).
-            if not wait_item.future.cancelled():
-                self._value += count
-                self._wake_up_next()
+            if not ticket.cancelled():
+                # granted before the cancellation landed: the sweep
+                # already debited our units — put them back
+                self._free += count
+            # either way the head may now be unblocked (our refund, or
+            # our dead ticket no longer gating the ones behind it)
+            self._admit()
             raise
 
-    def release(self, count: int):
-        if self._value + count > self._total:
+    def release(self, count: int) -> None:
+        if self._free + count > self._total:
             raise ValueError("ResourceCounter released more than total")
-        self._value += count
-        self._wake_up_next()
-
-    def _wake_up_next(self):
-        for wait_item in self._waiters:
-            if wait_item.future.done():
-                continue
-            if wait_item.count > self._value:
-                break  # FIFO: don't skip over a large waiter
-            self._value -= wait_item.count
-            wait_item.future.set_result(None)
-
-    @asynccontextmanager
-    async def acquire_context(self, count: int):
-        await self.acquire(count)
-        try:
-            yield
-        finally:
-            self.release(count)
+        self._free += count
+        self._admit()
 
     async def acquire_and_create_task(
         self,
@@ -94,12 +90,11 @@ class ResourceCounter:
         count: int,
         task_group: asyncio.TaskGroup | None = None,
     ) -> asyncio.Task:
-        create_task = (
-            task_group.create_task if task_group else asyncio.create_task
-        )
+        """Tie ``count`` units to the lifetime of a spawned task."""
+        spawn = task_group.create_task if task_group else asyncio.create_task
         await self.acquire(count)
         try:
-            task = create_task(coro)
+            task = spawn(coro)
         except BaseException:
             self.release(count)
             raise

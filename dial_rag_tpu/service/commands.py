@@ -1,11 +1,21 @@
-"""In-message commands: /attach, /model, /query_model, /profile,
-/ignore_document_loading_errors (mirror of reference commands.py)."""
+"""In-message slash commands.
+
+Covers the reference's command set (reference commands.py): /attach,
+/model, /query_model, /profile, /ignore_document_loading_errors.
+Unlike the reference — which discovers commands by reflecting over
+pydantic model fields — this module is a flat registry: each command
+is one entry naming its group, its argument parser, and where the
+value lands. Adding a command is adding a row.
+
+Divergence (documented): a command line must be ``/name`` or
+``/name arg`` with a whitespace boundary after the name. The
+reference's prefix match treats ``/modelxyz`` as ``/model xyz``;
+here it stays message text.
+"""
 
 from copy import deepcopy
-from types import UnionType
-from typing import Any, get_args, get_origin
-
-from pydantic import BaseModel
+from dataclasses import dataclass, field
+from typing import Any, Callable
 
 from dial_rag_tpu.service.config import create_update_dict, deep_merge
 from dial_rag_tpu.service.messages import (
@@ -16,123 +26,137 @@ from dial_rag_tpu.service.messages import (
 )
 
 
-def parse_primitive_type(type_, value: str) -> Any:
-    if type_ is bool:
-        return value.lower() in ["true", ""]
-    return type_(value)
-
-
-def consume_line(model: BaseModel, line: str) -> bool:
-    for name, field in model.__class__.model_fields.items():
-        cmd = f"/{name}"
-        if line.startswith(cmd):
-            cmd_value = line[len(cmd) :].strip()
-            if get_origin(field.annotation) is list:
-                element = parse_primitive_type(
-                    get_args(field.annotation)[0], cmd_value
-                )
-                getattr(model, name).append(element)
-            elif get_origin(field.annotation) is UnionType:
-                arg_type = get_args(field.annotation)[0]
-                setattr(model, name, parse_primitive_type(arg_type, cmd_value))
-            else:
-                setattr(
-                    model, name, parse_primitive_type(field.annotation, cmd_value)
-                )
-            return True
-    return False
-
-
-class DebugCommands(BaseModel):
+@dataclass
+class DebugCommands:
     profile: bool = False
     model: str | None = None
     query_model: str | None = None
 
 
-class ConfCommands(BaseModel):
+@dataclass
+class ConfCommands:
     ignore_document_loading_errors: bool = False
 
 
-class AttachmentCommands(BaseModel):
-    attach: list[str] = []
+@dataclass
+class Commands:
+    debug: DebugCommands = field(default_factory=DebugCommands)
+    conf: ConfCommands = field(default_factory=ConfCommands)
 
 
-class Commands(BaseModel):
-    debug: DebugCommands = DebugCommands()
-    conf: ConfCommands = ConfCommands()
+def _as_flag(arg: str) -> bool:
+    # a bare flag command means "on"; an explicit argument must say true
+    return arg.lower() in ("", "true")
+
+
+@dataclass(frozen=True)
+class _Command:
+    # sink(commands, attach_urls, parsed_argument)
+    sink: Callable[[Commands, list[str], Any], None]
+    parse: Callable[[str], Any] = lambda arg: arg
+
+
+_REGISTRY: dict[str, _Command] = {
+    "attach": _Command(sink=lambda c, urls, v: urls.append(v)),
+    "profile": _Command(
+        sink=lambda c, urls, v: setattr(c.debug, "profile", v),
+        parse=_as_flag,
+    ),
+    "model": _Command(
+        sink=lambda c, urls, v: setattr(c.debug, "model", v),
+    ),
+    "query_model": _Command(
+        sink=lambda c, urls, v: setattr(c.debug, "query_model", v),
+    ),
+    "ignore_document_loading_errors": _Command(
+        sink=lambda c, urls, v: setattr(
+            c.conf, "ignore_document_loading_errors", v
+        ),
+        parse=_as_flag,
+    ),
+}
+
+
+def _match_command(line: str) -> tuple[str, str] | None:
+    """``/name arg...`` -> (name, arg) when name is registered."""
+    if not line.startswith("/"):
+        return None
+    name, _, arg = line[1:].partition(" ")
+    if name not in _REGISTRY:
+        return None
+    return name, arg.strip()
 
 
 def process_message_commands(message: Message, commands: Commands) -> Message:
-    if message.content is None or message.role != Role.USER:
-        return message
-    if not isinstance(message.content, str):
-        # list-of-parts content carries no commands; the request handler
-        # rejects it later with the curated 400
+    if message.role != Role.USER or not isinstance(message.content, str):
+        # no content / assistant text / list-of-parts content (the
+        # request handler rejects the latter with the curated 400)
         return message
 
-    lines = message.content.split("\n")
-    content_lines = []
-    attachment_commands = AttachmentCommands()
-    consumers = [commands.debug, commands.conf, attachment_commands]
+    kept_lines: list[str] = []
+    attach_urls: list[str] = []
+    consumed = 0
+    for line in message.content.split("\n"):
+        matched = _match_command(line)
+        if matched is None:
+            kept_lines.append(line)
+            continue
+        name, arg = matched
+        command = _REGISTRY[name]
+        command.sink(commands, attach_urls, command.parse(arg))
+        consumed += 1
 
-    for line in lines:
-        if not any(consume_line(c, line) for c in consumers):
-            content_lines.append(line)
+    if not consumed:
+        return message  # identity-preserved: callers rely on `is`
 
-    if len(content_lines) == len(lines):
-        return message
-
-    new_message = deepcopy(message)
-    new_message.content = "\n".join(content_lines)
-
-    if attachment_commands.attach:
-        if not new_message.custom_content:
-            new_message.custom_content = CustomContent()
-        if not new_message.custom_content.attachments:
-            new_message.custom_content.attachments = []
-        new_message.custom_content.attachments.extend(
-            RequestAttachment(type=None, url=url)
-            for url in attachment_commands.attach
+    stripped = deepcopy(message)
+    stripped.content = "\n".join(kept_lines)
+    if attach_urls:
+        if not stripped.custom_content:
+            stripped.custom_content = CustomContent()
+        if not stripped.custom_content.attachments:
+            stripped.custom_content.attachments = []
+        stripped.custom_content.attachments.extend(
+            RequestAttachment(type=None, url=url) for url in attach_urls
         )
-    return new_message
-
-
-def commands_to_config_dict(commands: Commands) -> dict[str, Any]:
-    # deep_merge, not dict.update: /model and /query_model share the
-    # qa_chain subtree and must both survive
-    config_dict: dict[str, Any] = {}
-    if commands.debug.model:
-        config_dict = deep_merge(
-            config_dict,
-            create_update_dict(
-                "qa_chain.chat_chain.llm.deployment_name", commands.debug.model
-            ),
-        )
-    if commands.debug.query_model:
-        config_dict = deep_merge(
-            config_dict,
-            create_update_dict(
-                "qa_chain.query_chain.llm.deployment_name",
-                commands.debug.query_model,
-            ),
-        )
-    if commands.debug.profile:
-        config_dict = deep_merge(
-            config_dict, create_update_dict("use_profiler", True)
-        )
-    if commands.conf.ignore_document_loading_errors:
-        config_dict = deep_merge(
-            config_dict,
-            create_update_dict("ignore_document_loading_errors", True),
-        )
-    return config_dict
+    return stripped
 
 
 def process_commands(
     messages: list[Message], enable_debug_commands: bool
 ) -> tuple[list[Message], Commands]:
+    """Strip command lines from all user messages and collect their
+    values. Debug commands are always stripped from the text but their
+    values are dropped unless enabled (reference commands.py:138-149)."""
     commands = Commands()
     result = [process_message_commands(m, commands) for m in messages]
     if not enable_debug_commands:
         commands.debug = DebugCommands()
     return result, commands
+
+
+# where each command value lands in the request-config overlay;
+# deep-merged because /model and /query_model share the qa_chain subtree
+_CONFIG_TARGETS: tuple[tuple[Callable[[Commands], Any], str], ...] = (
+    (lambda c: c.debug.model, "qa_chain.chat_chain.llm.deployment_name"),
+    (
+        lambda c: c.debug.query_model,
+        "qa_chain.query_chain.llm.deployment_name",
+    ),
+    (lambda c: c.debug.profile, "use_profiler"),
+    (
+        lambda c: c.conf.ignore_document_loading_errors,
+        "ignore_document_loading_errors",
+    ),
+)
+
+
+def commands_to_config_dict(commands: Commands) -> dict[str, Any]:
+    config_dict: dict[str, Any] = {}
+    for read, dotted_path in _CONFIG_TARGETS:
+        value = read(commands)
+        if value:  # unset strings are None, unset flags are False
+            config_dict = deep_merge(
+                config_dict, create_update_dict(dotted_path, value)
+            )
+    return config_dict

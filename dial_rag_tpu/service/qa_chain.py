@@ -12,6 +12,13 @@ from dial_rag_tpu.service.config import ChatChainConfig
 from dial_rag_tpu.service.llm import LlmClient
 from dial_rag_tpu.service.request_context import RequestContext
 
+# PROVENANCE: this system prompt is intentionally pinned verbatim to the
+# reference's (reference qa_chain.py:28-44). The prompt IS the product
+# behavior — the citation notation it demands is what rewrite_citations
+# parses, the `<doc id= page_number= source=>` wire format below is a
+# golden-tested contract, and recorded LLM replay caches key on the
+# exact prompt bytes. Do not "improve" the wording without versioning
+# the replay caches.
 DEFAULT_SYSTEM_TEMPLATE = """You are helpful assistant. You are to answer the user questions based on user provided documents.
 User can attach the documents to the conversation by using the paperclip button.
 The attachments are already processed by the system and the relevant pieces of the documents are available in the context.

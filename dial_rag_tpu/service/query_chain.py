@@ -13,6 +13,10 @@ from dial_rag_tpu.service.request_context import RequestContext
 
 logger = logging.getLogger(__name__)
 
+# PROVENANCE: prompt + tool schema intentionally pinned verbatim to the
+# reference's standalone-question chain (reference query_chain.py) —
+# recorded LLM replay caches key on the exact prompt bytes, and the
+# reformulation behavior is a contract the retrieval goldens depend on.
 QUERY_SYSTEM_TEMPLATE = """
 Given a chat history and the latest user question which might reference context in the chat history, formulate a standalone question which can be understood without the chat history.
 Do NOT answer the question, just reformulate it if needed and otherwise return it as is.
