@@ -182,11 +182,20 @@ def test_sparse_postings_matches_dense():
         )
 
 
-def test_sparse_matches_rank_bm25_scores():
-    import numpy as np
-    import pytest
+def test_scores_match_published_okapi_formula_goldens():
+    """Exact-score parity with the published rank-bm25 BM25Okapi
+    formula, frozen as library-independent constants.
 
-    rank_bm25 = pytest.importorskip("rank_bm25", reason="rank-bm25 absent")
+    Derivation (computed once from the published formula — k1=1.5,
+    b=0.75, epsilon=0.25; idf(t) = ln((N-df+0.5)/(df+0.5)) with
+    negative idfs floored to epsilon * mean(idf); score contribution
+    idf(t) * f*(k1+1) / (f + k1*(1-b+b*dl/avgdl)) — reference relies
+    on the same scores via rank_bm25, reference
+    retrievers/bm25_retriever.py:78-84). For this corpus: 'the' has
+    df=3/N=4 so ln(1.5/3.5) < 0 and takes the epsilon floor, covering
+    the idf-floor branch explicitly."""
+    import numpy as np
+
     from dial_rag_tpu.index.bm25 import Bm25Index
 
     items = [
@@ -195,12 +204,17 @@ def test_sparse_matches_rank_bm25_scores():
         "glaciers shaped the valleys".split(),
         "cadibona marks the boundary".split(),
     ]
-    ours = Bm25Index.build(items, max_dense_bytes=0)
-    theirs = rank_bm25.BM25Okapi(items)
-    for q in (["alps"], ["the", "climate"], ["cadibona", "boundary"]):
-        np.testing.assert_allclose(
-            ours.get_scores(q),
-            np.asarray(theirs.get_scores(q), dtype=np.float32),
-            rtol=1e-5,
-            atol=1e-5,
-        )
+    goldens = {
+        ("alps",): [0.87033617, 0.0, 0.0, 0.0],
+        ("the", "climate"): [0.16173933, 0.93083649, 0.16173933, 0.16173933],
+        ("cadibona", "boundary"): [0.0, 0.0, 0.0, 1.74067234],
+    }
+    for variant in ({}, {"max_dense_bytes": 0}):  # dense and CSC sparse
+        index = Bm25Index.build(items, **variant)
+        for query, expected in goldens.items():
+            np.testing.assert_allclose(
+                index.get_scores(list(query)),
+                np.asarray(expected, dtype=np.float32),
+                rtol=1e-5,
+                atol=1e-6,
+            )
