@@ -32,6 +32,10 @@ logger = logging.getLogger(__name__)
 
 MAX_RETRIES = 1_000_000_000  # bounded by the map's wall-clock timeout
 
+# PROVENANCE: pinned verbatim to the reference's page-description
+# prompt (reference description_retriever/prompts.py) — recorded
+# vision-LLM replay traffic keys on the exact prompt bytes, and the
+# JSON fields it demands (incl. image_quality) are the parse contract.
 PAGE_DESCRIPTION_PROMPT = """
 Please create detailed description of provided image.
 Ignore page header, footer, basic logo and background.
@@ -45,6 +49,10 @@ Provide answer in JSON format with fields:
 {
     "page_summary": "page summary here",
     "keyfact"     : "the most important fact from the image",
+    "image_quality": {
+        "level": "level of image quality (normal, detailed)",
+        "explanation": "explain why this detailisation is required"
+    },
     "images":[
         {
             "description": "image description",
@@ -66,6 +74,11 @@ Provide answer in JSON format with fields:
 class PageDescription:
     page_summary: str = ""
     keyfact: str = ""
+    # how much detail the page image needs when shown to the QA vision
+    # LLM: "high" (model said detailed), "low" (normal), "auto"
+    # (missing/unrecognized) — reference page_description.py:82-90
+    image_quality: str = "auto"
+    image_quality_explanation: str = ""
     images: list[dict] = field(default_factory=list)
     tables: list[dict] = field(default_factory=list)
 
@@ -117,9 +130,16 @@ def parse_page_description(text: str) -> PageDescription:
         logger.warning(f"Failed to parse page description: {e}")
         # fall back to using the raw text as the summary
         return PageDescription(page_summary=text.strip()[:2000])
+    quality = data.get("image_quality")
+    quality = quality if isinstance(quality, dict) else {}
+    level = str(quality.get("level", "")).lower()
     return PageDescription(
         page_summary=str(data.get("page_summary", "")),
         keyfact=str(data.get("keyfact", "")),
+        image_quality={"detailed": "high", "normal": "low"}.get(
+            level, "auto"
+        ),
+        image_quality_explanation=str(quality.get("explanation", "")),
         images=[i for i in data.get("images", []) if isinstance(i, dict)],
         tables=[t for t in data.get("tables", []) if isinstance(t, dict)],
     )

@@ -447,9 +447,13 @@ async def test_description_index_e2e(harness):
     async with harness() as h:
         h.fake.script_llm(
             '{"page_summary": "First page about the Alps and Cadibona.",'
-            ' "keyfact": "Cadibona is the southern boundary."}',
+            ' "keyfact": "Cadibona is the southern boundary.",'
+            ' "image_quality": {"level": "detailed",'
+            ' "explanation": "small map labels"}}',
             '{"page_summary": "Second page about alpine climate.",'
-            ' "keyfact": "Climate varies with elevation."}',
+            ' "keyfact": "Climate varies with elevation.",'
+            ' "image_quality": {"level": "normal",'
+            ' "explanation": "plain text page"}}',
         )
         h.fake.add_file(
             "files/user-bucket/big.pdf",

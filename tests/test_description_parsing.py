@@ -66,6 +66,39 @@ def test_parse_full_description():
     ]  # "No tables are present" boilerplate skipped
 
 
+def test_image_quality_levels_parsed():
+    """Reference contract (page_description.py:82-90): detailed->high,
+    normal->low, anything else (incl. missing)->auto; the explanation
+    is stored. Quality is metadata, never embedded as a chunk."""
+    detailed = parse_page_description(
+        '{"page_summary": "s",'
+        ' "image_quality": {"level": "Detailed",'
+        ' "explanation": "fine print in the diagram"}}'
+    )
+    assert detailed.image_quality == "high"
+    assert detailed.image_quality_explanation == "fine print in the diagram"
+
+    normal = parse_page_description(
+        '{"image_quality": {"level": "normal", "explanation": "plain"}}'
+    )
+    assert normal.image_quality == "low"
+
+    weird = parse_page_description(
+        '{"image_quality": {"level": "ultra-mega", "explanation": "?"}}'
+    )
+    assert weird.image_quality == "auto"
+
+    missing = parse_page_description('{"page_summary": "s"}')
+    assert missing.image_quality == "auto"
+    assert missing.image_quality_explanation == ""
+
+    not_a_dict = parse_page_description('{"image_quality": "detailed"}')
+    assert not_a_dict.image_quality == "auto"
+
+    # quality text must not leak into the embedded chunks
+    assert detailed.to_chunks() == ["s"]
+
+
 def test_non_dict_items_dropped():
     desc = parse_page_description(
         '{"images": ["just a string", {"description": "real"}]}'
