@@ -109,17 +109,54 @@ class BgeEmbedder:
     def from_hf_checkpoint(
         cls, model_dir: str, compute_dtype=jnp.bfloat16, **kw
     ) -> "BgeEmbedder":
-        """Load a local HF BertModel checkpoint directory:
-        config.json + model.safetensors + vocab.txt."""
+        """Load a local checkpoint directory in either on-disk layout:
+
+        - plain HF ``BertModel``: config.json + model.safetensors (or
+          pytorch_model.bin) + vocab.txt;
+        - a ``SentenceTransformer.save()`` tree — what the reference
+          actually ships (reference download_model.py,
+          embeddings/embeddings.py:29-32): modules.json naming the
+          Transformer module dir, ``1_Pooling/config.json`` choosing
+          cls vs mean pooling, and ``sentence_bert_config.json``
+          carrying max_seq_length.
+        """
         import json
         import os
 
-        from safetensors.numpy import load_file
-
         from dial_rag_tpu.models.bert import load_hf_weights
 
-        with open(os.path.join(model_dir, "config.json")) as f:
-            hf = json.load(f)
+        def read_json(*parts):
+            with open(os.path.join(*parts)) as f:
+                return json.load(f)
+
+        transformer_dir = model_dir
+        pooling = "cls"
+        if os.path.isfile(os.path.join(model_dir, "modules.json")):
+            for module in read_json(model_dir, "modules.json"):
+                subdir = os.path.join(model_dir, module.get("path", ""))
+                kind = module.get("type", "")
+                if kind.endswith("models.Transformer"):
+                    transformer_dir = subdir
+                elif kind.endswith("models.Pooling"):
+                    pool_cfg = read_json(subdir, "config.json")
+                    if pool_cfg.get("pooling_mode_cls_token"):
+                        pooling = "cls"
+                    elif pool_cfg.get("pooling_mode_mean_tokens"):
+                        pooling = "mean"
+                    else:
+                        raise ValueError(
+                            f"unsupported pooling config in {subdir}: "
+                            "need cls or mean token pooling"
+                        )
+            st_cfg_path = os.path.join(
+                transformer_dir, "sentence_bert_config.json"
+            )
+            if os.path.isfile(st_cfg_path):
+                max_len = read_json(st_cfg_path).get("max_seq_length")
+                if max_len:
+                    kw.setdefault("max_len", int(max_len))
+
+        hf = read_json(transformer_dir, "config.json")
         config = BertConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -129,15 +166,36 @@ class BgeEmbedder:
             max_position_embeddings=hf["max_position_embeddings"],
             type_vocab_size=hf.get("type_vocab_size", 2),
         )
-        state = load_file(os.path.join(model_dir, "model.safetensors"))
+        safetensors_path = os.path.join(transformer_dir, "model.safetensors")
+        if os.path.isfile(safetensors_path):
+            from safetensors.numpy import load_file
+
+            state = load_file(safetensors_path)
+        else:
+            torch_path = os.path.join(transformer_dir, "pytorch_model.bin")
+            if not os.path.isfile(torch_path):
+                raise FileNotFoundError(
+                    f"no model.safetensors or pytorch_model.bin under "
+                    f"{transformer_dir}"
+                )
+            import torch
+
+            state = {
+                k: v.numpy()
+                for k, v in torch.load(
+                    torch_path, map_location="cpu", weights_only=True
+                ).items()
+            }
         params = load_hf_weights(state, config)
         tokenizer = WordPieceTokenizer.from_vocab_file(
-            os.path.join(model_dir, "vocab.txt"),
+            os.path.join(transformer_dir, "vocab.txt"),
             lowercase=hf.get("do_lower_case", True),
         )
         return cls(
             tokenizer=tokenizer,
-            encoder=BertEncoder(config, compute_dtype=compute_dtype),
+            encoder=BertEncoder(
+                config, compute_dtype=compute_dtype, pooling=pooling
+            ),
             params=params,
             **kw,
         )

@@ -216,10 +216,14 @@ class BertEncoder:
         config: BertConfig,
         compute_dtype=jnp.float32,
         attention_impl: str = "auto",
+        pooling: str = "cls",
     ):
+        if pooling not in ("cls", "mean"):
+            raise ValueError(f"unsupported pooling mode: {pooling!r}")
         self.config = config
         self.compute_dtype = compute_dtype
         self.attention_impl = attention_impl
+        self.pooling = pooling
 
     def __call__(self, params, input_ids, attention_mask):
         return bert_forward(
@@ -240,14 +244,23 @@ class BertEncoder:
             num_heads=self.config.num_heads,
             compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl,
+            pooling=self.pooling,
         )
 
 
 @partial(
-    jax.jit, static_argnames=("num_heads", "compute_dtype", "attention_impl")
+    jax.jit,
+    static_argnames=("num_heads", "compute_dtype", "attention_impl", "pooling"),
 )
 def _encode_jit(
-    params, input_ids, attention_mask, *, num_heads, compute_dtype, attention_impl
+    params,
+    input_ids,
+    attention_mask,
+    *,
+    num_heads,
+    compute_dtype,
+    attention_impl,
+    pooling="cls",
 ):
     hidden = bert_forward(
         params,
@@ -257,9 +270,18 @@ def _encode_jit(
         compute_dtype=compute_dtype,
         attention_impl=attention_impl,
     )
-    cls = hidden[:, 0, :].astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
-    return cls / jnp.maximum(norm, 1e-12)
+    if pooling == "cls":
+        # bge pooling: CLS token (sentence-transformers
+        # pooling_mode_cls_token, reference embeddings.py:60-62)
+        pooled = hidden[:, 0, :].astype(jnp.float32)
+    else:
+        # mask-weighted mean over real tokens
+        # (sentence-transformers pooling_mode_mean_tokens)
+        mask = attention_mask.astype(jnp.float32)[:, :, None]
+        pooled = jnp.sum(hidden.astype(jnp.float32) * mask, axis=1)
+        pooled = pooled / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
+    norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
 
 
 def bert_forward(

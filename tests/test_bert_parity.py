@@ -193,3 +193,152 @@ def test_from_hf_checkpoint_end_to_end(tmp_path):
         ).last_hidden_state[0, 0]
     hf_cls = torch.nn.functional.normalize(hf_out, dim=-1).numpy()
     np.testing.assert_allclose(ours, hf_cls, atol=2e-5)
+
+
+def _tiny_hf_bert(seed=0):
+    hf_cfg = transformers.BertConfig(
+        vocab_size=64,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(seed)
+    model = transformers.BertModel(hf_cfg)
+    model.eval()
+    return hf_cfg, model
+
+
+def _write_vocab(path):
+    vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        chr(c) for c in range(97, 123)
+    ] + [f"##{chr(c)}" for c in range(97, 123)]
+    vocab_tokens += [f"tok{i}" for i in range(64 - len(vocab_tokens))]
+    path.write_text("\n".join(vocab_tokens) + "\n")
+
+
+def test_from_sentence_transformers_layout(tmp_path):
+    """The layout the reference actually ships
+    (SentenceTransformer.save(): modules.json + root transformer +
+    1_Pooling/config.json + sentence_bert_config.json — reference
+    download_model.py) loads with cls pooling and the saved
+    max_seq_length."""
+    import json
+
+    from safetensors.torch import save_file
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg, model = _tiny_hf_bert()
+    _write_vocab(tmp_path / "vocab.txt")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+    (tmp_path / "modules.json").write_text(
+        json.dumps(
+            [
+                {
+                    "idx": 0,
+                    "name": "0",
+                    "path": "",
+                    "type": "sentence_transformers.models.Transformer",
+                },
+                {
+                    "idx": 1,
+                    "name": "1",
+                    "path": "1_Pooling",
+                    "type": "sentence_transformers.models.Pooling",
+                },
+            ]
+        )
+    )
+    (tmp_path / "1_Pooling").mkdir()
+    (tmp_path / "1_Pooling" / "config.json").write_text(
+        json.dumps(
+            {
+                "word_embedding_dimension": 32,
+                "pooling_mode_cls_token": True,
+                "pooling_mode_mean_tokens": False,
+            }
+        )
+    )
+    (tmp_path / "sentence_bert_config.json").write_text(
+        json.dumps({"max_seq_length": 48})
+    )
+
+    embedder = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    )
+    assert embedder.max_len == 48  # from sentence_bert_config.json
+    assert embedder.encoder.pooling == "cls"
+
+    text = "ab cd efg"
+    ours = embedder.embed_documents([text])[0]
+    ids, mask = embedder.tokenizer.encode_batch([text], max_len=48)
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.from_numpy(ids.astype("int64")),
+            attention_mask=torch.from_numpy(mask.astype("int64")),
+        ).last_hidden_state[0, 0]
+    expected = torch.nn.functional.normalize(hf_out, dim=-1).numpy()
+    np.testing.assert_allclose(ours, expected, atol=2e-5)
+
+
+def test_mean_pooling_and_torch_bin_fallback(tmp_path):
+    """Mean-token pooling (the other sentence-transformers mode) from a
+    pytorch_model.bin-only checkpoint matches torch's mask-weighted
+    mean + normalize."""
+    import json
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg, model = _tiny_hf_bert(seed=3)
+    _write_vocab(tmp_path / "vocab.txt")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    torch.save(model.state_dict(), str(tmp_path / "pytorch_model.bin"))
+    (tmp_path / "modules.json").write_text(
+        json.dumps(
+            [
+                {
+                    "path": "",
+                    "type": "sentence_transformers.models.Transformer",
+                },
+                {
+                    "path": "1_Pooling",
+                    "type": "sentence_transformers.models.Pooling",
+                },
+            ]
+        )
+    )
+    (tmp_path / "1_Pooling").mkdir()
+    (tmp_path / "1_Pooling" / "config.json").write_text(
+        json.dumps(
+            {
+                "pooling_mode_cls_token": False,
+                "pooling_mode_mean_tokens": True,
+            }
+        )
+    )
+
+    embedder = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    )
+    assert embedder.encoder.pooling == "mean"
+
+    text = "abc de fgh ij"
+    ours = embedder.embed_documents([text])[0]
+    ids, mask = embedder.tokenizer.encode_batch([text], max_len=512)
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(ids.astype("int64")),
+            attention_mask=torch.from_numpy(mask.astype("int64")),
+        ).last_hidden_state[0]
+    m = torch.from_numpy(mask.astype("float32"))[0, :, None]
+    pooled = (hidden * m).sum(0) / m.sum(0).clamp(min=1e-9)
+    expected = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+    np.testing.assert_allclose(ours, expected, atol=2e-5)
