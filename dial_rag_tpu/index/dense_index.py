@@ -112,8 +112,12 @@ def hits_from_topk(
     hits: list[SearchHit] = []
     dists: list[float] = []
     for v, i in zip(vals, idx):
-        if not np.isfinite(v) and i >= n_rows:
-            break  # padding rows reached (fewer valid rows than k)
+        if i >= n_rows:
+            # padding row (fewer valid rows than k): the top-k kernel
+            # masks padded rows to +inf, so every later entry is also
+            # padding. The index alone is the honest predicate — a
+            # non-finite *score* at a real index must stay a hit.
+            break
         hits.append(
             SearchHit(
                 doc_id=int(doc_ids[i]),
