@@ -147,6 +147,9 @@ class Bm25Index:
     # device CSC postings: (term_ptr [V+1] host, rows dev [nnz] i32,
     # vals dev [nnz] f32)
     _postings: tuple | None = field(default=None, repr=False)
+    # host CSC postings (device=False sparse build; consumed by the
+    # sharded wrapper, which re-shards them row-wise per device)
+    _postings_host: tuple | None = field(default=None, repr=False)
 
     @property
     def nbytes(self) -> int:
@@ -228,11 +231,14 @@ class Bm25Index:
             vals_flat = np.concatenate(
                 [np.array(x, dtype=np.float32) for x in per_term_vals]
             )
-            index._postings = (
-                term_ptr,
-                jnp.asarray(rows_flat),
-                jnp.asarray(vals_flat),
-            )
+            if device:
+                index._postings = (
+                    term_ptr,
+                    jnp.asarray(rows_flat),
+                    jnp.asarray(vals_flat),
+                )
+            else:
+                index._postings_host = (term_ptr, rows_flat, vals_flat)
         return index
 
     def _query_vector(self, query_tokens: list[str], v_pad: int) -> np.ndarray:
@@ -303,6 +309,20 @@ class Bm25Index:
             # usable without re-uploading weights
             q = self._query_vector(query_tokens, self._weights_host.shape[1])
             return (self._weights_host @ q)[: self.n_items]
+        if self._postings_host is not None:
+            # host-only sparse build: numpy scatter-add (staging state
+            # for the sharded wrapper; scores must still be queryable)
+            term_ptr, rows_flat, vals_flat = self._postings_host
+            scores = np.zeros(self.n_items, dtype=np.float32)
+            counts: dict[int, int] = {}
+            for t in query_tokens:
+                tid = self.vocab.get(t)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            for tid, c in counts.items():
+                seg = slice(term_ptr[tid], term_ptr[tid + 1])
+                np.add.at(scores, rows_flat[seg], vals_flat[seg] * c)
+            return scores
         if self._weights_dev is not None:
             q = self._query_vector(query_tokens, self._weights_dev.shape[1])
             scores = jnp.dot(
@@ -324,7 +344,9 @@ class Bm25Index:
         k = min(n, self.n_items)
         if not queries_tokens:
             return []
-        if self._weights_dev is None and self._weights_host is not None:
+        if self._weights_dev is None and (
+            self._weights_host is not None or self._postings_host is not None
+        ):
             return [self.top_n(q, n) for q in queries_tokens]
         if self._weights_dev is not None:
             v_pad = self._weights_dev.shape[1]
@@ -350,7 +372,9 @@ class Bm25Index:
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""
         k = min(n, self.n_items)
-        if self._weights_dev is None and self._weights_host is not None:
+        if self._weights_dev is None and (
+            self._weights_host is not None or self._postings_host is not None
+        ):
             scores = self.get_scores(query_tokens)
             return np.argsort(scores, kind="stable")[::-1][:k]
         if self._weights_dev is not None:

@@ -252,6 +252,253 @@ class ShardedDenseIndex:
         )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "l_pad", "rows_per_shard", "use_sort"),
+)
+def _sharded_bm25_sparse_topk_kernel(
+    rows_sh,  # [n_shards, nnz_pad] i32 shard-LOCAL row ids
+    vals_sh,  # [n_shards, nnz_pad] f32 saturation weights
+    starts_sh,  # [n_shards, t_pad] i32 into the shard's postings
+    lens_sh,  # [n_shards, t_pad] i32
+    counts,  # [t_pad] f32 query term counts (replicated)
+    n_valid,  # i32 global real item count
+    *,
+    mesh,
+    k: int,
+    l_pad: int,
+    rows_per_shard: int,
+    use_sort: bool,
+):
+    """Each shard gathers its own posting slices from its HBM, scatter-
+    adds local scores, and takes a local reference-exact top-k (flip
+    trick: latest local row wins ties). The [n_shards, k] winners merge
+    with ONE two-key stable sort on (-score, reversed global row) — the
+    exact global ``argsort(kind="stable")[::-1]`` order."""
+    from dial_rag_tpu.index.bm25 import _sparse_scores
+
+    n_total_pad = rows_per_shard * mesh.devices.size
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        scores = _sparse_scores(
+            rows_l[0],
+            vals_l[0],
+            starts[0],
+            lens[0],
+            counts,
+            n_pad=rows_per_shard,
+            l_pad=l_pad,
+        )
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        neg = jnp.where(row < n_valid, -scores, jnp.inf)
+        vals_k, idx_k = topk(jnp.flip(neg), k)
+        local_row = (rows_per_shard - 1) - idx_k
+        global_row = base + local_row
+        rev_row = (n_total_pad - 1) - global_row
+        return vals_k[None], rev_row[None], global_row[None]
+
+    vals, rev, grow = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(
+            P("idx", None),
+            P("idx", None),
+            P("idx", None),
+            P("idx", None),
+            P(),
+            P(),
+        ),
+        out_specs=(P("idx"), P("idx"), P("idx")),
+    )(rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid)
+
+    flat_vals = vals.reshape(-1)
+    flat_rev = rev.reshape(-1)
+    flat_row = grow.reshape(-1)
+    merged_vals, _, merged_row = jax.lax.sort(
+        (flat_vals, flat_rev, flat_row), num_keys=2, is_stable=False
+    )
+    return -merged_vals[:k], merged_row[:k]
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "l_pad", "rows_per_shard")
+)
+def _sharded_bm25_sparse_scores_kernel(
+    rows_sh, vals_sh, starts_sh, lens_sh, counts, *, mesh, l_pad,
+    rows_per_shard,
+):
+    from dial_rag_tpu.index.bm25 import _sparse_scores
+
+    def local_scores(rows_l, vals_l, starts, lens, counts):
+        return _sparse_scores(
+            rows_l[0],
+            vals_l[0],
+            starts[0],
+            lens[0],
+            counts,
+            n_pad=rows_per_shard,
+            l_pad=l_pad,
+        )[None]
+
+    return jax.shard_map(
+        local_scores,
+        mesh=mesh,
+        in_specs=(
+            P("idx", None),
+            P("idx", None),
+            P("idx", None),
+            P("idx", None),
+            P(),
+        ),
+        out_specs=P("idx"),
+    )(rows_sh, vals_sh, starts_sh, lens_sh, counts)
+
+
+class ShardedBm25SparseIndex:
+    """CSC-postings BM25 with ITEM ROWS sharded over a device mesh.
+
+    The single-device sparse path (index/bm25.py) keeps one term-major
+    postings array in one chip's HBM — the layout that matters past
+    ~10M chunks, where the dense [N, V] weights no longer fit. Here
+    each device owns a contiguous row range and holds ONLY the postings
+    whose item falls in its range (split at build time by binary search
+    on each term's sorted row list). A query broadcasts the per-shard
+    (starts, lens) slice tables — a few hundred bytes — and every shard
+    scatter-adds its local scores in parallel; the reference-exact
+    later-item-wins ranking survives via local flip + a two-key global
+    merge. Per-query HBM traffic per chip is O(its own postings of the
+    query terms): both memory AND bandwidth scale linearly with chips.
+    """
+
+    def __init__(self, base, mesh: Mesh, limit: int):
+        from dial_rag_tpu.index.bm25 import Bm25Index
+
+        assert isinstance(base, Bm25Index)
+        if base._postings_host is None:
+            raise ValueError(
+                "sharded sparse BM25 requires host postings "
+                "(build with device=False)"
+            )
+        self._base = base
+        self.limit = limit
+        self._mesh = Mesh(mesh.devices.reshape(-1), ("idx",))
+        n_shards = self._mesh.devices.size
+        n = base.n_items
+        rows_per_shard = -(-max(n, 8) // (8 * n_shards)) * 8
+        self._rows_per_shard = rows_per_shard
+
+        term_ptr, rows_flat, vals_flat = base._postings_host
+        base._postings_host = None  # re-sharded below; free the original
+        v = len(term_ptr) - 1
+        shard_rows: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+        shard_vals: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+        term_ptr_s = np.zeros((n_shards, v + 1), dtype=np.int64)
+        bounds = np.arange(1, n_shards) * rows_per_shard
+        for t in range(v):
+            seg = slice(term_ptr[t], term_ptr[t + 1])
+            seg_rows = rows_flat[seg]  # ascending by construction
+            cuts = np.searchsorted(seg_rows, bounds)
+            for s, (r_piece, v_piece) in enumerate(
+                zip(np.split(seg_rows, cuts), np.split(vals_flat[seg], cuts))
+            ):
+                shard_rows[s].append(r_piece - s * rows_per_shard)
+                shard_vals[s].append(v_piece)
+                term_ptr_s[s, t + 1] = term_ptr_s[s, t] + len(r_piece)
+        nnz_pad = max(8, int(term_ptr_s[:, -1].max()))
+        rows_sh = np.zeros((n_shards, nnz_pad), dtype=np.int32)
+        vals_sh = np.zeros((n_shards, nnz_pad), dtype=np.float32)
+        for s in range(n_shards):
+            r = np.concatenate(shard_rows[s]) if shard_rows[s] else []
+            rows_sh[s, : len(r)] = r
+            vv = np.concatenate(shard_vals[s]) if shard_vals[s] else []
+            vals_sh[s, : len(vv)] = vv
+        self._term_ptr_s = term_ptr_s  # host: per-shard slice lookup
+        sharding = NamedSharding(self._mesh, P("idx", None))
+        self._rows_sh = jax.device_put(rows_sh, sharding)
+        self._vals_sh = jax.device_put(vals_sh, sharding)
+
+    @property
+    def vocab(self):
+        return self._base.vocab
+
+    @property
+    def n_items(self) -> int:
+        return self._base.n_items
+
+    @property
+    def nbytes(self) -> int:
+        return self._rows_sh.size * 4 + self._vals_sh.size * 4
+
+    def _query_slices(self, query_tokens: list[str]):
+        """(starts [S, T], lens [S, T], counts [T], l_pad) for the
+        query's unique in-vocab terms, padded to pow2 T."""
+        from dial_rag_tpu.index.bm25 import _next_pow2
+
+        counts: dict[int, int] = {}
+        for t in query_tokens:
+            tid = self._base.vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        tids = sorted(counts)
+        n_shards = self._mesh.devices.size
+        t_pad = _next_pow2(max(len(tids), 1))
+        starts = np.zeros((n_shards, t_pad), dtype=np.int32)
+        lens = np.zeros((n_shards, t_pad), dtype=np.int32)
+        cnt = np.zeros(t_pad, dtype=np.float32)
+        for j, tid in enumerate(tids):
+            starts[:, j] = self._term_ptr_s[:, tid]
+            lens[:, j] = (
+                self._term_ptr_s[:, tid + 1] - self._term_ptr_s[:, tid]
+            )
+            cnt[j] = counts[tid]
+        l_pad = _next_pow2(max(int(lens.max()) if tids else 1, 1))
+        return starts, lens, cnt, l_pad
+
+    def get_scores(self, query_tokens: list[str]) -> np.ndarray:
+        starts, lens, cnt, l_pad = self._query_slices(query_tokens)
+        scores = _sharded_bm25_sparse_scores_kernel(
+            self._rows_sh,
+            self._vals_sh,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnt),
+            mesh=self._mesh,
+            l_pad=l_pad,
+            rows_per_shard=self._rows_per_shard,
+        )
+        return np.asarray(scores).reshape(-1)[: self.n_items]
+
+    def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
+        if n > self.limit:
+            raise ValueError(f"n={n} exceeds the index limit {self.limit}")
+        k = min(n, self.n_items)
+        starts, lens, cnt, l_pad = self._query_slices(query_tokens)
+        _, idx = _sharded_bm25_sparse_topk_kernel(
+            self._rows_sh,
+            self._vals_sh,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnt),
+            jnp.int32(self.n_items),
+            mesh=self._mesh,
+            k=k,
+            l_pad=l_pad,
+            rows_per_shard=self._rows_per_shard,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        return np.asarray(idx).astype(np.int64)
+
+    def top_n_batch(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[np.ndarray]:
+        return [self.top_n(q, n) for q in queries_tokens]
+
+
 class ShardedBm25Index:
     """BM25 weights row-sharded over a device mesh.
 

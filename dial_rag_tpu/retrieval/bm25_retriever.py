@@ -54,12 +54,15 @@ class Bm25Retriever:
             if mesh is not None:
                 from dial_rag_tpu.parallel.sharded_index import (
                     ShardedBm25Index,
+                    ShardedBm25SparseIndex,
                 )
 
                 base = Bm25Index.build(tokenized, device=False)
                 if base._weights_host is not None:
                     return ShardedBm25Index(base, mesh, limit=k)
-                return base  # CSC sparse path stays single-device
+                # corpus too large for dense [N, V] weights: shard the
+                # CSC postings row-wise over the same mesh
+                return ShardedBm25SparseIndex(base, mesh, limit=k)
             return Bm25Index.build(tokenized)  # raises on empty text index
 
         if device_cache is not None:

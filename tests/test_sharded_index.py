@@ -184,3 +184,98 @@ def test_sharded_bm25_tiebreak_later_item_wins(mesh):
     np.testing.assert_array_equal(
         sharded.top_n(["alps"], 5), np.array([39, 38, 37, 36, 35])
     )
+
+
+def test_sharded_sparse_bm25_matches_single_chip(mesh):
+    """Row-sharded CSC postings must reproduce the single-device sparse
+    path exactly: scores AND the later-item-wins top-n order."""
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+
+    rng = np.random.default_rng(11)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow",
+             "river", "pass", "boundary", "cadibona"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 12))))
+        for _ in range(75)
+    ]
+    single = Bm25Index.build(items, max_dense_bytes=0)
+    sharded = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=7,
+    )
+    for q in (["alps"], ["climate", "glacier"], ["peak", "missing"],
+              ["snow", "snow", "river"], ["missing-only"]):
+        np.testing.assert_allclose(
+            sharded.get_scores(q),
+            single.get_scores(q),
+            rtol=1e-6,
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            sharded.top_n(q, 7), single.top_n(q, 7)
+        )
+
+
+def test_sharded_sparse_bm25_tiebreak_later_item_wins(mesh):
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+
+    # identical items tie everywhere, INCLUDING across shard boundaries:
+    # the two-key merge must order ties by reversed global row
+    items = [["alps", "peak"]] * 40
+    sharded = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=12,
+    )
+    np.testing.assert_array_equal(
+        sharded.top_n(["alps"], 12), np.arange(39, 27, -1)
+    )
+
+
+def test_sharded_sparse_bm25_retriever_wiring(mesh, monkeypatch):
+    """The retriever picks the sharded sparse index when the dense
+    weights would exceed the byte cap on a mesh."""
+    from dial_rag_tpu.documents.model import (
+        FORMAT_VERSION,
+        DocumentRecord,
+        IndexSettings,
+        build_chunks_list,
+    )
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+    from dial_rag_tpu.retrieval import Bm25Retriever
+
+    texts = [
+        ("alps climate glacier", {"source": "s"}),
+        ("cadibona boundary pass", {"source": "s"}),
+        ("river valley snow", {"source": "s"}),
+    ]
+    record = DocumentRecord(
+        format_version=FORMAT_VERSION,
+        index_settings=IndexSettings(),
+        chunks=build_chunks_list(texts),
+        text_index=[t[0].split() for t in texts],
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+
+    real_build = Bm25Index.build.__func__
+    monkeypatch.setattr(
+        Bm25Index,
+        "build",
+        classmethod(
+            lambda cls, items, **kw: real_build(
+                cls, items, **{**kw, "max_dense_bytes": 0}
+            )
+        ),
+    )
+    retriever = Bm25Retriever.from_doc_records([record], k=2, mesh=mesh)
+    assert isinstance(retriever._index, ShardedBm25SparseIndex)
+    hits = retriever.retrieve("cadibona boundary")
+    assert hits and hits[0].chunk_id == 1
