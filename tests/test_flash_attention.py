@@ -184,3 +184,82 @@ def test_q_blocked_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3
         )
+
+
+def test_kv_blocked_long_sequence_matches_xla(monkeypatch):
+    """Above _Q_BLOCKED_MAX_S the online-softmax KV-blocked path runs;
+    outputs match the XLA reference including padding. The threshold is
+    lowered so the test stays CPU-sized while exercising a multi-block
+    (4 q-blocks x 2 kv-blocks) grid."""
+    import dial_rag_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_Q_BLOCKED_MAX_S", 512)
+    s = fa._KV_BLOCK * 2
+    rng = np.random.default_rng(9)
+    b, h, dh = 2, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[1, s // 3 :] = 0  # padding crosses a kv-block boundary
+    mask = jnp.asarray(mask_np)
+    out = np.asarray(fa.flash_attention(q, k, v, mask))
+    ref = np.asarray(_xla_ref(q, k, v, mask))
+    np.testing.assert_allclose(out[0], ref[0], atol=5e-6)
+    np.testing.assert_allclose(
+        out[1, :, : s // 3], ref[1, :, : s // 3], atol=5e-6
+    )
+
+
+def test_kv_blocked_gradients_match_xla(monkeypatch):
+    """The two-pass blocked backward (dQ over kv-blocks, dK/dV over
+    q-blocks, P recomputed from the stored log-sum-exp) must match the
+    XLA reference gradients."""
+    import dial_rag_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_Q_BLOCKED_MAX_S", 512)
+    s = fa._KV_BLOCK * 2
+    rng = np.random.default_rng(10)
+    b, h, dh = 1, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[0, -137:] = 0
+    mask = jnp.asarray(mask_np)
+    cot = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+
+    gp = jax.grad(
+        lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v, mask) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_ref(q, k, v, mask) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_kv_blocked_lse_is_finite_and_correct(monkeypatch):
+    """The stored log-sum-exp equals logsumexp of the scaled+biased
+    scores for real rows (the backward's correctness hinges on it)."""
+    import dial_rag_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_Q_BLOCKED_MAX_S", 512)
+    s = fa._KV_BLOCK * 2
+    rng = np.random.default_rng(11)
+    b, h, dh = 1, 1, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)).astype(np.float32))
+    mask = jnp.asarray(np.ones((b, s), dtype=np.int32))
+    _, lse = fa._forward(q, k, v, mask)
+    assert lse is not None and lse.shape == (b, h, s)
+    scores = np.einsum(
+        "bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)
+    ) / np.sqrt(dh)
+    expected = np.log(np.exp(scores).sum(-1))
+    np.testing.assert_allclose(np.asarray(lse), expected, atol=1e-4)
