@@ -5,11 +5,20 @@ tokenization + device transfer + bge-small-class encoder forward + device
 index append — on the real TPU chip, and compares against the reference's
 compute path (HF BERT on CPU torch, standing in for sentence-transformers/
 OpenVINO which is the same model on the same cores; reference batch size
-128 per aidial_rag/embeddings/embeddings.py:24-26).
+128 per aidial_rag/embeddings/embeddings.py:24-26). ``vs_baseline`` is
+therefore "TPU pipeline vs the same architecture on this container's
+CPU cores", not vs the reference's tuned OpenVINO deployment.
 
-Prints ONE JSON line:
-  {"metric": "index_build_chunks_per_sec", "value": N, "unit": "chunks/s",
-   "vs_baseline": ratio}
+Prints ONE JSON line. Besides the headline chunks/s it reports:
+- ``tokens_per_sec``: real (attention-mask) tokens through the encoder;
+- ``mfu``: useful encoder FLOPs/s over the chip's bf16 peak (analytic
+  forward FLOPs/token for the bge-small architecture at each batch's
+  padded sequence bucket, counted for real tokens only — so padding
+  waste lowers it);
+- ``query_device_ms``: amortized per-query device time of a top-7
+  dense lookup over a 100k x 384 f32 index — 256 sequential finds
+  inside ONE dispatch (lax.scan), so the remote-tunnel RTT cannot
+  contaminate it (BASELINE.md target: < 2 ms).
 """
 
 import json
@@ -21,6 +30,48 @@ N_CHUNKS = 2048
 BATCH = 128  # reference EMBEDDINGS_BATCH_SIZE
 CPU_CHUNKS = 128  # baseline sample (scaled)
 WORDS_PER_CHUNK = 180  # ~1000 chars, the reference chunk size
+
+# bf16 dense peak FLOPs/s per chip by jax device_kind substring
+_CHIP_PEAK_FLOPS = (
+    ("v6", 918e12),  # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e
+    ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def chip_peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for marker, peak in _CHIP_PEAK_FLOPS:
+        if marker in kind:
+            return peak
+    return None
+
+
+def encoder_flops_per_token(config, s_bucket: int) -> float:
+    """Analytic forward matmul FLOPs per token at padded seq length S:
+    per layer QKV (2*H*3H) + attn out (2*H*H) + FFN (4*H*I) + the two
+    attention einsums (4*S*H)."""
+    h, i = config.hidden_size, config.intermediate_size
+    return config.num_layers * (8 * h * h + 4 * h * i + 4 * s_bucket * h)
+
+
+def count_token_work(texts, tok, config):
+    """(real_tokens, useful_flops) for the corpus as the embedder
+    batches it (BATCH chunks per encode at that batch's seq bucket)."""
+    real_tokens = 0
+    useful_flops = 0.0
+    for i in range(0, len(texts), BATCH):
+        _, mask = tok.encode_batch(texts[i : i + BATCH])
+        batch_tokens = int(mask.sum())
+        real_tokens += batch_tokens
+        useful_flops += batch_tokens * encoder_flops_per_token(
+            config, mask.shape[1]
+        )
+    return real_tokens, useful_flops
 
 
 def make_corpus(rng, n):
@@ -79,18 +130,127 @@ def bench_tpu(texts, tok, params, config):
     # is environment noise, not pipeline cost (inputs differ per run so
     # nothing is served from a dispatch cache)
     dt = float("inf")
+    best_texts = texts
     for run in range(3):
         run_texts = make_corpus(np.random.default_rng(100 + run), len(texts))
         t0 = time.perf_counter()
         index = build(run_texts)
-        dt = min(dt, time.perf_counter() - t0)
+        run_dt = time.perf_counter() - t0
+        if run_dt < dt:
+            dt, best_texts = run_dt, run_texts
 
     # the index is live: nearest neighbor of a row's own embedding is
     # that row
     probe = np.asarray(index._emb[7])
     hits = index.find(probe)
     assert hits[0].chunk_id == 7, hits[:3]
-    return len(texts) / dt
+    return len(texts) / dt, dt, best_texts
+
+
+def bench_encoder_mfu(params, config, reps=3, n_batches=64, s=256):
+    """Device-honest encoder MFU: encode ``n_batches`` [BATCH, s] token
+    batches inside ONE dispatch (lax.scan). Two tunnel artifacts make
+    naive wall timing of the pipeline untrustworthy here (they implied
+    >100% of chip peak, which is physically impossible): completion
+    acks can return optimistically, and dispatches whose input bytes
+    were seen before are served from a transport cache. So the token
+    ids are generated ON DEVICE from a per-rep seed inside the timed
+    dispatch (fresh bytes every rep, ~zero FLOPs), and one dispatch
+    carries ~n_batches*BATCH*s tokens (~250 ms of roofline compute at
+    the defaults) so launch latency amortizes away. Returns
+    (mfu, tokens_per_sec) on the dispatched (padded) tokens — the mask
+    is all-real here, so mfu is exactly MXU utilization."""
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.models.bert import bert_forward
+
+    @jax.jit
+    def encode_all(params, seed):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(seed),
+            (n_batches, BATCH, s),
+            5,
+            config.vocab_size,
+            dtype=jnp.int32,
+        )
+        mask = jnp.ones_like(ids)
+
+        def step(carry, batch):
+            hidden = bert_forward(
+                params,
+                batch[0],
+                batch[1],
+                num_heads=config.num_heads,
+                compute_dtype=jnp.bfloat16,
+            )
+            cls = hidden[:, 0, :].astype(jnp.float32)
+            emb = cls / jnp.maximum(
+                jnp.sqrt(jnp.sum(cls * cls, -1, keepdims=True)), 1e-12
+            )
+            return carry + jnp.sum(emb), emb
+
+        # return ONLY a scalar that depends on every output: through
+        # the tunnel, block_until_ready acks before remote execution
+        # finishes, so the timed section must FETCH bytes derived from
+        # the full computation (4 bytes; transfer latency ~60-95 ms,
+        # small next to the ~250 ms of compute in the dispatch)
+        return jax.lax.scan(step, jnp.float32(0), (ids, mask))[0]
+
+    best = float("inf")
+    for rep in range(reps + 1):  # rep 0 warms the compile
+        t0 = time.perf_counter()
+        float(encode_all(params, jnp.int32(1000 + rep)))
+        if rep > 0:
+            best = min(best, time.perf_counter() - t0)
+
+    tokens = n_batches * BATCH * s
+    flops = tokens * encoder_flops_per_token(config, s)
+    peak = chip_peak_flops(jax.devices()[0].device_kind)
+    mfu = flops / best / peak if peak else None
+    return mfu, tokens / best
+
+
+def bench_query_device_time(k=7, n_rows=100_000, d=384, m=256, reps=3):
+    """Amortized per-query device time for a dense top-k lookup.
+
+    The remote-TPU tunnel adds ~100 ms RTT per dispatch, so a naive
+    per-call timing measures the tunnel, not the chip (ROADMAP item 5).
+    Instead m sequential single-query finds run inside ONE dispatch via
+    lax.scan — same ops as DenseIndex.find (HIGHEST-precision distance
+    pass + stable top-k) — and the dispatch is timed end to end.
+    Inputs are regenerated per rep (the tunnel memoizes identical
+    dispatches); min over reps is reported."""
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
+    from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
+
+    @jax.jit
+    def gen(seed):
+        kq, ke = jax.random.split(jax.random.PRNGKey(seed))
+        emb = jax.random.normal(ke, (n_rows, d), jnp.float32)
+        queries = jax.random.normal(kq, (m, d), jnp.float32)
+        return emb, queries
+
+    @jax.jit
+    def scan_find(emb, queries):
+        def step(carry, q):
+            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST)
+            vals, idx = stable_topk_argmin(dists, k)
+            return carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)), None
+        # scalar result: forces a real fetch (see bench_encoder_mfu)
+        return jax.lax.scan(step, jnp.float32(0), queries)[0]
+
+    best = float("inf")
+    for rep in range(reps + 1):  # rep 0 is compile warmup
+        emb, queries = jax.block_until_ready(gen(rep))
+        t0 = time.perf_counter()
+        float(scan_find(emb, queries))
+        if rep > 0:
+            best = min(best, time.perf_counter() - t0)
+    return best / m * 1e3  # ms per query
 
 
 def bench_cpu_reference(texts, tok, config):
@@ -153,8 +313,14 @@ def main():
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 
-    tpu_rate = bench_tpu(texts, tok, params, config)
+    tpu_rate, dt, timed_texts = bench_tpu(texts, tok, params, config)
+    mfu, device_tokens_per_sec = bench_encoder_mfu(params, config)
+    query_ms = bench_query_device_time()
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
+
+    real_tokens, _ = count_token_work(timed_texts, tok, config)
+    device_kind = jax.devices()[0].device_kind
+    peak = chip_peak_flops(device_kind)
 
     print(
         json.dumps(
@@ -163,6 +329,16 @@ def main():
                 "value": round(tpu_rate, 1),
                 "unit": "chunks/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                # end-to-end pipeline token rate (host tokenize +
+                # transfer + encode + index append); rides the tunnel's
+                # wall clock like the headline number
+                "tokens_per_sec": round(real_tokens / dt, 1),
+                # device-honest figures from single-dispatch scans
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "device_tokens_per_sec": round(device_tokens_per_sec, 1),
+                "device_kind": device_kind,
+                "peak_tflops_bf16": peak / 1e12 if peak else None,
+                "query_device_ms": round(query_ms, 4),
             }
         )
     )
