@@ -10,11 +10,13 @@ therefore "TPU pipeline vs the same architecture on this container's
 CPU cores", not vs the reference's tuned OpenVINO deployment.
 
 Prints ONE JSON line. Besides the headline chunks/s it reports:
-- ``tokens_per_sec``: real (attention-mask) tokens through the encoder;
-- ``mfu``: useful encoder FLOPs/s over the chip's bf16 peak (analytic
-  forward FLOPs/token for the bge-small architecture at each batch's
-  padded sequence bucket, counted for real tokens only — so padding
-  waste lowers it);
+- ``tokens_per_sec``: real (attention-mask) tokens through the full
+  pipeline per wall second — rides the tunnel clock like the headline;
+- ``mfu`` / ``device_tokens_per_sec``: pure MXU utilization of the
+  encoder, measured by a single-dispatch scan over synthetic all-real
+  batches (analytic forward FLOPs/token for the bge-small
+  architecture over the chip's bf16 peak) — see bench_encoder_mfu for
+  why nothing weaker survives the tunnel's timing artifacts;
 - ``query_device_ms``: amortized per-query device time of a top-7
   dense lookup over a 100k x 384 f32 index — 256 sequential finds
   inside ONE dispatch (lax.scan), so the remote-tunnel RTT cannot
@@ -59,19 +61,14 @@ def encoder_flops_per_token(config, s_bucket: int) -> float:
     return config.num_layers * (8 * h * h + 4 * h * i + 4 * s_bucket * h)
 
 
-def count_token_work(texts, tok, config):
-    """(real_tokens, useful_flops) for the corpus as the embedder
-    batches it (BATCH chunks per encode at that batch's seq bucket)."""
+def count_real_tokens(texts, tok):
+    """Attention-mask token count of the corpus as the embedder batches
+    it (BATCH chunks per encode at that batch's seq bucket)."""
     real_tokens = 0
-    useful_flops = 0.0
     for i in range(0, len(texts), BATCH):
         _, mask = tok.encode_batch(texts[i : i + BATCH])
-        batch_tokens = int(mask.sum())
-        real_tokens += batch_tokens
-        useful_flops += batch_tokens * encoder_flops_per_token(
-            config, mask.shape[1]
-        )
-    return real_tokens, useful_flops
+        real_tokens += int(mask.sum())
+    return real_tokens
 
 
 def make_corpus(rng, n):
@@ -318,7 +315,7 @@ def main():
     query_ms = bench_query_device_time()
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
-    real_tokens, _ = count_token_work(timed_texts, tok, config)
+    real_tokens = count_real_tokens(timed_texts, tok)
     device_kind = jax.devices()[0].device_kind
     peak = chip_peak_flops(device_kind)
 

@@ -395,28 +395,27 @@ class ShardedBm25SparseIndex:
         term_ptr, rows_flat, vals_flat = base._postings_host
         base._postings_host = None  # re-sharded below; free the original
         v = len(term_ptr) - 1
-        shard_rows: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
-        shard_vals: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+        # Vectorized re-shard (a per-term Python loop would be millions
+        # of iterations at the >10M-chunk scale this class targets).
+        # Within a term the rows are ascending, so shard ids are too:
+        # selecting one shard's postings preserves term-major order,
+        # and per-(shard, term) counts come from one np.add.at.
+        shard_of = rows_flat.astype(np.int64) // rows_per_shard
+        term_of = np.repeat(
+            np.arange(v, dtype=np.int64), np.diff(term_ptr)
+        )
+        counts = np.zeros((n_shards, v), dtype=np.int64)
+        np.add.at(counts, (shard_of, term_of), 1)
         term_ptr_s = np.zeros((n_shards, v + 1), dtype=np.int64)
-        bounds = np.arange(1, n_shards) * rows_per_shard
-        for t in range(v):
-            seg = slice(term_ptr[t], term_ptr[t + 1])
-            seg_rows = rows_flat[seg]  # ascending by construction
-            cuts = np.searchsorted(seg_rows, bounds)
-            for s, (r_piece, v_piece) in enumerate(
-                zip(np.split(seg_rows, cuts), np.split(vals_flat[seg], cuts))
-            ):
-                shard_rows[s].append(r_piece - s * rows_per_shard)
-                shard_vals[s].append(v_piece)
-                term_ptr_s[s, t + 1] = term_ptr_s[s, t] + len(r_piece)
+        np.cumsum(counts, axis=1, out=term_ptr_s[:, 1:])
         nnz_pad = max(8, int(term_ptr_s[:, -1].max()))
         rows_sh = np.zeros((n_shards, nnz_pad), dtype=np.int32)
         vals_sh = np.zeros((n_shards, nnz_pad), dtype=np.float32)
         for s in range(n_shards):
-            r = np.concatenate(shard_rows[s]) if shard_rows[s] else []
-            rows_sh[s, : len(r)] = r
-            vv = np.concatenate(shard_vals[s]) if shard_vals[s] else []
-            vals_sh[s, : len(vv)] = vv
+            mask = shard_of == s
+            n_s = int(counts[s].sum())
+            rows_sh[s, :n_s] = rows_flat[mask] - s * rows_per_shard
+            vals_sh[s, :n_s] = vals_flat[mask]
         self._term_ptr_s = term_ptr_s  # host: per-shard slice lookup
         sharding = NamedSharding(self._mesh, P("idx", None))
         self._rows_sh = jax.device_put(rows_sh, sharding)

@@ -54,18 +54,19 @@ class ResourceCounter:
             self._free -= units
             ticket.set_result(None)
 
-    def _queue_is_live(self) -> bool:
-        return any(not t.cancelled() for _, t in self._tickets)
-
     async def acquire(self, count: int) -> None:
         if count > self._total:
             raise ValueError("Requested count is more than total")
-        # the fast path must not jump over queued waiters
-        if not self._queue_is_live() and count <= self._free:
+        # the fast path must not jump over queued waiters (cancelled
+        # tickets remove themselves below, so presence means liveness
+        # modulo a not-yet-resumed cancellation — queueing behind one
+        # of those is harmless, the next _admit grants immediately)
+        if not self._tickets and count <= self._free:
             self._free -= count
             return
         ticket = asyncio.get_running_loop().create_future()
-        self._tickets.append((count, ticket))
+        entry = (count, ticket)
+        self._tickets.append(entry)
         try:
             await ticket
         except asyncio.CancelledError:
@@ -73,6 +74,15 @@ class ResourceCounter:
                 # granted before the cancellation landed: the sweep
                 # already debited our units — put them back
                 self._free += count
+            else:
+                # never granted: leave the queue NOW — a dead ticket
+                # parked behind a blocked head would otherwise linger
+                # until the head is granted (unbounded growth under
+                # sustained timeouts)
+                try:
+                    self._tickets.remove(entry)
+                except ValueError:
+                    pass  # the sweep already discarded it
             # either way the head may now be unblocked (our refund, or
             # our dead ticket no longer gating the ones behind it)
             self._admit()

@@ -13,6 +13,7 @@ reference's prefix match treats ``/modelxyz`` as ``/model xyz``;
 here it stays message text.
 """
 
+import re
 from copy import deepcopy
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -77,14 +78,18 @@ _REGISTRY: dict[str, _Command] = {
 }
 
 
+_COMMAND_LINE = re.compile(r"/(\w+)(?:\s(.*))?$", re.DOTALL)
+
+
 def _match_command(line: str) -> tuple[str, str] | None:
-    """``/name arg...`` -> (name, arg) when name is registered."""
-    if not line.startswith("/"):
+    """``/name`` or ``/name <ws> arg...`` -> (name, arg) when name is
+    registered. Any whitespace terminates the name (clients send tabs
+    and CRLF line endings; a trailing \\r must not turn /profile into
+    message text)."""
+    m = _COMMAND_LINE.match(line)
+    if m is None or m.group(1) not in _REGISTRY:
         return None
-    name, _, arg = line[1:].partition(" ")
-    if name not in _REGISTRY:
-        return None
-    return name, arg.strip()
+    return m.group(1), (m.group(2) or "").strip()
 
 
 def process_message_commands(message: Message, commands: Commands) -> Message:

@@ -42,18 +42,7 @@ import time
 from pathlib import Path
 
 
-def _honor_jax_platforms_env() -> None:
-    """The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
-    programmatically so ``JAX_PLATFORMS=cpu python -m eval.eval_alps``
-    runs hermetically on CPU. Called from main() ONLY — at import time
-    it would hijack the backend of whoever imports this module (the
-    test suite imports it under a forced 8-device CPU mesh while the
-    ambient env says JAX_PLATFORMS=axon)."""
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
+from eval._platform import honor_jax_platforms_env
 
 from dial_rag_tpu.documents.model import (
     FORMAT_VERSION,
@@ -247,7 +236,7 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
 
 
 def main(argv=None) -> dict:
-    _honor_jax_platforms_env()
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-dir", default=DEFAULT_DATA_DIR)
     parser.add_argument(

@@ -28,18 +28,7 @@ import os
 import time
 from pathlib import Path
 
-def _honor_jax_platforms_env() -> None:
-    """The axon TPU plugin ignores the JAX_PLATFORMS env var (and the
-    axon site pre-imports jax); honor it programmatically so
-    `JAX_PLATFORMS=cpu python -m eval.eval_retriever` runs hermetically
-    on CPU. Called from main() ONLY: at import time it would hijack the
-    backend of an importer (e.g. the test suite's forced 8-device CPU
-    mesh while the ambient env says JAX_PLATFORMS=axon)."""
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
+from eval._platform import honor_jax_platforms_env
 
 from dial_rag_tpu.documents.model import (
     FORMAT_VERSION,
@@ -205,7 +194,7 @@ async def run_eval(
 
 
 def main(argv=None) -> dict:
-    _honor_jax_platforms_env()
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--pages", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)

@@ -68,6 +68,29 @@ def test_ignore_errors_command_is_not_debug():
     assert commands.conf.ignore_document_loading_errors is True
 
 
+def test_commands_with_crlf_and_tab_whitespace():
+    """Clients send CRLF content and tab-separated args; any whitespace
+    must terminate the command name (a trailing \\r must not turn
+    /profile into message text)."""
+    messages, commands = process_commands(
+        [user("q\r\n/profile\r\n/attach\tfiles/b/t.pdf\r\n/model\tgpt-4o\r")],
+        enable_debug_commands=True,
+    )
+    assert commands.debug.profile is True
+    assert commands.debug.model == "gpt-4o"
+    urls = [a.url for a in messages[0].custom_content.attachments]
+    assert urls == ["files/b/t.pdf"]
+    assert messages[0].content == "q\r"
+
+
+def test_leading_space_after_slash_is_not_a_command():
+    messages, commands = process_commands(
+        [user("/ model gpt-4o")], enable_debug_commands=True
+    )
+    assert messages[0].content == "/ model gpt-4o"
+    assert commands.debug.model is None
+
+
 def test_non_command_text_untouched():
     original = user("no commands here\njust text")
     messages, _ = process_commands([original], enable_debug_commands=True)

@@ -378,3 +378,29 @@ async def test_profiler_concurrent_requests_do_not_crash():
         choice.close()
 
     await asyncio.gather(*(profiled() for _ in range(4)))
+
+
+async def test_cancelled_waiters_leave_the_queue():
+    """Cancelled tickets parked behind a blocked head must be removed
+    immediately, not linger until the head is granted — under sustained
+    timeouts a lingering queue grows without bound."""
+    from dial_rag_tpu.runtime.resource_counter import ResourceCounter
+
+    counter = ResourceCounter(10)
+    await counter.acquire(6)  # 4 free
+
+    async def waiter(n):
+        await counter.acquire(n)
+
+    head = asyncio.create_task(waiter(8))  # blocks (needs 8 > 4)
+    await asyncio.sleep(0)
+    stragglers = [asyncio.create_task(waiter(1)) for _ in range(20)]
+    await asyncio.sleep(0)
+    assert len(counter._tickets) == 21
+    for t in stragglers:
+        t.cancel()
+    await asyncio.gather(*stragglers, return_exceptions=True)
+    assert len(counter._tickets) == 1  # only the live head remains
+    counter.release(6)
+    await asyncio.wait_for(head, timeout=1.0)
+    assert counter.available == 2
