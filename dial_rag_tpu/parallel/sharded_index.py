@@ -326,6 +326,87 @@ def _sharded_bm25_sparse_topk_kernel(
 
 
 @partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "l_pad", "rows_per_shard", "use_sort"),
+)
+def _sharded_bm25_sparse_topk_batch_kernel(
+    rows_sh,  # [n_shards, nnz_pad]
+    vals_sh,  # [n_shards, nnz_pad]
+    starts_sh,  # [n_shards, Q, t_pad]
+    lens_sh,  # [n_shards, Q, t_pad]
+    counts,  # [Q, t_pad] (replicated)
+    n_valid,
+    *,
+    mesh,
+    k: int,
+    l_pad: int,
+    rows_per_shard: int,
+    use_sort: bool,
+):
+    """Batched variant: every shard scores all Q queries against its own
+    postings (vmapped gather/scatter + local top-k), then one two-key
+    sort per query merges the winner lists — same ordering proof as the
+    single-query kernel."""
+    from dial_rag_tpu.index.bm25 import _sparse_scores
+
+    n_total_pad = rows_per_shard * mesh.devices.size
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+
+        def per_query(q_starts, q_lens, q_counts):
+            scores = _sparse_scores(
+                rows_l[0],
+                vals_l[0],
+                q_starts,
+                q_lens,
+                q_counts,
+                n_pad=rows_per_shard,
+                l_pad=l_pad,
+            )
+            neg = jnp.where(row < n_valid, -scores, jnp.inf)
+            vals_k, idx_k = topk(jnp.flip(neg), k)
+            global_row = base + (rows_per_shard - 1) - idx_k
+            return vals_k, (n_total_pad - 1) - global_row, global_row
+
+        vals, rev, grow = jax.vmap(per_query)(
+            starts[0], lens[0], counts
+        )  # [Q, k] each
+        return vals[None], rev[None], grow[None]
+
+    vals, rev, grow = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(
+            P("idx", None),
+            P("idx", None),
+            P("idx", None, None),
+            P("idx", None, None),
+            P(),
+            P(),
+        ),
+        out_specs=(P("idx"), P("idx"), P("idx")),
+    )(rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid)
+
+    q = counts.shape[0]
+    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
+    flat_rev = rev.transpose(1, 0, 2).reshape(q, -1)
+    flat_row = grow.transpose(1, 0, 2).reshape(q, -1)
+    merged_vals, _, merged_row = jax.lax.sort(
+        (flat_vals, flat_rev, flat_row),
+        num_keys=2,
+        is_stable=False,
+        dimension=-1,
+    )
+    return -merged_vals[:, :k], merged_row[:, :k]
+
+
+@partial(
     jax.jit, static_argnames=("mesh", "l_pad", "rows_per_shard")
 )
 def _sharded_bm25_sparse_scores_kernel(
@@ -495,7 +576,45 @@ class ShardedBm25SparseIndex:
     def top_n_batch(
         self, queries_tokens: list[list[str]], n: int
     ) -> list[np.ndarray]:
-        return [self.top_n(q, n) for q in queries_tokens]
+        """All queries in ONE sharded dispatch (vmapped local scoring +
+        per-query two-key merge). Query count and slice-table shapes are
+        padded to powers of two to bound the jit cache."""
+        if n > self.limit:
+            raise ValueError(f"n={n} exceeds the index limit {self.limit}")
+        if not queries_tokens:
+            return []
+        from dial_rag_tpu.index.bm25 import _next_pow2
+
+        k = min(n, self.n_items)
+        q = len(queries_tokens)
+        q_pad = _next_pow2(q)
+        per_query = [self._query_slices(toks) for toks in queries_tokens]
+        t_pad = max(s.shape[1] for s, _, _, _ in per_query)
+        l_pad = max(lp for _, _, _, lp in per_query)
+        n_shards = self._mesh.devices.size
+        starts = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
+        lens = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
+        counts = np.zeros((q_pad, t_pad), dtype=np.float32)
+        for qi, (st, ln, cn, _) in enumerate(per_query):
+            t = st.shape[1]
+            starts[:, qi, :t] = st
+            lens[:, qi, :t] = ln
+            counts[qi, :t] = cn
+        _, idx = _sharded_bm25_sparse_topk_batch_kernel(
+            self._rows_sh,
+            self._vals_sh,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(counts),
+            jnp.int32(self.n_items),
+            mesh=self._mesh,
+            k=k,
+            l_pad=l_pad,
+            rows_per_shard=self._rows_per_shard,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        idx = np.asarray(idx).astype(np.int64)
+        return [idx[qi] for qi in range(q)]
 
 
 class ShardedBm25Index:

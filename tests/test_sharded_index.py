@@ -279,3 +279,30 @@ def test_sharded_sparse_bm25_retriever_wiring(mesh, monkeypatch):
     assert isinstance(retriever._index, ShardedBm25SparseIndex)
     hits = retriever.retrieve("cadibona boundary")
     assert hits and hits[0].chunk_id == 1
+
+
+def test_sharded_sparse_bm25_batch_matches_sequential(mesh):
+    """top_n_batch (one vmapped sharded dispatch) must equal per-query
+    top_n, including cross-shard tie order and out-of-vocab queries."""
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+
+    rng = np.random.default_rng(13)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow",
+             "river", "pass", "boundary", "cadibona"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 12))))
+        for _ in range(50)
+    ]
+    sharded = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=7,
+    )
+    queries = [["alps"], ["climate", "glacier", "climate"],
+               ["missing-word"], ["snow", "river", "pass"],
+               ["cadibona", "boundary"]]
+    batched = sharded.top_n_batch(queries, 7)
+    assert len(batched) == len(queries)
+    for got, toks in zip(batched, queries):
+        np.testing.assert_array_equal(got, sharded.top_n(toks, 7))
