@@ -292,8 +292,16 @@ def bert_forward(
     num_heads: int,
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
+    remat: bool = False,
 ):
-    """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states."""
+    """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states.
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint``: under grad,
+    layer activations are recomputed in the backward instead of saved —
+    activation memory drops from O(L) layers to O(1) at ~1/3 extra
+    FLOPs, the standard TPU trade for long-sequence / large-batch
+    training (inference is unaffected: no residuals are saved anyway).
+    """
     if attention_impl == "auto":
         # the fused kernel is Mosaic-TPU-only; every other backend
         # (cpu test mesh, gpu) takes the jnp path
@@ -320,7 +328,7 @@ def bert_forward(
     ).min
     mask_bias = mask_bias[:, None, None, :]  # [B, 1, 1, S]
 
-    for layer in params["layers"]:
+    def layer_fn(x, layer):
         qkv = _dense(x, layer["qkv"])  # [B, S, 3H]
         qkv = qkv.reshape(b, s, 3, num_heads, dh)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, S, Dh]
@@ -345,8 +353,12 @@ def bert_forward(
             compute_dtype
         )
         ffn = _dense(ffn, layer["ffn_out"])
-        x = _layernorm(
+        return _layernorm(
             x + ffn, layer["ffn_ln"]["scale"], layer["ffn_ln"]["bias"]
         )
+
+    apply_layer = jax.checkpoint(layer_fn) if remat else layer_fn
+    for layer in params["layers"]:
+        x = apply_layer(x, layer)
 
     return x

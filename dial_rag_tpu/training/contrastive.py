@@ -35,11 +35,16 @@ class TrainState:
     step: jnp.ndarray
 
 
-def _encode(params, ids, mask, *, num_heads, compute_dtype):
+def _encode(params, ids, mask, *, num_heads, compute_dtype, remat=False):
     # differentiable end to end: the fused attention kernel carries a
     # custom VJP (recompute-P backward, ops/flash_attention.py)
     hidden = bert_forward(
-        params, ids, mask, num_heads=num_heads, compute_dtype=compute_dtype
+        params,
+        ids,
+        mask,
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+        remat=remat,
     )
     cls = hidden[:, 0, :].astype(jnp.float32)
     return cls / jnp.maximum(
@@ -54,6 +59,7 @@ def contrastive_loss(
     num_heads: int,
     temperature: float = 0.02,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
     """Symmetric InfoNCE over in-batch negatives.
 
@@ -65,6 +71,7 @@ def contrastive_loss(
         batch["q_mask"],
         num_heads=num_heads,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     p = _encode(
         params,
@@ -72,6 +79,7 @@ def contrastive_loss(
         batch["p_mask"],
         num_heads=num_heads,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     logits = (
         jnp.dot(q, p.T, preferred_element_type=jnp.float32) / temperature
@@ -98,9 +106,12 @@ def make_train_step(
     mesh=None,
     temperature: float = 0.02,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
     """Build the jitted train step. With a mesh, params/batch/opt-state are
-    sharded (tp plan + dp batch) and XLA inserts all collectives."""
+    sharded (tp plan + dp batch) and XLA inserts all collectives.
+    ``remat`` rematerializes encoder layers in the backward — O(1)-layer
+    activation memory for ~1/3 extra FLOPs (long-seq / big-batch runs)."""
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(contrastive_loss)(
@@ -109,6 +120,7 @@ def make_train_step(
             num_heads=config.num_heads,
             temperature=temperature,
             compute_dtype=compute_dtype,
+            remat=remat,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

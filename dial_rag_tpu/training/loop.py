@@ -40,6 +40,9 @@ class TrainConfig:
     temperature: float = 0.02
     checkpoint_every: int = 200
     seed: int = 0
+    # rematerialize encoder layers in the backward: O(1)-layer
+    # activation memory for ~1/3 extra FLOPs (long-seq / big batches)
+    remat: bool = False
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -162,6 +165,7 @@ def train(
         optimizer,
         mesh=mesh,
         temperature=train_config.temperature,
+        remat=train_config.remat,
     )
 
     losses = []  # device scalars; converted once at the end (a float()

@@ -195,3 +195,47 @@ def test_train_from_jsonl(tmp_path, tokenizer):
         tokenizer,
     )
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_remat_grads_match_exact():
+    """jax.checkpoint must not change gradients — only when/where
+    activations are (re)computed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dial_rag_tpu.models.bert import BertConfig, init_params
+    from dial_rag_tpu.training.contrastive import contrastive_loss
+
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(0)
+    batch = {
+        "q_ids": rng.integers(5, config.vocab_size, (4, 16)).astype("int32"),
+        "q_mask": np.ones((4, 16), "int32"),
+        "p_ids": rng.integers(5, config.vocab_size, (4, 16)).astype("int32"),
+        "p_mask": np.ones((4, 16), "int32"),
+    }
+
+    def grads(remat):
+        return jax.grad(
+            lambda p: contrastive_loss(
+                p, batch, num_heads=config.num_heads, remat=remat
+            )
+        )(params)
+
+    g_plain = grads(False)
+    g_remat = grads(True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
+        g_plain,
+        g_remat,
+    )
+
+
+def test_train_with_remat_converges_one_step(tokenizer):
+    cfg = TrainConfig(
+        batch_size=4, seq_len=16, total_steps=2, warmup_steps=1, remat=True
+    )
+    _, losses = train(BertConfig.tiny(), cfg, _pairs(8), tokenizer)
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
