@@ -196,6 +196,15 @@ def _dense(x, p):
     ).astype(x.dtype)
 
 
+def _split_qkv(qkv, b, s, num_heads, dh):
+    qkv4 = qkv.reshape(b, s, 3, num_heads, dh)
+    return (
+        qkv4[:, :, 0].transpose(0, 2, 1, 3),  # [B, H, S, Dh]
+        qkv4[:, :, 1].transpose(0, 2, 1, 3),
+        qkv4[:, :, 2].transpose(0, 2, 1, 3),
+    )
+
+
 def _xla_attention(q, k, v, mask_bias):
     """Reference attention path: [B, H, S, Dh] inputs, additive mask bias."""
     scores = jnp.einsum(
@@ -217,13 +226,17 @@ class BertEncoder:
         compute_dtype=jnp.float32,
         attention_impl: str = "auto",
         pooling: str = "cls",
+        gelu: str = "auto",
     ):
         if pooling not in ("cls", "mean"):
             raise ValueError(f"unsupported pooling mode: {pooling!r}")
+        if gelu not in ("auto", "exact", "tanh"):
+            raise ValueError(f"unsupported gelu mode: {gelu!r}")
         self.config = config
         self.compute_dtype = compute_dtype
         self.attention_impl = attention_impl
         self.pooling = pooling
+        self.gelu = gelu
 
     def __call__(self, params, input_ids, attention_mask):
         return bert_forward(
@@ -233,6 +246,7 @@ class BertEncoder:
             num_heads=self.config.num_heads,
             compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl,
+            gelu=self.gelu,
         )
 
     def encode(self, params, input_ids, attention_mask):
@@ -245,12 +259,15 @@ class BertEncoder:
             compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl,
             pooling=self.pooling,
+            gelu=self.gelu,
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("num_heads", "compute_dtype", "attention_impl", "pooling"),
+    static_argnames=(
+        "num_heads", "compute_dtype", "attention_impl", "pooling", "gelu",
+    ),
 )
 def _encode_jit(
     params,
@@ -261,6 +278,7 @@ def _encode_jit(
     compute_dtype,
     attention_impl,
     pooling="cls",
+    gelu="auto",
 ):
     hidden = bert_forward(
         params,
@@ -269,6 +287,7 @@ def _encode_jit(
         num_heads=num_heads,
         compute_dtype=compute_dtype,
         attention_impl=attention_impl,
+        gelu=gelu,
     )
     if pooling == "cls":
         # bge pooling: CLS token (sentence-transformers
@@ -293,6 +312,7 @@ def bert_forward(
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
     remat: bool = False,
+    gelu: str = "auto",
 ):
     """Full encoder stack: [B, S] ids + mask -> [B, S, H] hidden states.
 
@@ -301,6 +321,14 @@ def bert_forward(
     activation memory drops from O(L) layers to O(1) at ~1/3 extra
     FLOPs, the standard TPU trade for long-sequence / large-batch
     training (inference is unaffected: no residuals are saved anyway).
+
+    ``gelu``: "exact" is HF BertModel's erf GELU (the f32 parity
+    contract); "tanh" is the cheap tanh approximation; "auto" picks
+    exact under f32 compute and tanh under bf16 — the approximation's
+    max abs error (~3e-4) sits below bf16 roundoff (~4e-3 relative),
+    while exact erf measured ~16% of the whole encoder's wall time on a
+    v5e (it is pure VPU transcendental work on the [B, S, 4H] FFN
+    activations).
     """
     if attention_impl == "auto":
         # the fused kernel is Mosaic-TPU-only; every other backend
@@ -308,6 +336,8 @@ def bert_forward(
         attention_impl = (
             "pallas" if jax.default_backend() == "tpu" else "xla"
         )
+    if gelu == "auto":
+        gelu = "exact" if compute_dtype == jnp.float32 else "tanh"
     emb = params["embeddings"]
     b, s = input_ids.shape
     h = emb["word"].shape[1]
@@ -330,28 +360,39 @@ def bert_forward(
 
     def layer_fn(x, layer):
         qkv = _dense(x, layer["qkv"])  # [B, S, 3H]
-        qkv = qkv.reshape(b, s, 3, num_heads, dh)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, S, Dh]
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-
         if attention_impl == "pallas":
-            from dial_rag_tpu.ops.flash_attention import flash_attention
+            from dial_rag_tpu.ops.flash_attention import (
+                flash_attention,
+                fused_qkv_attention,
+                supports_fused_qkv,
+            )
 
-            ctx = flash_attention(q, k, v, attention_mask)
+            if supports_fused_qkv(s):
+                # layout-native kernel: consumes [B, S, 3H] directly and
+                # returns [B, S, H] — the [B, H, S, Dh] head split and
+                # the ctx merge (four HBM relayouts, ~1.1 ms/layer at
+                # serving shapes on a v5e) never happen
+                ctx = fused_qkv_attention(qkv, attention_mask, num_heads)
+            else:
+                q, k, v = _split_qkv(qkv, b, s, num_heads, dh)
+                ctx = flash_attention(q, k, v, attention_mask)
+                ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         else:
+            q, k, v = _split_qkv(qkv, b, s, num_heads, dh)
             ctx = _xla_attention(q, k, v, mask_bias)
-
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         attn_out = _dense(ctx, layer["attn_out"])
         x = _layernorm(
             x + attn_out, layer["attn_ln"]["scale"], layer["attn_ln"]["bias"]
         )
 
         ffn = _dense(x, layer["ffn_in"])
-        ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(
-            compute_dtype
-        )
+        if gelu == "exact":
+            ffn = jax.nn.gelu(
+                ffn.astype(jnp.float32), approximate=False
+            ).astype(compute_dtype)
+        else:
+            ffn = jax.nn.gelu(ffn, approximate=True)
         ffn = _dense(ffn, layer["ffn_out"])
         return _layernorm(
             x + ffn, layer["ffn_ln"]["scale"], layer["ffn_ln"]["bias"]

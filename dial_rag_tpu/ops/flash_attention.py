@@ -583,6 +583,132 @@ def _backward(attention_mask, q, k, v, do):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _qkv_native_kernel(bias_ref, qkv_ref, o_ref, *, num_heads, scale):
+    """qkv-LAYOUT-NATIVE single-tile attention: one program consumes one
+    batch row of the fused QKV projection output ``[S, 3H]`` directly
+    and emits ``[S, H]`` ready for the output projection.
+
+    Why this exists: the ``[B, S, 3H] -> 3x[B, H, S, Dh]`` head split
+    (and the ``ctx`` transpose back) are HBM relayouts XLA must
+    materialize around a pallas call whose operands demand the
+    head-major layout. At the encoder's serving shapes those relayouts
+    measured ~1.1 ms/layer on a v5e — only slightly less than the
+    attention kernel itself (1.27 ms), because strided transposes use
+    HBM bandwidth far worse than streaming reads. Slicing the heads out
+    of the ``[S, 3H]`` tile in VMEM instead is pure in-core work: this
+    kernel measured 1.84x faster end-to-end than split + kernel +
+    merge (2.41 -> 1.31 ms/layer at B=128, S=256).
+
+    The per-head dots are unrolled Python — measured identical to a
+    head-batched ``dot_general`` (the MXU-pass count, set by Dh=32
+    output/contraction tiling, is the same either way)."""
+    qkv = qkv_ref[0]  # [S, 3H]
+    hid = qkv.shape[1] // 3
+    dh = hid // num_heads
+    bias = bias_ref[0, 0][None, :]
+    outs = []
+    for j in range(num_heads):
+        q = qkv[:, j * dh : (j + 1) * dh]
+        k = qkv[:, hid + j * dh : hid + (j + 1) * dh]
+        v = qkv[:, 2 * hid + j * dh : 2 * hid + (j + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S] f32, never leaves VMEM
+        scores = scores * scale + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(probs.astype(q.dtype), v, preferred_element_type=jnp.float32)
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def supports_fused_qkv(s: int) -> bool:
+    """The layout-native kernel holds a full [S, S] score tile per head
+    in VMEM — the single-tile design point (same bound as the batched
+    kernel)."""
+    return s <= _FULL_TILE_MAX_S
+
+
+def _qkv_native_forward(qkv, attention_mask, num_heads):
+    b, s, three_h = qkv.shape
+    hid = three_h // 3
+    scale = 1.0 / math.sqrt(hid // num_heads)
+    qkv_block = pl.BlockSpec(
+        (1, s, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, s, hid), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_qkv_native_kernel, num_heads=num_heads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            qkv_block,
+        ],
+        out_specs=out_block,
+        out_shape=jax.ShapeDtypeStruct((b, s, hid), qkv.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(_mask_to_bias(attention_mask), qkv)
+
+
+def _split_qkv_heads(qkv, num_heads):
+    b, s, three_h = qkv.shape
+    hid = three_h // 3
+    dh = hid // num_heads
+    qkv4 = qkv.reshape(b, s, 3, num_heads, dh)
+    return tuple(qkv4[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_qkv_attention(qkv, attention_mask, num_heads):
+    """Layout-native fused attention for the encoder's serving shapes.
+
+    qkv: ``[B, S, 3H]`` — the fused QKV projection output, heads packed
+    column-wise ([q | k | v], head j of q at columns ``j*Dh:(j+1)*Dh``);
+    attention_mask: ``[B, S]`` with 1 = real token. Returns
+    ``[B, S, H]`` context in qkv's dtype, ready for the output
+    projection — no ``[B, H, S, Dh]`` tensor ever exists in HBM.
+
+    Only valid for ``supports_fused_qkv(S)``; callers fall back to
+    ``flash_attention`` (which blocks the q/kv dims) beyond that.
+    Differentiable w.r.t. qkv: the backward splits heads (paying the
+    relayout — training-only), reuses the recompute-P backward, and
+    repacks the gradient.
+    """
+    return _qkv_native_forward(qkv, attention_mask, num_heads)
+
+
+def _fused_qkv_fwd(qkv, attention_mask, num_heads):
+    return _qkv_native_forward(qkv, attention_mask, num_heads), (
+        qkv,
+        attention_mask,
+    )
+
+
+def _fused_qkv_bwd(num_heads, residuals, do):
+    qkv, attention_mask = residuals
+    b, s, three_h = qkv.shape
+    hid = three_h // 3
+    dh = hid // num_heads
+    q, k, v = _split_qkv_heads(qkv, num_heads)
+    do_heads = do.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+    dq, dk, dv = _backward(attention_mask, q, k, v, do_heads)
+    dqkv = jnp.stack(
+        [g.transpose(0, 2, 1, 3).reshape(b, s, hid) for g in (dq, dk, dv)],
+        axis=2,
+    ).reshape(b, s, three_h)
+    return dqkv, None
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v, attention_mask):
     """Fused encoder self-attention with a fused recompute backward.

@@ -141,6 +141,33 @@ def test_bf16_compute_close(params):
     assert (cos > 0.995).all(), cos
 
 
+def test_gelu_auto_semantics(params):
+    """gelu='auto' resolves to the exact-erf parity path under f32
+    compute (bit-identical to gelu='exact') and to the tanh
+    approximation under bf16, where the approximation error (~3e-4)
+    sits below bf16 roundoff — embeddings stay cosine-close to f32."""
+    rng = np.random.default_rng(5)
+    ids, mask = _random_batch(rng, 2, 16)
+
+    f32_auto = np.asarray(BertEncoder(CFG).encode(params, ids, mask))
+    f32_exact = np.asarray(
+        BertEncoder(CFG, gelu="exact").encode(params, ids, mask)
+    )
+    np.testing.assert_array_equal(f32_auto, f32_exact)
+
+    bf16_auto = np.asarray(
+        BertEncoder(CFG, compute_dtype=jnp.bfloat16).encode(params, ids, mask)
+    )
+    bf16_tanh = np.asarray(
+        BertEncoder(CFG, compute_dtype=jnp.bfloat16, gelu="tanh").encode(
+            params, ids, mask
+        )
+    )
+    np.testing.assert_array_equal(bf16_auto, bf16_tanh)
+    cos = (f32_exact * bf16_auto).sum(axis=1)
+    assert (cos > 0.995).all(), cos
+
+
 def test_from_hf_checkpoint_end_to_end(tmp_path):
     """The production loading path: an HF BertModel checkpoint directory
     (config.json + model.safetensors + vocab.txt) loads into the

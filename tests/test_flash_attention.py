@@ -243,6 +243,84 @@ def test_kv_blocked_gradients_match_xla(monkeypatch):
         )
 
 
+def _pack_qkv(q, k, v):
+    """[B, H, S, Dh] x3 -> the fused-GEMM layout [B, S, 3H]."""
+    b, h, s, dh = q.shape
+    return jnp.concatenate(
+        [x.transpose(0, 2, 1, 3).reshape(b, s, h * dh) for x in (q, k, v)],
+        axis=-1,
+    )
+
+
+@pytest.mark.parametrize("s", [16, 64, 128])
+def test_fused_qkv_matches_xla_f32(s):
+    from dial_rag_tpu.ops.flash_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(12)
+    b, h, dh = 2, 4, 32
+    q, k, v = _random_qkv(rng, b, h, s, dh, jnp.float32)
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[1, s // 2 :] = 0
+    mask = jnp.asarray(mask_np)
+    out = np.asarray(fused_qkv_attention(_pack_qkv(q, k, v), mask, h))
+    ref = np.asarray(_xla_ref(q, k, v, mask))  # [B, H, S, Dh]
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    np.testing.assert_allclose(out[0], ref[0], atol=2e-6)
+    np.testing.assert_allclose(
+        out[1, : s // 2], ref[1, : s // 2], atol=2e-6
+    )
+
+
+def test_fused_qkv_gradients_match_xla():
+    """The layout-native kernel's backward (split -> recompute-P
+    backward -> repack) must match grads of the XLA path taken w.r.t.
+    the packed qkv tensor."""
+    from dial_rag_tpu.ops.flash_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(13)
+    b, h, s, dh = 2, 2, 32, 16
+    q, k, v = _random_qkv(rng, b, h, s, dh, jnp.float32)
+    qkv = _pack_qkv(q, k, v)
+    mask_np = np.ones((b, s), dtype=np.int32)
+    mask_np[1, 20:] = 0
+    mask = jnp.asarray(mask_np)
+    cot = jnp.asarray(rng.standard_normal((b, s, h * dh)).astype(np.float32))
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_qkv_attention(qkv, mask, h) * cot)
+
+    def loss_xla(qkv):
+        qkv4 = qkv.reshape(b, s, 3, h, dh)
+        qq, kk, vv = (qkv4[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ctx = _xla_ref(qq, kk, vv, mask)
+        return jnp.sum(ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh) * cot)
+
+    gp = jax.grad(loss_fused)(qkv)
+    gx = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_encoder_pallas_uses_fused_path_and_matches_xla():
+    """bert_forward at S <= 512 takes the fused-qkv kernel; outputs must
+    still match the XLA path (incl. padding)."""
+    from dial_rag_tpu.ops.flash_attention import supports_fused_qkv
+
+    assert supports_fused_qkv(48) and not supports_fused_qkv(1024)
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(4), config)
+    rng = np.random.default_rng(14)
+    ids = rng.integers(0, config.vocab_size, size=(3, 48)).astype(np.int32)
+    mask = np.ones((3, 48), dtype=np.int32)
+    mask[1, 9:] = 0
+    enc_x = BertEncoder(config, attention_impl="xla")
+    enc_p = BertEncoder(config, attention_impl="pallas")
+    out_x = np.asarray(enc_x.encode(params, ids, mask))
+    out_p = np.asarray(enc_p.encode(params, ids, mask))
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+
 def test_kv_blocked_lse_is_finite_and_correct(monkeypatch):
     """The stored log-sum-exp equals logsumexp of the scaled+biased
     scores for real rows (the backward's correctness hinges on it)."""
