@@ -87,3 +87,28 @@ def test_frozen_and_extra_forbidden():
     config = AppConfig()
     with pytest.raises(pydantic.ValidationError):
         config.dial_url = "http://mutate"
+
+
+def test_environment_presets_load_and_validate():
+    """Every shipped config/*.yaml preset (the reference's deployment
+    environments — reference config/ directory) must validate against
+    the AppConfig schema and pick exactly one image-index flavor."""
+    import pathlib
+
+    from dial_rag_tpu.ops.metrics import Metric
+
+    preset_dir = pathlib.Path(__file__).parent.parent / "config"
+    presets = sorted(preset_dir.glob("*.yaml"))
+    assert len(presets) == 7, [p.name for p in presets]
+    for path in presets:
+        config = load_app_config(
+            environ={"DIAL_RAG__CONFIG_PATH": str(path)}
+        )
+        indexing = config.request.indexing
+        flavors = [indexing.multimodal_index, indexing.description_index]
+        assert sum(f is not None for f in flavors) == 1, path.name
+        if indexing.multimodal_index is not None:
+            # the metric string must be a real kernel metric
+            Metric(indexing.multimodal_index.metric)
+        assert config.request.qa_chain.chat_chain.llm.max_prompt_tokens > 0
+        assert config.request.qa_chain.query_chain.llm.max_prompt_tokens > 0
