@@ -9,9 +9,14 @@ OpenVINO which is the same model on the same cores; reference batch size
 therefore "TPU pipeline vs the same architecture on this container's
 CPU cores", not vs the reference's tuned OpenVINO deployment.
 
-Prints ONE JSON line. Besides the headline chunks/s it reports:
+Prints ONE JSON line. The headline build timing ends with a D2H fetch
+of bytes derived from the last index row, so the remote tunnel's
+optimistic completion acks cannot deflate it (round 1's 15,810 chunks/s
+was such an artifact: it implied 4M tokens/s through an encoder whose
+device-honest rate was 0.7M; the honest number that round was ~3k).
+Besides the headline chunks/s it reports:
 - ``tokens_per_sec``: real (attention-mask) tokens through the full
-  pipeline per wall second — rides the tunnel clock like the headline;
+  pipeline per wall second — same honest clock as the headline;
 - ``mfu`` / ``device_tokens_per_sec``: pure MXU utilization of the
   encoder, measured by a single-dispatch scan over synthetic all-real
   batches (analytic forward FLOPs/token for the bge-small
@@ -28,7 +33,8 @@ import time
 
 import numpy as np
 
-N_CHUNKS = 2048
+N_CHUNKS = 4096  # 32 batches / 4 transfer groups: enough for the host
+# tokenize -> transfer -> encode pipeline to reach steady state
 BATCH = 128  # reference EMBEDDINGS_BATCH_SIZE
 CPU_CHUNKS = 128  # baseline sample (scaled)
 WORDS_PER_CHUNK = 180  # ~1000 chars, the reference chunk size
@@ -116,7 +122,12 @@ def bench_tpu(texts, tok, params, config):
         index = DenseIndex.from_device_matrix(
             RetrievalType.TEXT, emb, limit=7
         )
-        index._emb.block_until_ready()  # index rows are in HBM
+        # fetch real bytes derived from the last row: through the remote
+        # tunnel, block_until_ready can ack before execution finishes
+        # (round-1's 15.8k chunks/s implied 4M tokens/s through a 0.7M
+        # tokens/s encoder — physically impossible); a D2H read of the
+        # final row cannot complete until every encode actually ran
+        np.asarray(index._emb[-1])
         return index
 
     # warm with a distinct corpus of the SAME shape structure so every
