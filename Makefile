@@ -1,0 +1,53 @@
+# Developer entrypoints (counterpart of the reference's Makefile/noxfile).
+PORT ?= 5000
+IMAGE_NAME ?= dial-rag-tpu
+PYTHON ?= python
+DOCKER ?= docker
+ARGS ?=
+
+.PHONY: all serve test test-fast docs bench eval eval-alps dryrun digest docker_build docker_serve help
+
+all: test
+
+serve:
+	PORT=$(PORT) $(PYTHON) -m dial_rag_tpu.main
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q $(ARGS)
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow" $(ARGS)
+
+# regenerate docs/*.generated.schema.json after public-model changes
+# (tests/test_docs_schemas.py fails on drift)
+docs:
+	$(PYTHON) -m tools.generate_docs
+
+# headline benchmark on the real TPU: prints ONE JSON line
+bench:
+	$(PYTHON) bench.py
+
+# synthetic-corpus retrieval eval (recall/MRR/p50; BM25 recall@1 = 1.0)
+eval:
+	JAX_PLATFORMS=cpu $(PYTHON) -m eval.eval_retriever --pages 20
+
+# the reference's real corpus: alps_wiki.pdf vs the ground-truth parquet
+eval-alps:
+	JAX_PLATFORMS=cpu $(PYTHON) -m eval.eval_alps
+
+# 8-device virtual-mesh dryrun of the full multi-chip path
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PYTHON) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+digest:
+	$(PYTHON) -m tools.collect_repository_digest $(ARGS)
+
+docker_build:
+	$(DOCKER) build --platform linux/amd64 -t $(IMAGE_NAME) .
+
+docker_serve: docker_build
+	$(DOCKER) run --privileged --platform linux/amd64 --rm -p $(PORT):5000 $(IMAGE_NAME)
+
+help:
+	@grep -E '^[a-z_-]+:' Makefile | cut -d: -f1 | sort -u
