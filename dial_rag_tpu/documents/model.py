@@ -17,7 +17,8 @@ import numpy as np
 # Bump whenever the serialized layout or any index semantics change;
 # mismatched persisted records are discarded and rebuilt (the reference
 # does the same with its FORMAT_VERSION=12, index_storage.py:139-149).
-FORMAT_VERSION: int = 1
+# v2: added the optional late_interaction_index field.
+FORMAT_VERSION: int = 2
 
 MultiEmbeddings = list  # list[np.ndarray [m, D] f32]
 
@@ -55,6 +56,10 @@ class DocumentRecord:
     description_embeddings_index: MultiEmbeddings | None  # per page
     mime_type: str
     document_bytes: bytes  # original or office->pdf converted document
+    # per-token chunk embeddings for late-interaction (MaxSim) retrieval;
+    # one ragged [t_i, D] f32 array per chunk. None unless the (off by
+    # default) late_interaction_index is configured.
+    late_interaction_index: MultiEmbeddings | None = None
     # content identity stamped by the storage layer (url, sha256 of the
     # serialized bytes); keys the device-index cache across requests.
     # Not serialized.

@@ -15,6 +15,7 @@ OpenVINO-tuned value; on TPU larger is better and configurable).
 
 from collections import deque
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,32 @@ def _bucket_rows(n: int, cap: int) -> int:
     if n >= cap:
         return n
     return min(cap, max(8, 1 << (n - 1).bit_length()))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "compute_dtype", "attention_impl", "gelu"),
+)
+def _token_encode_jit(
+    params, input_ids, attention_mask, *, num_heads, compute_dtype,
+    attention_impl, gelu,
+):
+    """[B, S] -> [B, S, D] final hidden states, L2-normalized per token
+    (the late-interaction representation; padded rows are garbage and
+    sliced away on host by the caller)."""
+    from dial_rag_tpu.models.bert import bert_forward
+
+    hidden = bert_forward(
+        params,
+        input_ids,
+        attention_mask,
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+        attention_impl=attention_impl,
+        gelu=gelu,
+    ).astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(hidden * hidden, axis=-1, keepdims=True))
+    return hidden / jnp.maximum(norm, 1e-12)
 
 
 @dataclass
@@ -395,6 +422,65 @@ class BgeEmbedder:
             ]
         )
         return jnp.take(full, jnp.asarray(keep), axis=0)
+
+    def embed_documents_tokens(
+        self, texts: list[str], max_tokens: int = 256
+    ) -> list[np.ndarray]:
+        """Per-TOKEN embeddings for the late-interaction (MaxSim) index:
+        one ``[t_i, D]`` f32 array per text — the encoder's final hidden
+        states, L2-normalized per token (MaxSim scores are then per-token
+        cosines), real tokens only (incl. CLS/SEP, as ColBERT keeps its
+        markers), truncated to ``max_tokens``."""
+        if not texts:
+            return []
+        out: list[np.ndarray] = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = texts[i : i + self.batch_size]
+            ids, mask = self.tokenizer.encode_batch(
+                batch, max_len=min(self.max_len, max_tokens)
+            )
+            hidden = np.asarray(
+                _token_encode_jit(
+                    self.params,
+                    *self._device_put_batch(ids, mask),
+                    num_heads=self.encoder.config.num_heads,
+                    compute_dtype=self.encoder.compute_dtype,
+                    attention_impl=self.encoder.attention_impl,
+                    gelu=self.encoder.gelu,
+                )
+            )
+            for row in range(len(batch)):
+                t = int(mask[row].sum())
+                out.append(hidden[row, :t].astype(np.float32))
+        return out
+
+    def embed_query_tokens(
+        self, text: str, max_tokens: int = 64
+    ) -> np.ndarray:
+        """[t, D] per-token query embeddings for MaxSim (no instruction
+        prefix: the BGE instruction tunes the CLS pooling objective, not
+        token-level matching)."""
+        return self.embed_documents_tokens([text], max_tokens=max_tokens)[0]
+
+    async def aembed_query_tokens(self, text: str) -> np.ndarray:
+        from dial_rag_tpu.runtime.host_pools import (
+            run_in_query_dispatch_pool,
+        )
+
+        return await run_in_query_dispatch_pool(
+            self.embed_query_tokens, text
+        )
+
+    async def aembed_documents_tokens(
+        self, texts: list[str], max_tokens: int = 256
+    ) -> list[np.ndarray]:
+        from dial_rag_tpu.runtime.host_pools import (
+            run_in_indexing_dispatch_pool,
+        )
+
+        return await run_in_indexing_dispatch_pool(
+            self.embed_documents_tokens, texts, max_tokens
+        )
 
     def embed_query(self, text: str) -> np.ndarray:
         """[D] float32 with the BGE query instruction prefix."""

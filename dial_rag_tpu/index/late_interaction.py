@@ -1,0 +1,210 @@
+"""HBM-resident late-interaction (MaxSim) index — beyond the reference.
+
+The reference retrieves with one vector per chunk (bge CLS pooling,
+aidial_rag/retrievers/semantic_retriever.py). Late interaction keeps one
+vector per *token* and scores a chunk as
+
+    score(Q, C) = sum over query tokens q of max over chunk tokens t of
+                  <q_emb, t_emb>
+
+— the ColBERT/MaxSim objective, which preserves term-level matching that
+single-vector pooling averages away. On TPU this is a natural fit: the
+whole corpus scan is one big ``[N*T, D] x [D, q]`` matmul (MXU) followed
+by a masked max/sum reduction (VPU), with none of the inverted-index
+pointer chasing GPU implementations fight (cf. the IO-aware fused-MaxSim
+literature, PAPERS.md).
+
+Design:
+
+- storage is one flat padded ``[N, T, D]`` tensor in HBM (row order =
+  document order, then chunk order — the same stable layout contract as
+  DenseIndex) plus an ``[N]`` token-count vector; T is fixed per index
+  (config ``max_chunk_tokens``), chunks truncate/pad to it;
+- scoring streams the corpus in row blocks inside one jitted scan so the
+  ``[block, T, q]`` similarity tensor never exceeds a bounded footprint
+  (the full ``[N, T, q]`` would be GBs);
+- ranking reuses the stable top-k contract: scores are negated into
+  "distances", padding rows are +inf, ties break to the earliest row —
+  bit-compatible with the dense index semantics golden-tested elsewhere;
+- f32 matmuls run at ``Precision.HIGHEST`` (TPU f32 dots are otherwise
+  bf16-grade — exact-parity tests would pass on CPU and drift on TPU);
+  ``storage_dtype="bfloat16"`` halves HBM at f32 accumulation.
+
+Quality note: MaxSim needs a late-interaction-trained checkpoint to beat
+single-vector bge on real corpora; with the same checkpoint for both the
+machinery here is exact (tests pin it against a numpy reference).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dial_rag_tpu.index.dense_index import _bucket_rows, hits_from_topk
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.ops.stable_topk import (
+    _ARGMIN_MAX_K,
+    stable_topk_argmin,
+    stable_topk_sort,
+)
+
+# chunk rows scored per scan step: bounds the [block, T, q] sim tensor
+# (512 x 256 x 32 f32 = 16 MiB) regardless of corpus size
+_ROW_BLOCK = 512
+
+
+def _bucket_q(q: int) -> int:
+    """Pad query token count to a power-of-two bucket (>=8)."""
+    return 1 << max(3, (q - 1).bit_length())
+
+
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
+    """x: [N, T, D] storage-dtype; counts: [N] int32; q_tokens: [q, D] f32
+    (rows beyond q_count are zero). Returns stable top-k (vals, idx) over
+    NEGATED MaxSim scores (ascending = best first, earliest row ties)."""
+    n, t, d = x.shape
+    q = q_tokens.shape[0]
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    q_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0).reshape(-1) < q_count
+    )
+    qt = jnp.where(q_mask[:, None], q_tokens, 0.0).T  # [D, q]
+
+    def block_scores(args):
+        xb, cb = args  # [B, T, D], [B]
+        sims = jax.lax.dot_general(
+            xb.reshape(-1, d).astype(jnp.float32),
+            qt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        ).reshape(xb.shape[0], t, q)
+        t_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < cb[:, None]
+        )  # [B, T]
+        sims = jnp.where(t_mask[:, :, None], sims, -jnp.inf)
+        per_q_max = jnp.max(sims, axis=1)  # [B, q]
+        # chunks with zero real tokens give -inf maxima; their score must
+        # be -inf (never retrieved), not 0
+        scores = jnp.sum(
+            jnp.where(q_mask[None, :], per_q_max, 0.0), axis=1
+        )
+        return jnp.where(cb > 0, scores, -jnp.inf)
+
+    n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
+    block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
+    scores = jax.lax.map(
+        block_scores,
+        (
+            x.reshape(n_blocks, block, t, d),
+            counts.reshape(n_blocks, block),
+        ),
+    ).reshape(n)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    dists = jnp.where(row < n_valid, -scores, jnp.inf)
+    if use_sort:
+        return stable_topk_sort(dists, k)
+    return stable_topk_argmin(dists, k)
+
+
+class LateInteractionIndex:
+    """Flat token-level index over multiple documents; query on device."""
+
+    def __init__(
+        self,
+        retrieval_type: RetrievalType,
+        doc_token_embeddings: list[list[np.ndarray]],
+        max_chunk_tokens: int = 256,
+        limit: int = 1,
+        storage_dtype: str = "float32",
+    ):
+        """``doc_token_embeddings``: per document, one ragged
+        ``[t_i, D]`` f32 array per chunk (the record's
+        ``late_interaction_index`` field). Chunks truncate to
+        ``max_chunk_tokens``."""
+        self.retrieval_type = retrieval_type
+        self.limit = limit
+        self.t = max_chunk_tokens
+        self.storage_dtype = storage_dtype
+
+        per_chunk: list[np.ndarray] = []
+        doc_ids: list[int] = []
+        chunk_ids: list[int] = []
+        for doc_id, chunks in enumerate(doc_token_embeddings):
+            for chunk_id, arr in enumerate(chunks):
+                arr = np.asarray(arr, dtype=np.float32)
+                if arr.ndim != 2:
+                    arr = arr.reshape(0, 0)
+                per_chunk.append(arr[: self.t])
+                doc_ids.append(doc_id)
+                chunk_ids.append(chunk_id)
+
+        self.n_rows = len(per_chunk)
+        if self.n_rows == 0:
+            self.dim = 0
+            self._x = None
+            return
+        self.dim = max((a.shape[1] for a in per_chunk if a.size), default=0)
+
+        n_pad = _bucket_rows(self.n_rows)
+        x = np.zeros((n_pad, self.t, self.dim), dtype=np.float32)
+        counts = np.zeros((n_pad,), dtype=np.int32)
+        for i, arr in enumerate(per_chunk):
+            if arr.size:
+                x[i, : arr.shape[0]] = arr
+                counts[i] = arr.shape[0]
+        self._doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        self._chunk_ids = np.asarray(chunk_ids, dtype=np.int64)
+        self._x = jnp.asarray(x, dtype=jnp.dtype(storage_dtype))
+        self._counts = jnp.asarray(counts)
+
+    @property
+    def nbytes(self) -> int:
+        if self._x is None:
+            return 0
+        return self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+
+    def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
+        return self.find_with_scores(query_tokens)[0]
+
+    def find_with_scores(self, query_tokens: np.ndarray):
+        """``query_tokens``: [q, D] f32 (the query's per-token
+        embeddings). Returns (hits, MaxSim scores)."""
+        if self._x is None:
+            return [], []
+        q_tokens = np.asarray(query_tokens, dtype=np.float32)
+        if q_tokens.ndim != 2 or q_tokens.shape[0] == 0:
+            return [], []
+        q = q_tokens.shape[0]
+        q_pad = _bucket_q(q)
+        if q_pad != q:
+            q_tokens = np.pad(q_tokens, ((0, q_pad - q), (0, 0)))
+        k = min(self.limit, self.n_rows)
+        vals, idx = _maxsim_find_kernel(
+            self._x,
+            self._counts,
+            jnp.int32(self.n_rows),
+            jnp.asarray(q_tokens),
+            jnp.int32(q),
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        hits, neg_scores = hits_from_topk(
+            np.asarray(vals),
+            np.asarray(idx),
+            self.n_rows,
+            self._doc_ids,
+            self._chunk_ids,
+            self.retrieval_type,
+        )
+        # +inf here is the zero-token-chunk sentinel this index assigns
+        # (score -inf), not a real score — unlike the dense index, where a
+        # non-finite distance at a real row must stay a hit, these rows
+        # are unscoreable and must never surface
+        keep = [i for i, s in enumerate(neg_scores) if np.isfinite(s)]
+        return [hits[i] for i in keep], [-neg_scores[i] for i in keep]

@@ -1,0 +1,83 @@
+"""Late-interaction (MaxSim) retriever — beyond the reference.
+
+Token-level retrieval over the local encoder: build = per-token
+embeddings for every chunk (stored ragged in the document record, like
+the other MultiEmbeddings indexes); query = per-token query embeddings
+scored with MaxSim on device (dial_rag_tpu/index/late_interaction.py).
+Off by default (``IndexingConfig.late_interaction_index: None``) so the
+reference-parity behavior is untouched; enabling it adds the retriever
+to the RRF ensemble like any other index.
+"""
+
+import asyncio
+
+import numpy as np
+
+from dial_rag_tpu.documents.model import DocumentRecord
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+
+
+class LateInteractionRetriever:
+    def __init__(self, embedder: BgeEmbedder, index: LateInteractionIndex):
+        self.embedder = embedder
+        self.index = index
+
+    @staticmethod
+    def has_index(document_records: list[DocumentRecord]) -> bool:
+        return any(
+            doc.late_interaction_index is not None
+            for doc in document_records
+        )
+
+    @classmethod
+    def from_doc_records(
+        cls,
+        embedder: BgeEmbedder,
+        document_records: list[DocumentRecord],
+        k: int = 1,
+        max_chunk_tokens: int = 256,
+        storage_dtype: str = "float32",
+        device_cache=None,
+    ) -> "LateInteractionRetriever":
+        def build():
+            return LateInteractionIndex(
+                RetrievalType.TEXT,
+                [
+                    doc.late_interaction_index or []
+                    for doc in document_records
+                ],
+                max_chunk_tokens=max_chunk_tokens,
+                limit=k,
+                storage_dtype=storage_dtype,
+            )
+
+        if device_cache is not None:
+            index = device_cache.get_or_build(
+                document_records,
+                ("late_interaction", k, max_chunk_tokens, storage_dtype),
+                build,
+            )
+        else:
+            index = build()
+        return cls(embedder=embedder, index=index)
+
+    def retrieve(self, query: str) -> list[SearchHit]:
+        return self.index.find(self.embedder.embed_query_tokens(query))
+
+    async def aretrieve(self, query: str) -> list[SearchHit]:
+        q_tokens = await self.embedder.aembed_query_tokens(query)
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.index.find, q_tokens
+        )
+
+    @staticmethod
+    async def build_index(
+        embedder: BgeEmbedder, chunks, max_chunk_tokens: int = 256
+    ) -> list[np.ndarray]:
+        """Per-token embeddings for every chunk -> ragged [t_i, D] list
+        (persisted in DocumentRecord.late_interaction_index)."""
+        return await embedder.aembed_documents_tokens(
+            [chunk.text for chunk in chunks], max_chunk_tokens
+        )

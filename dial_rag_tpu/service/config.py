@@ -193,6 +193,23 @@ class DescriptionIndexConfig(BaseConfig):
     )
 
 
+class LateInteractionIndexConfig(BaseConfig):
+    """Token-level (MaxSim / ColBERT-style) retrieval over the local
+    encoder — a capability beyond the reference, off by default. Memory:
+    ~min(chunk_tokens, max_chunk_tokens) x D floats per chunk."""
+
+    max_chunk_tokens: Annotated[int, IndexRebuildTrigger()] = Field(
+        default=256,
+        description="Per-chunk token embeddings kept in the index "
+        "(longer chunks truncate).",
+    )
+    index_dtype: str = Field(
+        default="float32",
+        description="HBM storage dtype of the token-embedding tensor; "
+        "'bfloat16' halves memory at f32 accumulation.",
+    )
+
+
 class IndexingConfig(BaseConfig):
     parser: ParserConfig = Field(default=ParserConfig())
     multimodal_index: MultimodalIndexConfig | None = Field(
@@ -202,6 +219,11 @@ class IndexingConfig(BaseConfig):
     description_index: DescriptionIndexConfig | None = Field(
         default=DescriptionIndexConfig(),
         description="Enables the vision-LLM page description index.",
+    )
+    late_interaction_index: LateInteractionIndexConfig | None = Field(
+        default=None,
+        description="Enables token-level late-interaction (MaxSim) "
+        "retrieval with the local encoder.",
     )
 
     def collect_fields_that_rebuild_index(self):

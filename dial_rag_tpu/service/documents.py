@@ -170,6 +170,20 @@ async def load_document_impl(
             SemanticRetriever.build_index(embedder, chunks_list)
         )
 
+        late_interaction_task = None
+        if index_config.late_interaction_index is not None:
+            from dial_rag_tpu.retrieval.late_interaction import (
+                LateInteractionRetriever,
+            )
+
+            late_interaction_task = tg.create_task(
+                LateInteractionRetriever.build_index(
+                    embedder,
+                    chunks_list,
+                    index_config.late_interaction_index.max_chunk_tokens,
+                )
+            )
+
     return DocumentRecord(
         format_version=FORMAT_VERSION,
         index_settings=index_settings,
@@ -181,6 +195,9 @@ async def load_document_impl(
         ),
         description_embeddings_index=(
             description_task.result() if description_task else None
+        ),
+        late_interaction_index=(
+            late_interaction_task.result() if late_interaction_task else None
         ),
         mime_type=mime_type,
         document_bytes=doc_bytes,

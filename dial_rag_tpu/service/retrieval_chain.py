@@ -129,6 +129,31 @@ def create_retriever(
     ]
     weights = [1.0]
 
+    from dial_rag_tpu.retrieval.late_interaction import (
+        LateInteractionRetriever,
+    )
+
+    if LateInteractionRetriever.has_index(document_records):
+        li_config = indexing_config.late_interaction_index
+        retrievers.append(
+            make_retrieval_stage(
+                LateInteractionRetriever.from_doc_records(
+                    embedder,
+                    document_records,
+                    RETRIEVER_K,
+                    max_chunk_tokens=(
+                        li_config.max_chunk_tokens if li_config else 256
+                    ),
+                    storage_dtype=(
+                        li_config.index_dtype if li_config else "float32"
+                    ),
+                    device_cache=device_cache,
+                ),
+                "Late interaction search",
+            )
+        )
+        weights.append(1.0)
+
     if Bm25Retriever.has_index(document_records):
         retrievers.append(
             make_retrieval_stage(

@@ -63,6 +63,7 @@ def serialize_record(record: DocumentRecord, compresslevel: int = 1) -> bytes:
         "description_embeddings_index": _pack_multi(
             record.description_embeddings_index
         ),
+        "late_interaction_index": _pack_multi(record.late_interaction_index),
         "mime_type": record.mime_type,
         "document_bytes": record.document_bytes,
     }
@@ -89,6 +90,12 @@ def deserialize_record(data: bytes) -> DocumentRecord:
         ),
         description_embeddings_index=_unpack_multi(
             payload["description_embeddings_index"]
+        ),
+        late_interaction_index=_unpack_multi(
+            # .get: v1 records lack the key (they are discarded by the
+            # FORMAT_VERSION check anyway, but deserialization must not
+            # be the thing that fails)
+            payload.get("late_interaction_index")
         ),
         mime_type=payload["mime_type"],
         document_bytes=payload["document_bytes"],

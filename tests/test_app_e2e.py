@@ -771,3 +771,59 @@ async def test_list_content_rejected_with_curated_400(harness):
         assert resp.status == 400
         body = await resp.json()
         assert "not a string" in body["error"]["message"]
+
+
+async def test_late_interaction_index_e2e(harness):
+    """Enabling the (off-by-default) late-interaction index builds
+    per-token chunk embeddings, adds the MaxSim retriever stage, and
+    retrieves the exact-match chunk (identical text = perfect MaxSim)."""
+    async with harness(
+        {"request": {"indexing": {"late_interaction_index": {}}}}
+    ) as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        h.fake.script_llm("Cadibona bounds the Alps. <[1]>")
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "Colle di Cadibona marks the southern boundary"
+                        " of the Alps.",
+                        url="files/user-bucket/big.pdf",
+                    )
+                ]
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stage_names = [s["name"] for s in custom["stages"]]
+        assert any("Late interaction search" in n for n in stage_names)
+        li_stage = next(
+            s for s in custom["stages"] if "Late interaction" in s["name"]
+        )
+        assert li_stage["status"] == "completed"
+        # the retrieved chunks must be attached to the stage
+        assert "cadibona" in li_stage["attachments"][0]["data"].lower()
+
+        # the built index persists and reloads (format v2 round trip)
+        resp2 = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "southern boundary?", url="files/user-bucket/big.pdf"
+                    )
+                ]
+            }
+        )
+        assert resp2.status == 200
+        body2 = await resp2.json()
+        stages2 = [
+            s["name"] for s in body2["choices"][0]["message"]["custom_content"]["stages"]
+        ]
+        assert any("Load indexes" in n for n in stages2)
+        assert any("Late interaction search" in n for n in stages2)
+        assert not any("Processing document" in n for n in stages2)

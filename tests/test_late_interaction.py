@@ -1,0 +1,267 @@
+"""Late-interaction (MaxSim) index + retriever.
+
+Tier-1 parity: the device kernel must match a plain numpy MaxSim
+reference exactly (f32), keep the stable earliest-row tie-break of the
+dense index contract, and be invariant to every padding axis (rows,
+chunk tokens, query-token bucket). Retriever-level: identical text is a
+perfect MaxSim match (per-token cosine 1.0 for every query token), so
+self-retrieval is deterministic even with random encoder weights.
+"""
+
+import numpy as np
+import pytest
+
+from dial_rag_tpu.documents.model import DocumentRecord, build_chunks_list
+from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+from dial_rag_tpu.index.records import RetrievalType
+from dial_rag_tpu.retrieval.late_interaction import LateInteractionRetriever
+
+
+def numpy_maxsim(chunks: list[np.ndarray], q: np.ndarray) -> np.ndarray:
+    """Reference scorer: sum over query tokens of max over chunk tokens."""
+    scores = []
+    for arr in chunks:
+        if arr.size == 0:
+            scores.append(-np.inf)
+        else:
+            scores.append(float((arr @ q.T).max(axis=0).sum()))
+    return np.asarray(scores)
+
+
+def random_ragged(rng, n, d=16, t_max=9):
+    return [
+        rng.standard_normal((int(rng.integers(1, t_max)), d)).astype(
+            np.float32
+        )
+        for _ in range(n)
+    ]
+
+
+def test_matches_numpy_maxsim_exactly():
+    rng = np.random.default_rng(0)
+    chunks = random_ragged(rng, 37)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=10
+    )
+    hits, scores = index.find_with_scores(q)
+    ref = numpy_maxsim(chunks, q)
+    order = np.argsort(-ref, kind="stable")[:10]
+    assert [h.chunk_id for h in hits] == list(order)
+    np.testing.assert_allclose(scores, ref[order], rtol=1e-6, atol=1e-5)
+
+
+def test_stable_tie_break_earliest_row():
+    d = 8
+    tok = np.zeros((1, d), dtype=np.float32)
+    tok[0, 0] = 1.0
+    # three identical chunks -> identical scores -> earliest row wins
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [[tok.copy(), tok.copy(), tok.copy()]],
+        max_chunk_tokens=4, limit=3,
+    )
+    hits = index.find(tok)
+    assert [h.chunk_id for h in hits] == [0, 1, 2]
+
+
+def test_multi_document_ids_and_order():
+    rng = np.random.default_rng(1)
+    doc_a = random_ragged(rng, 4)
+    doc_b = random_ragged(rng, 6)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [doc_a, doc_b], max_chunk_tokens=16, limit=10
+    )
+    hits, scores = index.find_with_scores(q)
+    ref = numpy_maxsim(doc_a + doc_b, q)
+    order = np.argsort(-ref, kind="stable")
+    expected = [
+        (0, i) if i < 4 else (1, i - 4) for i in order
+    ]
+    assert [(h.doc_id, h.chunk_id) for h in hits] == expected
+
+
+def test_padding_invariance():
+    """Scores and ranking must not depend on the row bucket, the token
+    padding, or the query-token bucket."""
+    rng = np.random.default_rng(2)
+    chunks = random_ragged(rng, 5)
+    base_q = rng.standard_normal((2, 16)).astype(np.float32)
+    small = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=10, limit=5
+    )
+    # different max_chunk_tokens (more padding), many more rows (row
+    # bucket changes), longer query (different q bucket)
+    big = LateInteractionIndex(
+        RetrievalType.TEXT,
+        [chunks + random_ragged(rng, 600)],
+        max_chunk_tokens=32,
+        limit=5,
+    )
+    h_small, s_small = small.find_with_scores(base_q)
+    ref = numpy_maxsim(chunks, base_q)
+    np.testing.assert_allclose(
+        sorted(s_small, reverse=True), np.sort(ref)[::-1][:5], rtol=1e-6,
+        atol=1e-5,
+    )
+    # the 5 original chunks keep their exact scores inside the big index
+    h_big, s_big = big.find_with_scores(base_q)
+    big_by_chunk = {h.chunk_id: s for h, s in zip(h_big, s_big)}
+    for h, s in zip(h_small, s_small):
+        if h.chunk_id in big_by_chunk:
+            np.testing.assert_allclose(
+                big_by_chunk[h.chunk_id], s, rtol=1e-6, atol=1e-5
+            )
+
+
+def test_truncation_to_max_chunk_tokens():
+    rng = np.random.default_rng(3)
+    long_chunk = rng.standard_normal((20, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [[long_chunk]], max_chunk_tokens=6, limit=1
+    )
+    _, scores = index.find_with_scores(q)
+    ref = numpy_maxsim([long_chunk[:6]], q)
+    np.testing.assert_allclose(scores, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_zero_token_chunks_never_surface():
+    d = 8
+    tok = np.ones((2, d), dtype=np.float32)
+    empty = np.zeros((0, d), dtype=np.float32)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [[empty, tok, empty]], max_chunk_tokens=4,
+        limit=3,
+    )
+    hits = index.find(tok[:1])
+    assert [h.chunk_id for h in hits] == [1]
+
+
+def test_empty_index_and_empty_query():
+    index = LateInteractionIndex(RetrievalType.TEXT, [[]], limit=3)
+    assert index.find(np.ones((2, 8), np.float32)) == []
+    rng = np.random.default_rng(4)
+    index2 = LateInteractionIndex(
+        RetrievalType.TEXT, [random_ragged(rng, 3)], limit=3
+    )
+    assert index2.find(np.zeros((0, 16), np.float32)) == []
+
+
+def test_bfloat16_storage_same_ranking_on_separated_data():
+    rng = np.random.default_rng(5)
+    d = 16
+    target = np.ones((3, d), dtype=np.float32) / np.sqrt(d)
+    noise = [
+        (rng.standard_normal((4, d)) * 0.01).astype(np.float32)
+        for _ in range(20)
+    ]
+    chunks = noise[:10] + [target] + noise[10:]
+    f32 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=1
+    )
+    bf16 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=1, storage_dtype="bfloat16"
+    )
+    q = target[:1]
+    assert f32.find(q)[0].chunk_id == 10
+    assert bf16.find(q)[0].chunk_id == 10
+    assert bf16.nbytes < f32.nbytes
+
+
+def _make_embedder():
+    from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+    vocab = build_test_vocab([chr(c) for c in range(97, 123)])
+    return BgeEmbedder.from_random(vocab=vocab, batch_size=4)
+
+
+def _record(chunks, li_index):
+    return DocumentRecord(
+        format_version=2,
+        index_settings=None,
+        chunks=chunks,
+        text_index=None,
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        late_interaction_index=li_index,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+
+
+async def test_retriever_self_retrieval_end_to_end():
+    """Identical text is a perfect MaxSim match (cosine 1.0 per token),
+    so querying with a chunk's own text must rank that chunk first —
+    deterministic even with random encoder weights."""
+    embedder = _make_embedder()
+    texts = ["aba cad abc", "dede fefe gege", "zzz yyy xyx", "kak lol mnm"]
+    chunks = build_chunks_list([(t, {}) for t in texts])
+    li = await LateInteractionRetriever.build_index(embedder, chunks)
+    assert len(li) == len(texts)
+    record = _record(chunks, li)
+    assert LateInteractionRetriever.has_index([record])
+    retriever = LateInteractionRetriever.from_doc_records(
+        embedder, [record], k=2
+    )
+    for i, text in enumerate(texts):
+        hits = await retriever.aretrieve(text)
+        assert hits and hits[0].chunk_id == i, (text, hits)
+
+
+async def test_retriever_absent_without_index():
+    embedder = _make_embedder()
+    chunks = build_chunks_list([("abc", {})])
+    record = _record(chunks, None)
+    assert not LateInteractionRetriever.has_index([record])
+
+
+def test_storage_round_trip_preserves_token_embeddings():
+    from dial_rag_tpu.storage.serialization import (
+        deserialize_record,
+        serialize_record,
+    )
+    from dial_rag_tpu.documents.model import IndexSettings
+
+    rng = np.random.default_rng(6)
+    li = random_ragged(rng, 3, d=8)
+    chunks = build_chunks_list([("a", {}), ("b", {}), ("c", {})])
+    record = DocumentRecord(
+        format_version=2,
+        index_settings=IndexSettings(),
+        chunks=chunks,
+        text_index=None,
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        late_interaction_index=li,
+        mime_type="text/plain",
+        document_bytes=b"doc",
+    )
+    loaded = deserialize_record(serialize_record(record))
+    assert loaded.late_interaction_index is not None
+    for a, b in zip(loaded.late_interaction_index, li, strict=True):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_config_rebuild_trigger():
+    """Changing max_chunk_tokens must invalidate persisted indexes."""
+    from dial_rag_tpu.service.config import (
+        IndexingConfig,
+        LateInteractionIndexConfig,
+    )
+
+    on = IndexingConfig(
+        late_interaction_index=LateInteractionIndexConfig()
+    ).collect_fields_that_rebuild_index()
+    changed = IndexingConfig(
+        late_interaction_index=LateInteractionIndexConfig(
+            max_chunk_tokens=64
+        )
+    ).collect_fields_that_rebuild_index()
+    off = IndexingConfig().collect_fields_that_rebuild_index()
+    assert on != changed
+    assert on != off
+    assert "late_interaction_index" in on.indexes
