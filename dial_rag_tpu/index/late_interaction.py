@@ -59,11 +59,11 @@ def _bucket_q(q: int) -> int:
     return 1 << max(3, (q - 1).bit_length())
 
 
-@partial(jax.jit, static_argnames=("k", "use_sort"))
-def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
-    """x: [N, T, D] storage-dtype; counts: [N] int32; q_tokens: [q, D] f32
-    (rows beyond q_count are zero). Returns stable top-k (vals, idx) over
-    NEGATED MaxSim scores (ascending = best first, earliest row ties)."""
+def _maxsim_scores(x, counts, q_tokens, q_count):
+    """MaxSim scores for every row of ``x`` [N, T, D] (storage dtype)
+    against ``q_tokens`` [q, D] f32 (rows beyond q_count are zero).
+    Streams the corpus in row blocks (a whole-[N, T, q] sim tensor would
+    be GBs). Zero-token rows score -inf (never retrieved)."""
     n, t, d = x.shape
     q = q_tokens.shape[0]
     precision = (
@@ -97,7 +97,7 @@ def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
 
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
-    scores = jax.lax.map(
+    return jax.lax.map(
         block_scores,
         (
             x.reshape(n_blocks, block, t, d),
@@ -105,6 +105,13 @@ def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
         ),
     ).reshape(n)
 
+
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
+    """Stable top-k (vals, idx) over NEGATED MaxSim scores (ascending =
+    best first, earliest row wins ties — the dense-index contract)."""
+    n = x.shape[0]
+    scores = _maxsim_scores(x, counts, q_tokens, q_count)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
     dists = jnp.where(row < n_valid, -scores, jnp.inf)
     if use_sort:

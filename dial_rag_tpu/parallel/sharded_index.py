@@ -252,6 +252,154 @@ class ShardedDenseIndex:
         )
 
 
+@partial(jax.jit, static_argnames=("mesh", "k", "use_sort"))
+def _sharded_maxsim_find_kernel(
+    x, counts, n_valid, q_tokens, q_count, *, mesh, k, use_sort
+):
+    """Row-sharded MaxSim: each shard scores its own [rows, T, D] token
+    tensor (blocked matmul + masked max/sum, index/late_interaction.py)
+    and takes a local stable top-k over negated scores; the [n_shards, k]
+    winners merge with one replicated stable sort. Tie equivalence with
+    the single-chip kernel follows the dense-index argument: local stable
+    rank == local row order for equal scores, so concatenation order ==
+    global row order."""
+    from dial_rag_tpu.index.late_interaction import _maxsim_scores
+
+    n_shards = mesh.devices.size
+    rows_per_shard = x.shape[0] // n_shards
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(x_local, counts_local, n_valid, q_tokens, q_count):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        scores = _maxsim_scores(x_local, counts_local, q_tokens, q_count)
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        dists = jnp.where(row < n_valid, -scores, jnp.inf)
+        vals, idx = topk(dists, k)
+        return vals[None], (base + idx)[None]
+
+    vals, idx = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P("idx", None, None), P("idx"), P(), P(), P()),
+        out_specs=(P("idx"), P("idx")),
+    )(x, counts, n_valid, q_tokens, q_count)
+
+    flat_vals = vals.reshape(-1)
+    flat_idx = idx.reshape(-1)
+    order = jnp.arange(flat_vals.shape[0], dtype=jnp.int32)
+    merged_vals, merged_order = jax.lax.sort(
+        (flat_vals, order), num_keys=1, is_stable=True
+    )
+    return merged_vals[:k], flat_idx[merged_order[:k]]
+
+
+class ShardedLateInteractionIndex:
+    """Late-interaction (MaxSim) index with chunk rows sharded over a
+    device mesh — same host-facing API as LateInteractionIndex. Both the
+    token tensor's HBM footprint (the reason to shard: T token vectors
+    per chunk) and the scan bandwidth scale linearly with chips; the
+    merge moves n_shards * k winner pairs over ICI.
+    """
+
+    def __init__(
+        self,
+        retrieval_type: RetrievalType,
+        doc_token_embeddings: list[list[np.ndarray]],
+        mesh: Mesh,
+        max_chunk_tokens: int = 256,
+        limit: int = 1,
+        storage_dtype: str = "float32",
+    ):
+        from dial_rag_tpu.index.late_interaction import (
+            LateInteractionIndex,
+        )
+
+        self.retrieval_type = retrieval_type
+        self.limit = limit
+        self._mesh = Mesh(mesh.devices.reshape(-1), ("idx",))
+        n_shards = self._mesh.devices.size
+
+        # reuse the single-chip packing (ragged -> [N, T, D] + counts),
+        # then re-pad the row axis to an even per-shard split
+        packed = LateInteractionIndex(
+            retrieval_type,
+            doc_token_embeddings,
+            max_chunk_tokens=max_chunk_tokens,
+            limit=limit,
+            storage_dtype="float32",
+        )
+        self.n_rows = packed.n_rows
+        self.t = packed.t
+        if packed._x is None:
+            self._x = None
+            return
+        self.dim = packed.dim
+        self._doc_ids = packed._doc_ids
+        self._chunk_ids = packed._chunk_ids
+
+        x = np.asarray(packed._x, dtype=np.float32)
+        counts = np.asarray(packed._counts)
+        packed._x = None
+        n_pad = _bucket_rows_sharded(x.shape[0], n_shards)
+        if n_pad != x.shape[0]:
+            x = np.pad(x, ((0, n_pad - x.shape[0]), (0, 0), (0, 0)))
+            counts = np.pad(counts, (0, n_pad - counts.shape[0]))
+        sharding = NamedSharding(self._mesh, P("idx", None, None))
+        self._x = jax.device_put(
+            x.astype(np.dtype(storage_dtype)), sharding
+        )
+        self._counts = jax.device_put(
+            counts, NamedSharding(self._mesh, P("idx"))
+        )
+
+    @property
+    def nbytes(self) -> int:
+        if self._x is None:
+            return 0
+        return self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+
+    def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
+        return self.find_with_scores(query_tokens)[0]
+
+    def find_with_scores(self, query_tokens: np.ndarray):
+        from dial_rag_tpu.index.late_interaction import _bucket_q
+
+        if self._x is None:
+            return [], []
+        q_tokens = np.asarray(query_tokens, dtype=np.float32)
+        if q_tokens.ndim != 2 or q_tokens.shape[0] == 0:
+            return [], []
+        q = q_tokens.shape[0]
+        q_pad = _bucket_q(q)
+        if q_pad != q:
+            q_tokens = np.pad(q_tokens, ((0, q_pad - q), (0, 0)))
+        k = min(self.limit, self.n_rows)
+        vals, idx = _sharded_maxsim_find_kernel(
+            self._x,
+            self._counts,
+            jnp.int32(self.n_rows),
+            jnp.asarray(q_tokens),
+            jnp.int32(q),
+            mesh=self._mesh,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        hits, neg_scores = hits_from_topk(
+            np.asarray(vals),
+            np.asarray(idx),
+            self.n_rows,
+            self._doc_ids,
+            self._chunk_ids,
+            self.retrieval_type,
+        )
+        # filter the zero-token sentinel (score -inf), as single-chip does
+        keep = [i for i, s in enumerate(neg_scores) if np.isfinite(s)]
+        return [hits[i] for i in keep], [-neg_scores[i] for i in keep]
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "k", "l_pad", "rows_per_shard", "use_sort"),

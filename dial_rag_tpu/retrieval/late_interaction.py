@@ -40,14 +40,33 @@ class LateInteractionRetriever:
         max_chunk_tokens: int = 256,
         storage_dtype: str = "float32",
         device_cache=None,
+        mesh=None,
     ) -> "LateInteractionRetriever":
+        """With ``mesh`` the chunk rows (and their token tensors — the
+        HBM-heavy part) shard over its devices with per-shard MaxSim +
+        stable merge; otherwise single-chip."""
+
         def build():
+            per_doc = [
+                doc.late_interaction_index or []
+                for doc in document_records
+            ]
+            if mesh is not None:
+                from dial_rag_tpu.parallel.sharded_index import (
+                    ShardedLateInteractionIndex,
+                )
+
+                return ShardedLateInteractionIndex(
+                    RetrievalType.TEXT,
+                    per_doc,
+                    mesh,
+                    max_chunk_tokens=max_chunk_tokens,
+                    limit=k,
+                    storage_dtype=storage_dtype,
+                )
             return LateInteractionIndex(
                 RetrievalType.TEXT,
-                [
-                    doc.late_interaction_index or []
-                    for doc in document_records
-                ],
+                per_doc,
                 max_chunk_tokens=max_chunk_tokens,
                 limit=k,
                 storage_dtype=storage_dtype,
@@ -56,7 +75,13 @@ class LateInteractionRetriever:
         if device_cache is not None:
             index = device_cache.get_or_build(
                 document_records,
-                ("late_interaction", k, max_chunk_tokens, storage_dtype),
+                (
+                    "late_interaction",
+                    k,
+                    max_chunk_tokens,
+                    storage_dtype,
+                    mesh is not None,
+                ),
                 build,
             )
         else:

@@ -148,6 +148,7 @@ def create_retriever(
                         li_config.index_dtype if li_config else "float32"
                     ),
                     device_cache=device_cache,
+                    mesh=mesh,
                 ),
                 "Late interaction search",
             )

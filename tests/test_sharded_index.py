@@ -306,3 +306,66 @@ def test_sharded_sparse_bm25_batch_matches_sequential(mesh):
     assert len(batched) == len(queries)
     for got, toks in zip(batched, queries):
         np.testing.assert_array_equal(got, sharded.top_n(toks, 7))
+
+
+def _random_ragged_chunks(rng, n, d=16, t_max=9):
+    return [
+        rng.standard_normal((int(rng.integers(1, t_max)), d)).astype(
+            np.float32
+        )
+        for _ in range(n)
+    ]
+
+
+def test_sharded_maxsim_matches_single_chip(mesh):
+    """Row-sharded MaxSim == single-chip LateInteractionIndex: same hits
+    in the same order with the same scores, across shard boundaries."""
+    from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedLateInteractionIndex,
+    )
+
+    rng = np.random.default_rng(0)
+    doc_a = _random_ragged_chunks(rng, 700)
+    doc_b = _random_ragged_chunks(rng, 650)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    single = LateInteractionIndex(
+        RetrievalType.TEXT, [doc_a, doc_b], max_chunk_tokens=16, limit=9
+    )
+    sharded = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [doc_a, doc_b], mesh,
+        max_chunk_tokens=16, limit=9,
+    )
+    h1, s1 = single.find_with_scores(q)
+    h2, s2 = sharded.find_with_scores(q)
+    assert [(h.doc_id, h.chunk_id) for h in h1] == [
+        (h.doc_id, h.chunk_id) for h in h2
+    ]
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-5)
+
+
+def test_sharded_maxsim_stable_ties_across_shards(mesh):
+    """Identical chunks landing on different shards must still rank by
+    global row order."""
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedLateInteractionIndex,
+    )
+
+    d = 8
+    tok = np.zeros((1, d), dtype=np.float32)
+    tok[0, 0] = 1.0
+    # enough rows that the copies straddle several shards
+    rng = np.random.default_rng(1)
+    filler = [
+        (rng.standard_normal((2, d)) * 0.01).astype(np.float32)
+        for _ in range(2000)
+    ]
+    chunks = list(filler)
+    copy_positions = [3, 700, 1500, 1999]
+    for pos in copy_positions:
+        chunks[pos] = tok.copy()
+    index = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [chunks], mesh, max_chunk_tokens=4, limit=4
+    )
+    hits = index.find(tok)
+    assert [h.chunk_id for h in hits] == copy_positions
