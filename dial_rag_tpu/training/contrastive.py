@@ -52,6 +52,39 @@ def _encode(params, ids, mask, *, num_heads, compute_dtype, remat=False):
     )
 
 
+def _encode_tokens(params, ids, mask, *, num_heads, compute_dtype, remat):
+    """Per-token L2-normalized hidden states (the late-interaction
+    representation — must match serving's
+    embeddings/embedder.py:_token_encode_jit numerics)."""
+    hidden = bert_forward(
+        params,
+        ids,
+        mask,
+        num_heads=num_heads,
+        compute_dtype=compute_dtype,
+        remat=remat,
+    ).astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(hidden * hidden, axis=-1, keepdims=True))
+    return hidden / jnp.maximum(norm, 1e-12)
+
+
+def maxsim_scores_pairwise(q_tok, q_mask, p_tok, p_mask):
+    """All-pairs MaxSim logits [B, C]: sum over real q tokens of max over
+    real p tokens of per-token cosine — the exact serving scorer
+    (index/late_interaction.py), differentiable. Memory: the [B, C, S, S]
+    sim tensor is materialized, so keep B*C*S^2 bounded (B=32, S=128 ->
+    256 MiB f32); remat/smaller batches for longer sequences."""
+    sims = jnp.einsum(
+        "bsd,ctd->bcst", q_tok, p_tok, preferred_element_type=jnp.float32
+    )
+    sims = jnp.where(
+        p_mask[None, :, None, :].astype(bool), sims, -jnp.inf
+    )
+    per_q = jnp.max(sims, axis=-1)  # [B, C, S]
+    per_q = jnp.where(q_mask[:, None, :].astype(bool), per_q, 0.0)
+    return jnp.sum(per_q, axis=-1)
+
+
 def contrastive_loss(
     params,
     batch,
@@ -60,31 +93,38 @@ def contrastive_loss(
     temperature: float = 0.02,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    objective: str = "cls",
 ):
     """Symmetric InfoNCE over in-batch negatives.
 
     ``batch`` is a dict with q_ids/q_mask/p_ids/p_mask, all [B, S].
+    ``objective``: "cls" trains the single-vector (bge-style CLS)
+    representation the semantic retriever serves; "maxsim" trains the
+    token-level representation the late-interaction retriever serves
+    (logits are raw MaxSim sums, matching the serving scorer — not
+    length-normalized, like ColBERT).
     """
-    q = _encode(
-        params,
-        batch["q_ids"],
-        batch["q_mask"],
-        num_heads=num_heads,
-        compute_dtype=compute_dtype,
-        remat=remat,
+    enc_kw = dict(
+        num_heads=num_heads, compute_dtype=compute_dtype, remat=remat
     )
-    p = _encode(
-        params,
-        batch["p_ids"],
-        batch["p_mask"],
-        num_heads=num_heads,
-        compute_dtype=compute_dtype,
-        remat=remat,
-    )
-    logits = (
-        jnp.dot(q, p.T, preferred_element_type=jnp.float32) / temperature
-    )
-    labels = jnp.arange(q.shape[0])
+    if objective == "cls":
+        q = _encode(params, batch["q_ids"], batch["q_mask"], **enc_kw)
+        p = _encode(params, batch["p_ids"], batch["p_mask"], **enc_kw)
+        logits = jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+    elif objective == "maxsim":
+        q_tok = _encode_tokens(
+            params, batch["q_ids"], batch["q_mask"], **enc_kw
+        )
+        p_tok = _encode_tokens(
+            params, batch["p_ids"], batch["p_mask"], **enc_kw
+        )
+        logits = maxsim_scores_pairwise(
+            q_tok, batch["q_mask"], p_tok, batch["p_mask"]
+        )
+    else:
+        raise ValueError(f"unknown objective: {objective!r}")
+    logits = logits / temperature
+    labels = jnp.arange(logits.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
     return 0.5 * (loss_qp.mean() + loss_pq.mean())
@@ -107,11 +147,13 @@ def make_train_step(
     temperature: float = 0.02,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    objective: str = "cls",
 ):
     """Build the jitted train step. With a mesh, params/batch/opt-state are
     sharded (tp plan + dp batch) and XLA inserts all collectives.
     ``remat`` rematerializes encoder layers in the backward — O(1)-layer
-    activation memory for ~1/3 extra FLOPs (long-seq / big-batch runs)."""
+    activation memory for ~1/3 extra FLOPs (long-seq / big-batch runs).
+    ``objective`` picks the trained representation (see contrastive_loss)."""
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(contrastive_loss)(
@@ -121,6 +163,7 @@ def make_train_step(
             temperature=temperature,
             compute_dtype=compute_dtype,
             remat=remat,
+            objective=objective,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -43,6 +43,9 @@ class TrainConfig:
     # rematerialize encoder layers in the backward: O(1)-layer
     # activation memory for ~1/3 extra FLOPs (long-seq / big batches)
     remat: bool = False
+    # "cls" = single-vector bge-style representation (semantic retriever);
+    # "maxsim" = token-level late-interaction representation
+    objective: str = "cls"
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -166,6 +169,7 @@ def train(
         mesh=mesh,
         temperature=train_config.temperature,
         remat=train_config.remat,
+        objective=train_config.objective,
     )
 
     losses = []  # device scalars; converted once at the end (a float()
