@@ -38,6 +38,7 @@ from dial_rag_tpu.documents.model import (
 from dial_rag_tpu.documents.parser import parse_document
 from dial_rag_tpu.embeddings.embedder import BgeEmbedder
 from dial_rag_tpu.retrieval import (
+    LateInteractionRetriever,
     Bm25Retriever,
     EnsembleRetriever,
     SemanticRetriever,
@@ -78,6 +79,12 @@ async def build_record(
     embeddings_index = await SemanticRetriever.build_index(embedder, chunks)
     t_embed = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    late_interaction_index = await LateInteractionRetriever.build_index(
+        embedder, chunks
+    )
+    t_li = time.perf_counter() - t0
+
     record = DocumentRecord(
         format_version=FORMAT_VERSION,
         index_settings=IndexSettings(),
@@ -86,6 +93,7 @@ async def build_record(
         embeddings_index=embeddings_index,
         multimodal_embeddings_index=None,
         description_embeddings_index=None,
+        late_interaction_index=late_interaction_index,
         mime_type=MIME_PDF,
         document_bytes=corpus.pdf_bytes,
     )
@@ -94,6 +102,7 @@ async def build_record(
         "parse_s": t_parse,
         "bm25_build_s": t_bm25,
         "embed_build_s": t_embed,
+        "late_interaction_build_s": t_li,
         "index_chunks_per_s": len(chunks) / max(t_bm25 + t_embed, 1e-9),
     }
     return record, timings
@@ -120,6 +129,9 @@ async def run_eval(
     retrievers = {
         "bm25": Bm25Retriever.from_doc_records(records, k=max(K_VALUES)),
         "semantic": SemanticRetriever.from_doc_records(
+            embedder, records, k=max(K_VALUES)
+        ),
+        "late_interaction": LateInteractionRetriever.from_doc_records(
             embedder, records, k=max(K_VALUES)
         ),
     }
@@ -230,7 +242,7 @@ def main(argv=None) -> dict:
         f"{metrics['ensemble_batched']['queries_per_sec']:.0f} queries/s "
         f"(recall@1={metrics['ensemble_batched']['recall@1']:.3f})",
     ]
-    for name in ("bm25", "semantic", "ensemble"):
+    for name in ("bm25", "semantic", "late_interaction", "ensemble"):
         m = metrics[name]
         lines.append(
             f"{name:9s} recall@1={m['recall@1']:.3f} "
