@@ -5,12 +5,16 @@ PYTHON ?= python
 DOCKER ?= docker
 ARGS ?=
 
-.PHONY: all serve test test-fast docs bench eval eval-alps dryrun digest docker_build docker_serve help
+.PHONY: all serve demo test test-fast docs bench eval eval-alps dryrun digest docker_build docker_serve help
 
 all: test
 
 serve:
 	PORT=$(PORT) $(PYTHON) -m dial_rag_tpu.main
+
+# end-to-end local demo: scripted core + real pipeline, one RAG request
+demo:
+	JAX_PLATFORMS=cpu $(PYTHON) -m tools.demo
 
 test:
 	$(PYTHON) -m pytest tests/ -x -q $(ARGS)
