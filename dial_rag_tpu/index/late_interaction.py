@@ -119,6 +119,66 @@ def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
     return stable_topk_argmin(dists, k)
 
 
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _maxsim_find_batch_kernel(
+    x, counts, n_valid, q_tokens, q_counts, *, k, use_sort
+):
+    """Q queries in ONE dispatch: all queries' tokens join one
+    ``[block*T, D] x [D, Q*qp]`` matmul per row block (the corpus
+    streams from HBM once instead of Q times), then per-query masked
+    max/sum and a vmapped stable top-k. Identical results to Q
+    single-query calls.
+
+    q_tokens: [Q, qp, D] f32; q_counts: [Q] (0 for padding queries)."""
+    n, t, d = x.shape
+    nq, qp, _ = q_tokens.shape
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    q_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, qp), 1) < q_counts[:, None]
+    )  # [Q, qp]
+    qt = (
+        jnp.where(q_mask[:, :, None], q_tokens, 0.0)
+        .reshape(nq * qp, d)
+        .T
+    )  # [D, Q*qp]
+
+    def block_scores(args):
+        xb, cb = args  # [B, T, D], [B]
+        sims = jax.lax.dot_general(
+            xb.reshape(-1, d).astype(jnp.float32),
+            qt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        ).reshape(xb.shape[0], t, nq * qp)
+        t_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < cb[:, None]
+        )
+        sims = jnp.where(t_mask[:, :, None], sims, -jnp.inf)
+        per_q = jnp.max(sims, axis=1).reshape(xb.shape[0], nq, qp)
+        scores = jnp.sum(
+            jnp.where(q_mask[None], per_q, 0.0), axis=-1
+        )  # [B, Q]
+        return jnp.where((cb > 0)[:, None], scores, -jnp.inf)
+
+    n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
+    block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
+    scores = jax.lax.map(
+        block_scores,
+        (
+            x.reshape(n_blocks, block, t, d),
+            counts.reshape(n_blocks, block),
+        ),
+    ).reshape(n, nq)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    dists = jnp.where(row[:, None] < n_valid, -scores, jnp.inf)  # [n, Q]
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    return jax.vmap(lambda dq: topk(dq, k))(dists.T)
+
+
 class LateInteractionIndex:
     """Flat token-level index over multiple documents; query on device."""
 
@@ -178,6 +238,53 @@ class LateInteractionIndex:
 
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
+
+    def find_batch(
+        self, queries_tokens: list[np.ndarray]
+    ) -> list[list[SearchHit]]:
+        """Per-query hits for a list of [q_i, D] token arrays in ONE
+        device dispatch (the corpus streams from HBM once). Query count
+        and token counts pad to power-of-two buckets."""
+        nq = len(queries_tokens)
+        if nq == 0 or self._x is None:
+            return [[] for _ in range(nq)]
+        qp = _bucket_q(max(max(q.shape[0] for q in queries_tokens), 1))
+        nq_pad = 1 << max(2, (nq - 1).bit_length())
+        q_tok = np.zeros((nq_pad, qp, self.dim), dtype=np.float32)
+        q_counts = np.zeros((nq_pad,), dtype=np.int32)
+        for i, q in enumerate(queries_tokens):
+            q = np.asarray(q, dtype=np.float32)
+            q_tok[i, : q.shape[0]] = q[:qp]
+            q_counts[i] = min(q.shape[0], qp)
+        k = min(self.limit, self.n_rows)
+        vals, idx = _maxsim_find_batch_kernel(
+            self._x,
+            self._counts,
+            jnp.int32(self.n_rows),
+            jnp.asarray(q_tok),
+            jnp.asarray(q_counts),
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        out = []
+        for qi in range(nq):
+            if q_counts[qi] == 0:
+                out.append([])
+                continue
+            hits, neg = hits_from_topk(
+                vals[qi],
+                idx[qi],
+                self.n_rows,
+                self._doc_ids,
+                self._chunk_ids,
+                self.retrieval_type,
+            )
+            out.append(
+                [h for h, s in zip(hits, neg) if np.isfinite(s)]
+            )
+        return out
 
     def find_with_scores(self, query_tokens: np.ndarray):
         """``query_tokens``: [q, D] f32 (the query's per-token

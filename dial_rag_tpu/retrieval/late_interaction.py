@@ -91,6 +91,19 @@ class LateInteractionRetriever:
     def retrieve(self, query: str) -> list[SearchHit]:
         return self.index.find(self.embedder.embed_query_tokens(query))
 
+    def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
+        """Many queries in two dispatches: one token encode + one batched
+        MaxSim scan (requires a single-chip LateInteractionIndex; the
+        ensemble falls back to per-query calls otherwise)."""
+        if not queries:
+            return []
+        if not hasattr(self.index, "find_batch"):
+            return [self.retrieve(q) for q in queries]
+        q_tokens = self.embedder.embed_documents_tokens(
+            queries, max_tokens=64
+        )
+        return self.index.find_batch(q_tokens)
+
     async def aretrieve(self, query: str) -> list[SearchHit]:
         q_tokens = await self.embedder.aembed_query_tokens(query)
         return await asyncio.get_running_loop().run_in_executor(

@@ -265,3 +265,50 @@ def test_config_rebuild_trigger():
     assert on != changed
     assert on != off
     assert "late_interaction_index" in on.indexes
+
+
+def test_find_batch_matches_single_queries():
+    rng = np.random.default_rng(7)
+    chunks = random_ragged(rng, 40)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=5
+    )
+    queries = [
+        rng.standard_normal((int(rng.integers(1, 7)), 16)).astype(
+            np.float32
+        )
+        for _ in range(5)
+    ]
+    batched = index.find_batch(queries)
+    for q, hits in zip(queries, batched):
+        single = index.find(q)
+        assert [(h.doc_id, h.chunk_id) for h in hits] == [
+            (h.doc_id, h.chunk_id) for h in single
+        ]
+
+
+def test_find_batch_empty_inputs():
+    rng = np.random.default_rng(8)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [random_ragged(rng, 3)], limit=2
+    )
+    assert index.find_batch([]) == []
+    out = index.find_batch([np.zeros((0, 16), np.float32)])
+    assert out == [[]]
+
+
+async def test_retriever_batch_matches_per_query():
+    embedder = _make_embedder()
+    texts = ["aba cad abc", "dede fefe gege", "zzz yyy xyx", "kak lol mnm"]
+    chunks = build_chunks_list([(t, {}) for t in texts])
+    li = await LateInteractionRetriever.build_index(embedder, chunks)
+    retriever = LateInteractionRetriever.from_doc_records(
+        embedder, [_record(chunks, li)], k=3
+    )
+    queries = [texts[2], texts[0], "abc zzz"]
+    batched = retriever.retrieve_batch(queries)
+    for q, hits in zip(queries, batched):
+        single = await retriever.aretrieve(q)
+        assert [(h.doc_id, h.chunk_id) for h in hits] == [
+            (h.doc_id, h.chunk_id) for h in single
+        ]
