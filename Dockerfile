@@ -27,6 +27,15 @@ RUN apt-get update && \
     apt-get clean && rm -rf /var/lib/apt/lists/*
 
 
+# digest from the FULL build context: a pruned worktree would make
+# `git describe --dirty` see every uncopied tracked file as deleted and
+# stamp every build dirty
+FROM base AS digest
+WORKDIR /src
+COPY . .
+RUN python3 tools/collect_repository_digest.py /repository-digest.json
+
+
 FROM base AS builder
 
 ENV VIRTUAL_ENV=/opt/venv
@@ -47,23 +56,23 @@ COPY tools ./tools
 RUN pip install --no-cache-dir --no-deps .
 
 # pre-compile the native C++ cores into the image (they otherwise
-# rebuild lazily on first import, keyed by source hash)
+# rebuild lazily on first import, keyed by source hash). The build
+# cache must live under a path the final stage copies — the default
+# XDG cache dir (/root/.cache) would be discarded with this stage.
+ENV XDG_CACHE_HOME=/opt/cache
 RUN python -c "from dial_rag_tpu.models.tokenizer import WordPieceTokenizer; \
 from dial_rag_tpu.text.keywords import keywords_preprocess; \
 keywords_preprocess('warm the native build')"
-
-# bake build provenance (echoed into every response's choice state)
-COPY .git ./.git
-RUN python -m tools.collect_repository_digest /opt/repository-digest.json && \
-    rm -rf .git
 
 
 FROM base AS final
 
 ENV VIRTUAL_ENV=/opt/venv
 ENV PATH="$VIRTUAL_ENV/bin:$PATH"
+ENV XDG_CACHE_HOME=/opt/cache
 COPY --from=builder /opt/venv /opt/venv
-COPY --from=builder /opt/repository-digest.json /opt/repository-digest.json
+COPY --from=builder /opt/cache /opt/cache
+COPY --from=digest /repository-digest.json /opt/repository-digest.json
 COPY --from=builder /app /app
 WORKDIR /app
 

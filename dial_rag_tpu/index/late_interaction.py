@@ -184,6 +184,63 @@ def _maxsim_find_batch_kernel(
     return jax.vmap(lambda dq: topk(dq, k))(dists.T)
 
 
+def _bucket_rows_li(n: int) -> int:
+    """Row-count padding for [T, D] token rows. The dense index's 512
+    quantum would cost ~100 MB of zero HBM for a typical one-document
+    index here (each row is T x D floats, not D) — pad small indexes to
+    64-row steps and engage the 512-blocked scan only past 512 rows
+    (every value this returns is either <= 512 or a 512-multiple, the
+    two shapes _maxsim_scores' block logic handles)."""
+    n = max(n, 1)
+    if n <= 512:
+        return -(-n // 64) * 64
+    return -(-n // _ROW_BLOCK) * _ROW_BLOCK
+
+
+def pack_ragged_token_embeddings(
+    doc_token_embeddings: list[list[np.ndarray]],
+    max_chunk_tokens: int,
+    row_bucket=_bucket_rows_li,
+):
+    """Host-side packing shared by the single-chip and sharded indexes:
+    per-doc ragged [t_i, D] chunk arrays -> (x [n_pad, T, D] f32,
+    counts [n_pad] i32, doc_ids, chunk_ids, n_rows, dim). Returns
+    x=None when there are no rows or no chunk has any tokens (an
+    unscoreable index)."""
+    per_chunk: list[np.ndarray] = []
+    doc_ids: list[int] = []
+    chunk_ids: list[int] = []
+    for doc_id, chunks in enumerate(doc_token_embeddings):
+        for chunk_id, arr in enumerate(chunks):
+            arr = np.asarray(arr, dtype=np.float32)
+            if arr.ndim != 2:
+                arr = arr.reshape(0, 0)
+            per_chunk.append(arr[:max_chunk_tokens])
+            doc_ids.append(doc_id)
+            chunk_ids.append(chunk_id)
+
+    n_rows = len(per_chunk)
+    dim = max((a.shape[1] for a in per_chunk if a.size), default=0)
+    if n_rows == 0 or dim == 0:
+        return None, None, None, None, n_rows, dim
+
+    n_pad = row_bucket(n_rows)
+    x = np.zeros((n_pad, max_chunk_tokens, dim), dtype=np.float32)
+    counts = np.zeros((n_pad,), dtype=np.int32)
+    for i, arr in enumerate(per_chunk):
+        if arr.size:
+            x[i, : arr.shape[0]] = arr
+            counts[i] = arr.shape[0]
+    return (
+        x,
+        counts,
+        np.asarray(doc_ids, dtype=np.int64),
+        np.asarray(chunk_ids, dtype=np.int64),
+        n_rows,
+        dim,
+    )
+
+
 class LateInteractionIndex:
     """Flat token-level index over multiple documents; query on device."""
 
@@ -204,34 +261,17 @@ class LateInteractionIndex:
         self.t = max_chunk_tokens
         self.storage_dtype = storage_dtype
 
-        per_chunk: list[np.ndarray] = []
-        doc_ids: list[int] = []
-        chunk_ids: list[int] = []
-        for doc_id, chunks in enumerate(doc_token_embeddings):
-            for chunk_id, arr in enumerate(chunks):
-                arr = np.asarray(arr, dtype=np.float32)
-                if arr.ndim != 2:
-                    arr = arr.reshape(0, 0)
-                per_chunk.append(arr[: self.t])
-                doc_ids.append(doc_id)
-                chunk_ids.append(chunk_id)
-
-        self.n_rows = len(per_chunk)
-        if self.n_rows == 0:
-            self.dim = 0
+        x, counts, doc_ids, chunk_ids, self.n_rows, self.dim = (
+            pack_ragged_token_embeddings(
+                doc_token_embeddings, max_chunk_tokens
+            )
+        )
+        if x is None:
+            # no rows, or no chunk has any tokens: nothing scoreable
             self._x = None
             return
-        self.dim = max((a.shape[1] for a in per_chunk if a.size), default=0)
-
-        n_pad = _bucket_rows(self.n_rows)
-        x = np.zeros((n_pad, self.t, self.dim), dtype=np.float32)
-        counts = np.zeros((n_pad,), dtype=np.int32)
-        for i, arr in enumerate(per_chunk):
-            if arr.size:
-                x[i, : arr.shape[0]] = arr
-                counts[i] = arr.shape[0]
-        self._doc_ids = np.asarray(doc_ids, dtype=np.int64)
-        self._chunk_ids = np.asarray(chunk_ids, dtype=np.int64)
+        self._doc_ids = doc_ids
+        self._chunk_ids = chunk_ids
         self._x = jnp.asarray(x, dtype=jnp.dtype(storage_dtype))
         self._counts = jnp.asarray(counts)
 
@@ -253,13 +293,25 @@ class LateInteractionIndex:
         nq = len(queries_tokens)
         if nq == 0 or self._x is None:
             return [[] for _ in range(nq)]
-        qp = _bucket_q(max(max(q.shape[0] for q in queries_tokens), 1))
+        # sanitize like find_with_scores: malformed (non-2-D) queries
+        # yield [] rather than a broadcast error
+        sane = [
+            np.asarray(q, dtype=np.float32) for q in queries_tokens
+        ]
+        sane = [
+            q if q.ndim == 2 and q.shape[1] == self.dim else None
+            for q in sane
+        ]
+        qp = _bucket_q(
+            max(max((q.shape[0] for q in sane if q is not None), default=1), 1)
+        )
         nq_pad = 1 << max(2, (nq - 1).bit_length())
         q_tok = np.zeros((nq_pad, qp, self.dim), dtype=np.float32)
         q_counts = np.zeros((nq_pad,), dtype=np.int32)
-        for i, q in enumerate(queries_tokens):
-            q = np.asarray(q, dtype=np.float32)
-            q_tok[i, : q.shape[0]] = q[:qp]
+        for i, q in enumerate(sane):
+            if q is None:
+                continue
+            q_tok[i, : min(q.shape[0], qp)] = q[:qp]
             q_counts[i] = min(q.shape[0], qp)
         k = min(self.limit, self.n_rows)
         vals, idx = _maxsim_find_batch_kernel(

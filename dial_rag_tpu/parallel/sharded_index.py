@@ -314,39 +314,35 @@ class ShardedLateInteractionIndex:
         storage_dtype: str = "float32",
     ):
         from dial_rag_tpu.index.late_interaction import (
-            LateInteractionIndex,
+            _bucket_rows_li,
+            pack_ragged_token_embeddings,
         )
 
         self.retrieval_type = retrieval_type
         self.limit = limit
+        self.t = max_chunk_tokens
         self._mesh = Mesh(mesh.devices.reshape(-1), ("idx",))
         n_shards = self._mesh.devices.size
 
-        # reuse the single-chip packing (ragged -> [N, T, D] + counts),
-        # then re-pad the row axis to an even per-shard split
-        packed = LateInteractionIndex(
-            retrieval_type,
-            doc_token_embeddings,
-            max_chunk_tokens=max_chunk_tokens,
-            limit=limit,
-            storage_dtype="float32",
+        # pack entirely on HOST (the single-chip constructor would
+        # materialize the full unsharded tensor on one device — the
+        # exact thing sharding exists to avoid) and upload once, already
+        # sharded. Per-shard rows use the token-row bucket so every
+        # shard's count is a shape _maxsim_scores can block.
+        def row_bucket(n):
+            per_shard = _bucket_rows_li(-(-max(n, 1) // n_shards))
+            return per_shard * n_shards
+
+        x, counts, doc_ids, chunk_ids, self.n_rows, self.dim = (
+            pack_ragged_token_embeddings(
+                doc_token_embeddings, max_chunk_tokens, row_bucket
+            )
         )
-        self.n_rows = packed.n_rows
-        self.t = packed.t
-        if packed._x is None:
+        if x is None:
             self._x = None
             return
-        self.dim = packed.dim
-        self._doc_ids = packed._doc_ids
-        self._chunk_ids = packed._chunk_ids
-
-        x = np.asarray(packed._x, dtype=np.float32)
-        counts = np.asarray(packed._counts)
-        packed._x = None
-        n_pad = _bucket_rows_sharded(x.shape[0], n_shards)
-        if n_pad != x.shape[0]:
-            x = np.pad(x, ((0, n_pad - x.shape[0]), (0, 0), (0, 0)))
-            counts = np.pad(counts, (0, n_pad - counts.shape[0]))
+        self._doc_ids = doc_ids
+        self._chunk_ids = chunk_ids
         sharding = NamedSharding(self._mesh, P("idx", None, None))
         self._x = jax.device_put(
             x.astype(np.dtype(storage_dtype)), sharding

@@ -75,7 +75,14 @@ def maxsim_scores_pairwise(q_tok, q_mask, p_tok, p_mask):
     sim tensor is materialized, so keep B*C*S^2 bounded (B=32, S=128 ->
     256 MiB f32); remat/smaller batches for longer sequences."""
     sims = jnp.einsum(
-        "bsd,ctd->bcst", q_tok, p_tok, preferred_element_type=jnp.float32
+        "bsd,ctd->bcst",
+        q_tok,
+        p_tok,
+        preferred_element_type=jnp.float32,
+        # serving's _maxsim_scores runs f32 dots at HIGHEST; without it
+        # TPU f32 matmuls are bf16-grade and the trained logits would
+        # drift from the serving scores (CPU tests cannot catch this)
+        precision=jax.lax.Precision.HIGHEST,
     )
     sims = jnp.where(
         p_mask[None, :, None, :].astype(bool), sims, -jnp.inf

@@ -312,3 +312,50 @@ async def test_retriever_batch_matches_per_query():
         assert [(h.doc_id, h.chunk_id) for h in hits] == [
             (h.doc_id, h.chunk_id) for h in single
         ]
+
+
+def test_all_zero_token_index_returns_no_hits():
+    """An index whose every chunk has zero tokens (dim resolves to 0)
+    must behave like an empty index, not crash at query time."""
+    empty = np.zeros((0, 8), dtype=np.float32)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [[empty, empty]], limit=3
+    )
+    q = np.ones((2, 8), dtype=np.float32)
+    assert index.find(q) == []
+    assert index.find_batch([q]) == [[]]
+    assert index.nbytes == 0
+
+
+def test_find_batch_sanitizes_malformed_queries():
+    """A non-2-D or wrong-dim query in a batch yields [] for that query
+    (matching the single-query path) instead of a broadcast error."""
+    rng = np.random.default_rng(9)
+    chunks = random_ragged(rng, 5)
+    index = LateInteractionIndex(RetrievalType.TEXT, [chunks], limit=2)
+    good = rng.standard_normal((3, 16)).astype(np.float32)
+    out = index.find_batch(
+        [np.ones(16, np.float32), good, np.ones((2, 4), np.float32)]
+    )
+    assert out[0] == [] and out[2] == []
+    assert [(h.doc_id, h.chunk_id) for h in out[1]] == [
+        (h.doc_id, h.chunk_id) for h in index.find(good)
+    ]
+
+
+def test_small_index_memory_is_bounded():
+    """A typical one-document index (30 chunks) must not pad to the
+    dense index's 512-row quantum (x 256 tokens x D floats of zeros)."""
+    rng = np.random.default_rng(10)
+    chunks = random_ragged(rng, 30, d=16)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=256, limit=3
+    )
+    # 64-row bucket: 64 * 256 * 16 * 4 bytes, not 512 rows' worth
+    assert index._x.shape[0] == 64
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    ref = numpy_maxsim([c[:256] for c in chunks], q)
+    _, scores = index.find_with_scores(q)
+    np.testing.assert_allclose(
+        scores, np.sort(ref)[::-1][:3], rtol=1e-6, atol=1e-5
+    )
