@@ -51,6 +51,7 @@ from dial_rag_tpu.documents.model import (
 )
 from dial_rag_tpu.documents.parser import parse_document
 from dial_rag_tpu.retrieval import (
+    LateInteractionRetriever,
     Bm25Retriever,
     EnsembleRetriever,
     SemanticRetriever,
@@ -120,11 +121,16 @@ def parse_alps(pdf_bytes: bytes):
     )
 
 
-async def build_record(pdf_bytes: bytes, chunks, embedder=None):
+async def build_record(pdf_bytes: bytes, chunks, embedder=None, li_embedder=None):
     text_index = await Bm25Retriever.build_index(chunks)
     embeddings_index = (
         await SemanticRetriever.build_index(embedder, chunks)
         if embedder is not None
+        else None
+    )
+    late_interaction_index = (
+        await LateInteractionRetriever.build_index(li_embedder, chunks)
+        if li_embedder is not None
         else None
     )
     return DocumentRecord(
@@ -135,6 +141,7 @@ async def build_record(pdf_bytes: bytes, chunks, embedder=None):
         embeddings_index=embeddings_index,
         multimodal_embeddings_index=None,
         description_embeddings_index=None,
+        late_interaction_index=late_interaction_index,
         mime_type="application/pdf",
         document_bytes=pdf_bytes,
     )
@@ -203,11 +210,28 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
         semantic_model = os.environ["DIAL_RAG__EMBEDDER__MODEL_PATH"]
         embedder = BgeEmbedder.from_hf_checkpoint(semantic_model)
 
-    record = await build_record(pdf_bytes, chunks, embedder)
+    # late-interaction arm: with a real checkpoint it shares the
+    # embedder; without one a corpus-vocab random-weight encoder gives a
+    # purely LEXICAL MaxSim signal (identical subwords embed identically
+    # for identical contexts) — measurable without any trained weights
+    li_embedder = embedder
+    if li_embedder is None:
+        from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+        from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+        words = sorted({w for c in chunks for w in c.text.lower().split()})
+        li_embedder = BgeEmbedder.from_random(
+            vocab=build_test_vocab(words, size=8192), batch_size=32
+        )
+
+    record = await build_record(pdf_bytes, chunks, embedder, li_embedder)
     truth = fact_relevance(chunks, rows)
     questions = [r["question"] for r in rows]
 
     retrievers = {"bm25": Bm25Retriever.from_doc_records([record], k=7)}
+    retrievers["late_interaction"] = LateInteractionRetriever.from_doc_records(
+        li_embedder, [record], k=7
+    )
     if embedder is not None:
         retrievers["semantic"] = SemanticRetriever.from_doc_records(
             embedder, [record], k=7
@@ -225,6 +249,11 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
         "parse_s": round(t_parse, 3),
         "semantic_model": semantic_model
         or "none (BM25 only; pass --model-dir for semantic quality)",
+        "late_interaction_model": semantic_model
+        or "random-weights — a wiring check, NOT a quality number: "
+        "contextual token embeddings carry no signal untrained (real "
+        "questions share few verbatim contexts with chunks); provide "
+        "--model-dir for a meaningful MaxSim row",
     }
     for name, retriever in retrievers.items():
         all_hits = [await retriever.aretrieve(q) for q in questions]
@@ -255,7 +284,7 @@ def main(argv=None) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "alps_metrics.json", "w") as f:
         json.dump(metrics, f, indent=2)
-    for name in ("bm25", "semantic", "ensemble"):
+    for name in ("bm25", "late_interaction", "semantic", "ensemble"):
         if name in metrics:
             m = metrics[name]
             print(
