@@ -39,6 +39,11 @@ eval:
 eval-alps:
 	JAX_PLATFORMS=cpu $(PYTHON) -m eval.eval_alps
 
+# closed-loop training eval: fine-tune the encoder, measure held-out recall
+eval-training:
+	JAX_PLATFORMS=cpu $(PYTHON) -m eval.eval_training
+	JAX_PLATFORMS=cpu $(PYTHON) -m eval.eval_training --objective maxsim
+
 # 8-device virtual-mesh dryrun of the full multi-chip path
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
