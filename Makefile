@@ -5,7 +5,7 @@ PYTHON ?= python
 DOCKER ?= docker
 ARGS ?=
 
-.PHONY: all serve demo test test-fast docs bench eval eval-alps dryrun digest docker_build docker_serve help
+.PHONY: all serve demo test test-fast docs bench eval eval-alps eval-training dryrun digest docker_build docker_serve help
 
 all: test
 

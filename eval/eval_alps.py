@@ -197,16 +197,14 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
     chunks = parse_alps(pdf_bytes)
     t_parse = time.perf_counter() - t0
 
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
     embedder = None
     semantic_model = None
     if model_dir:
-        from dial_rag_tpu.embeddings.embedder import BgeEmbedder
-
         embedder = BgeEmbedder.from_hf_checkpoint(model_dir)
         semantic_model = model_dir
     elif os.environ.get("DIAL_RAG__EMBEDDER__MODEL_PATH"):
-        from dial_rag_tpu.embeddings.embedder import BgeEmbedder
-
         semantic_model = os.environ["DIAL_RAG__EMBEDDER__MODEL_PATH"]
         embedder = BgeEmbedder.from_hf_checkpoint(semantic_model)
 
@@ -216,12 +214,16 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
     # for identical contexts) — measurable without any trained weights
     li_embedder = embedder
     if li_embedder is None:
-        from dial_rag_tpu.embeddings.embedder import BgeEmbedder
         from dial_rag_tpu.models.tokenizer import build_test_vocab
 
         words = sorted({w for c in chunks for w in c.text.lower().split()})
         li_embedder = BgeEmbedder.from_random(
             vocab=build_test_vocab(words, size=8192), batch_size=32
+        )
+        # the tiny config has only 128 trained positions; longer inputs
+        # would clamp-gather position row 127 for every later token
+        li_embedder.max_len = (
+            li_embedder.encoder.config.max_position_embeddings
         )
 
     record = await build_record(pdf_bytes, chunks, embedder, li_embedder)

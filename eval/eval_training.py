@@ -30,7 +30,7 @@ from dial_rag_tpu.embeddings.embedder import (
     DEFAULT_QUERY_INSTRUCTION,
     BgeEmbedder,
 )
-from dial_rag_tpu.models.bert import BertConfig, BertEncoder
+from dial_rag_tpu.models.bert import BertEncoder
 from dial_rag_tpu.retrieval import (
     LateInteractionRetriever,
     SemanticRetriever,
@@ -127,13 +127,21 @@ def run(
     record = _record(chunks)
     truth = _ground_truth_chunks(corpus, record)
 
-    # held-out split: even questions train, odd questions test
+    # held-out split: even questions train, odd questions test; questions
+    # whose fact maps to no chunk are excluded from BOTH sides (they are
+    # unanswerable at chunk granularity and would deflate every metric)
     train_qs = [
         (q, t) for i, (q, t) in enumerate(zip(corpus.questions, truth))
         if i % 2 == 0 and t
     ]
-    test_qs = [q for i, q in enumerate(corpus.questions) if i % 2 == 1]
-    test_truth = [t for i, t in enumerate(truth) if i % 2 == 1]
+    test_qs = [
+        q for i, (q, t) in enumerate(zip(corpus.questions, truth))
+        if i % 2 == 1 and t
+    ]
+    test_truth = [t for i, t in enumerate(truth) if i % 2 == 1 and t]
+    n_unmapped = sum(1 for t in truth if not t)
+    if not test_qs:
+        raise ValueError("no mappable held-out questions at this scale")
 
     prefix = DEFAULT_QUERY_INSTRUCTION if objective == "cls" else ""
     # Two pair sources (tiny labeled sets alone overfit in tens of steps
@@ -153,10 +161,20 @@ def run(
             sent = sent.strip()
             if len(sent.split()) >= 4:
                 pairs.append((prefix + sent, chunk.text))
-    # In-batch-negatives InfoNCE is poisoned by duplicate pairs inside a
-    # batch (the duplicate positive gets labeled negative), so the batch
-    # must stay below the unique-pair count.
-    batch_size = min(batch_size, max(len(pairs) - 1, 2))
+    if not pairs:
+        raise ValueError(
+            "no training pairs (too few pages or no mappable questions)"
+        )
+    # In-batch-negatives InfoNCE is poisoned by duplicate POSITIVES in a
+    # batch (for query i, a second pair j with the same positive makes
+    # logits[i, j] == logits[i, i], so the label scores a copy of the
+    # positive as a negative). ICT pairs share positives heavily (~4-10
+    # sentences per chunk), so batches are built positive-disjoint below
+    # and the batch size stays below the unique-positive count.
+    unique_pos = sorted({p for _, p in pairs})
+    if len(unique_pos) < 2:
+        raise ValueError("contrastive training needs >= 2 distinct chunks")
+    batch_size = max(2, min(batch_size, len(unique_pos) - 1))
     embedder = make_test_embedder(corpus, batch_size=16)
     config = embedder.encoder.config
     # the tiny config supports exactly 128 positions; index/query/train
@@ -183,13 +201,24 @@ def run(
         temperature=0.02 if objective == "cls" else 1.0,
     )
     n_needed = steps * train_config.batch_size
-    # per-epoch reshuffle (seeded) so batch composition varies
+    # positive-disjoint batch construction: each emitted batch draws one
+    # query from batch_size DISTINCT positives (pairs_to_batches slices
+    # the stream in exact batch_size groups, so alignment holds)
     rng = np.random.default_rng(seed)
+    by_pos: dict[str, list[str]] = {p: [] for p in unique_pos}
+    for q, p in pairs:
+        by_pos[p].append(q)
+    cursors = {p: 0 for p in unique_pos}
     stream: list[tuple[str, str]] = []
     while len(stream) < n_needed:
-        epoch = list(pairs)
-        rng.shuffle(epoch)
-        stream.extend(epoch)
+        chosen = rng.choice(
+            len(unique_pos), size=batch_size, replace=False
+        )
+        for ci in chosen:
+            p = unique_pos[ci]
+            qs = by_pos[p]
+            stream.append((qs[cursors[p] % len(qs)], p))
+            cursors[p] += 1
     stream = stream[:n_needed]
     trained_params, losses = train(
         config, train_config, stream, embedder.tokenizer,
@@ -210,6 +239,7 @@ def run(
         "n_pages": n_pages,
         "n_train_pairs": len(pairs),
         "n_test_questions": len(test_qs),
+        "n_unmapped_questions": n_unmapped,
         "steps": steps,
         "loss_first": round(float(np.mean(losses[:5])), 4),
         "loss_last": round(float(np.mean(losses[-5:])), 4),
