@@ -369,3 +369,21 @@ def test_sharded_maxsim_stable_ties_across_shards(mesh):
     )
     hits = index.find(tok)
     assert [h.chunk_id for h in hits] == copy_positions
+
+
+def test_sharded_maxsim_empty_and_zero_token(mesh):
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedLateInteractionIndex,
+    )
+
+    empty = np.zeros((0, 8), dtype=np.float32)
+    q = np.ones((2, 8), dtype=np.float32)
+    none_at_all = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [[]], mesh, limit=3
+    )
+    assert none_at_all.find(q) == []
+    all_zero = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [[empty, empty]], mesh, limit=3
+    )
+    assert all_zero.find(q) == []
+    assert all_zero.nbytes == 0
