@@ -241,6 +241,24 @@ def pack_ragged_token_embeddings(
     )
 
 
+def finite_maxsim_hits(index, vals, idx):
+    """Top-k kernel output -> (hits, MaxSim scores), dropping the
+    zero-token-chunk sentinel (+inf negated score). Unlike the dense
+    index — where a non-finite distance at a real row must stay a hit —
+    these rows are unscoreable and must never surface. Shared by the
+    single-chip and mesh-sharded indexes."""
+    hits, neg_scores = hits_from_topk(
+        np.asarray(vals),
+        np.asarray(idx),
+        index.n_rows,
+        index._doc_ids,
+        index._chunk_ids,
+        index.retrieval_type,
+    )
+    keep = [i for i, s in enumerate(neg_scores) if np.isfinite(s)]
+    return [hits[i] for i in keep], [-neg_scores[i] for i in keep]
+
+
 class LateInteractionIndex:
     """Flat token-level index over multiple documents; query on device."""
 
@@ -325,23 +343,12 @@ class LateInteractionIndex:
         )
         vals = np.asarray(vals)
         idx = np.asarray(idx)
-        out = []
-        for qi in range(nq):
-            if q_counts[qi] == 0:
-                out.append([])
-                continue
-            hits, neg = hits_from_topk(
-                vals[qi],
-                idx[qi],
-                self.n_rows,
-                self._doc_ids,
-                self._chunk_ids,
-                self.retrieval_type,
-            )
-            out.append(
-                [h for h, s in zip(hits, neg) if np.isfinite(s)]
-            )
-        return out
+        return [
+            finite_maxsim_hits(self, vals[qi], idx[qi])[0]
+            if q_counts[qi]
+            else []
+            for qi in range(nq)
+        ]
 
     def find_with_scores(self, query_tokens: np.ndarray):
         """``query_tokens``: [q, D] f32 (the query's per-token
@@ -365,17 +372,4 @@ class LateInteractionIndex:
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        hits, neg_scores = hits_from_topk(
-            np.asarray(vals),
-            np.asarray(idx),
-            self.n_rows,
-            self._doc_ids,
-            self._chunk_ids,
-            self.retrieval_type,
-        )
-        # +inf here is the zero-token-chunk sentinel this index assigns
-        # (score -inf), not a real score — unlike the dense index, where a
-        # non-finite distance at a real row must stay a hit, these rows
-        # are unscoreable and must never surface
-        keep = [i for i, s in enumerate(neg_scores) if np.isfinite(s)]
-        return [hits[i] for i in keep], [-neg_scores[i] for i in keep]
+        return finite_maxsim_hits(self, vals, idx)

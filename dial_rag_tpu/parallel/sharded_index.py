@@ -383,17 +383,9 @@ class ShardedLateInteractionIndex:
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        hits, neg_scores = hits_from_topk(
-            np.asarray(vals),
-            np.asarray(idx),
-            self.n_rows,
-            self._doc_ids,
-            self._chunk_ids,
-            self.retrieval_type,
-        )
-        # filter the zero-token sentinel (score -inf), as single-chip does
-        keep = [i for i, s in enumerate(neg_scores) if np.isfinite(s)]
-        return [hits[i] for i in keep], [-neg_scores[i] for i in keep]
+        from dial_rag_tpu.index.late_interaction import finite_maxsim_hits
+
+        return finite_maxsim_hits(self, vals, idx)
 
 
 @partial(
