@@ -124,17 +124,12 @@ def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
     return stable_topk_argmin(dists, k)
 
 
-@partial(jax.jit, static_argnames=("k", "use_sort"))
-def _maxsim_find_batch_kernel(
-    x, counts, n_valid, q_tokens, q_counts, *, k, use_sort
-):
-    """Q queries in ONE dispatch: all queries' tokens join one
+def _maxsim_scores_batch(x, counts, q_tokens, q_counts):
+    """Batched MaxSim scores [N, Q]: all queries' tokens join one
     ``[block*T, D] x [D, Q*qp]`` matmul per row block (the corpus
     streams from HBM once instead of Q times), then per-query masked
-    max/sum and a vmapped stable top-k. Identical results to Q
-    single-query calls.
-
-    q_tokens: [Q, qp, D] f32; q_counts: [Q] (0 for padding queries)."""
+    max/sum. q_tokens: [Q, qp, D] f32; q_counts: [Q] (0 = padding
+    query)."""
     n, t, d = x.shape
     nq, qp, _ = q_tokens.shape
     precision = (
@@ -170,13 +165,22 @@ def _maxsim_find_batch_kernel(
 
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
-    scores = jax.lax.map(
+    return jax.lax.map(
         block_scores,
         (
             x.reshape(n_blocks, block, t, d),
             counts.reshape(n_blocks, block),
         ),
     ).reshape(n, nq)
+
+
+@partial(jax.jit, static_argnames=("k", "use_sort"))
+def _maxsim_find_batch_kernel(
+    x, counts, n_valid, q_tokens, q_counts, *, k, use_sort
+):
+    """Q queries in ONE dispatch; identical results to Q single calls."""
+    n = x.shape[0]
+    scores = _maxsim_scores_batch(x, counts, q_tokens, q_counts)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
     dists = jnp.where(row[:, None] < n_valid, -scores, jnp.inf)  # [n, Q]
@@ -239,6 +243,31 @@ def pack_ragged_token_embeddings(
         n_rows,
         dim,
     )
+
+
+def pack_query_batch(queries_tokens, dim):
+    """[q_i, D] token arrays -> (q_tok [nq_pad, qp, D] f32, q_counts
+    [nq_pad] i32), power-of-two buckets; malformed (non-2-D / wrong-dim)
+    queries get count 0 and yield [] downstream, matching the
+    single-query path's sanitization. Shared by the single-chip and
+    sharded batch lookups."""
+    nq = len(queries_tokens)
+    sane = [np.asarray(q, dtype=np.float32) for q in queries_tokens]
+    sane = [
+        q if q.ndim == 2 and q.shape[1] == dim else None for q in sane
+    ]
+    qp = _bucket_q(
+        max(max((q.shape[0] for q in sane if q is not None), default=1), 1)
+    )
+    nq_pad = 1 << max(2, (nq - 1).bit_length())
+    q_tok = np.zeros((nq_pad, qp, dim), dtype=np.float32)
+    q_counts = np.zeros((nq_pad,), dtype=np.int32)
+    for i, q in enumerate(sane):
+        if q is None:
+            continue
+        q_tok[i, : min(q.shape[0], qp)] = q[:qp]
+        q_counts[i] = min(q.shape[0], qp)
+    return q_tok, q_counts
 
 
 def finite_maxsim_hits(index, vals, idx):
@@ -311,26 +340,7 @@ class LateInteractionIndex:
         nq = len(queries_tokens)
         if nq == 0 or self._x is None:
             return [[] for _ in range(nq)]
-        # sanitize like find_with_scores: malformed (non-2-D) queries
-        # yield [] rather than a broadcast error
-        sane = [
-            np.asarray(q, dtype=np.float32) for q in queries_tokens
-        ]
-        sane = [
-            q if q.ndim == 2 and q.shape[1] == self.dim else None
-            for q in sane
-        ]
-        qp = _bucket_q(
-            max(max((q.shape[0] for q in sane if q is not None), default=1), 1)
-        )
-        nq_pad = 1 << max(2, (nq - 1).bit_length())
-        q_tok = np.zeros((nq_pad, qp, self.dim), dtype=np.float32)
-        q_counts = np.zeros((nq_pad,), dtype=np.int32)
-        for i, q in enumerate(sane):
-            if q is None:
-                continue
-            q_tok[i, : min(q.shape[0], qp)] = q[:qp]
-            q_counts[i] = min(q.shape[0], qp)
+        q_tok, q_counts = pack_query_batch(queries_tokens, self.dim)
         k = min(self.limit, self.n_rows)
         vals, idx = _maxsim_find_batch_kernel(
             self._x,

@@ -296,6 +296,53 @@ def _sharded_maxsim_find_kernel(
     return merged_vals[:k], flat_idx[merged_order[:k]]
 
 
+@partial(jax.jit, static_argnames=("mesh", "k", "use_sort"))
+def _sharded_maxsim_find_batch_kernel(
+    x, counts, n_valid, q_tokens, q_counts, *, mesh, k, use_sort
+):
+    """Batched sharded MaxSim: every shard scores all Q queries against
+    its own rows (one corpus pass per shard, shared across queries),
+    then one per-query stable merge of the winner lists — same ordering
+    proof as the single-query kernel."""
+    from dial_rag_tpu.index.late_interaction import _maxsim_scores_batch
+
+    n_shards = mesh.devices.size
+    rows_per_shard = x.shape[0] // n_shards
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(x_local, counts_local, n_valid, q_tokens, q_counts):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        scores = _maxsim_scores_batch(
+            x_local, counts_local, q_tokens, q_counts
+        )  # [rows, Q]
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        dists = jnp.where(row[:, None] < n_valid, -scores, jnp.inf)
+        vals, idx = jax.vmap(lambda dq: topk(dq, k))(dists.T)  # [Q, k]
+        return vals[None], (base + idx)[None]
+
+    vals, idx = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P("idx", None, None), P("idx"), P(), P(), P()),
+        out_specs=(P("idx"), P("idx")),
+    )(x, counts, n_valid, q_tokens, q_counts)  # [n_shards, Q, k]
+
+    q = q_tokens.shape[0]
+    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)
+    flat_idx = idx.transpose(1, 0, 2).reshape(q, -1)
+    order = jnp.broadcast_to(
+        jnp.arange(flat_vals.shape[1], dtype=jnp.int32), flat_vals.shape
+    )
+    merged_vals, merged_order = jax.lax.sort(
+        (flat_vals, order), num_keys=1, is_stable=True, dimension=-1
+    )
+    merged_idx = jnp.take_along_axis(flat_idx, merged_order, axis=-1)
+    return merged_vals[:, :k], merged_idx[:, :k]
+
+
 class ShardedLateInteractionIndex:
     """Late-interaction (MaxSim) index with chunk rows sharded over a
     device mesh — same host-facing API as LateInteractionIndex. Both the
@@ -359,6 +406,39 @@ class ShardedLateInteractionIndex:
 
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
+
+    def find_batch(self, queries_tokens) -> list[list[SearchHit]]:
+        """Per-query hits for a list of [q_i, D] token arrays in one
+        sharded dispatch (each shard's corpus pass is shared across all
+        queries). Same semantics as the single-chip find_batch."""
+        from dial_rag_tpu.index.late_interaction import (
+            finite_maxsim_hits,
+            pack_query_batch,
+        )
+
+        nq = len(queries_tokens)
+        if nq == 0 or self._x is None:
+            return [[] for _ in range(nq)]
+        q_tok, q_counts = pack_query_batch(queries_tokens, self.dim)
+        k = min(self.limit, self.n_rows)
+        vals, idx = _sharded_maxsim_find_batch_kernel(
+            self._x,
+            self._counts,
+            jnp.int32(self.n_rows),
+            jnp.asarray(q_tok),
+            jnp.asarray(q_counts),
+            mesh=self._mesh,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        return [
+            finite_maxsim_hits(self, vals[qi], idx[qi])[0]
+            if q_counts[qi]
+            else []
+            for qi in range(nq)
+        ]
 
     def find_with_scores(self, query_tokens: np.ndarray):
         from dial_rag_tpu.index.late_interaction import _bucket_q

@@ -93,12 +93,10 @@ class LateInteractionRetriever:
 
     def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
         """Many queries in two dispatches: one token encode + one batched
-        MaxSim scan (requires a single-chip LateInteractionIndex; the
-        ensemble falls back to per-query calls otherwise)."""
+        MaxSim scan (single-chip and mesh-sharded indexes both support
+        it — each corpus pass is shared across all queries)."""
         if not queries:
             return []
-        if not hasattr(self.index, "find_batch"):
-            return [self.retrieve(q) for q in queries]
         q_tokens = self.embedder.embed_documents_tokens(
             queries, max_tokens=64
         )

@@ -387,3 +387,32 @@ def test_sharded_maxsim_empty_and_zero_token(mesh):
     )
     assert all_zero.find(q) == []
     assert all_zero.nbytes == 0
+
+
+def test_sharded_maxsim_find_batch_matches_single(mesh):
+    from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedLateInteractionIndex,
+    )
+
+    rng = np.random.default_rng(2)
+    chunks = _random_ragged_chunks(rng, 900)
+    single = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=5
+    )
+    sharded = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [chunks], mesh, max_chunk_tokens=16, limit=5
+    )
+    queries = [
+        rng.standard_normal((int(rng.integers(1, 6)), 16)).astype(
+            np.float32
+        )
+        for _ in range(4)
+    ] + [np.ones(16, np.float32)]  # malformed -> []
+    got = sharded.find_batch(queries)
+    want = single.find_batch(queries)
+    assert got[-1] == [] and want[-1] == []
+    for g, w in zip(got, want):
+        assert [(h.doc_id, h.chunk_id) for h in g] == [
+            (h.doc_id, h.chunk_id) for h in w
+        ]
