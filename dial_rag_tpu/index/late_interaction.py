@@ -245,6 +245,47 @@ def pack_ragged_token_embeddings(
     )
 
 
+# cap on (queries x query-token-bucket) lanes scored per dispatch: the
+# per-block sim transient is [_ROW_BLOCK, T, g*qp] f32, so without a cap
+# a large batch would scale it to GiB (512 x 256 x 128 x 4B = 64 MiB at
+# this cap); bigger batches split into group dispatches, each still
+# sharing one corpus pass across its queries
+_MAX_Q_LANES = 128
+
+
+def batched_maxsim_lookup(index, queries_tokens, invoke_kernel):
+    """Shared find_batch driver for the single-chip and sharded indexes:
+    query packing/sanitization, memory-bounded query grouping, and the
+    zero-token sentinel filter. ``invoke_kernel(q_tok, q_counts, k,
+    use_sort)`` runs the index-specific kernel and returns (vals, idx)
+    for its group."""
+    nq = len(queries_tokens)
+    if nq == 0 or index._x is None:
+        return [[] for _ in range(nq)]
+    q_tok, q_counts = pack_query_batch(queries_tokens, index.dim)
+    qp = q_tok.shape[1]
+    g = max(1, _MAX_Q_LANES // qp)
+    g = 1 << (g.bit_length() - 1)  # power of two divides the pow2 nq_pad
+    g = min(g, q_tok.shape[0])
+    k = min(index.limit, index.n_rows)
+    use_sort = k > _ARGMIN_MAX_K
+    vals_parts, idx_parts = [], []
+    for i in range(0, q_tok.shape[0], g):
+        vals, idx = invoke_kernel(
+            q_tok[i : i + g], q_counts[i : i + g], k, use_sort
+        )
+        vals_parts.append(np.asarray(vals))
+        idx_parts.append(np.asarray(idx))
+    vals = np.concatenate(vals_parts, axis=0)
+    idx = np.concatenate(idx_parts, axis=0)
+    return [
+        finite_maxsim_hits(index, vals[qi], idx[qi])[0]
+        if q_counts[qi]
+        else []
+        for qi in range(nq)
+    ]
+
+
 def pack_query_batch(queries_tokens, dim):
     """[q_i, D] token arrays -> (q_tok [nq_pad, qp, D] f32, q_counts
     [nq_pad] i32), power-of-two buckets; malformed (non-2-D / wrong-dim)
@@ -334,31 +375,22 @@ class LateInteractionIndex:
     def find_batch(
         self, queries_tokens: list[np.ndarray]
     ) -> list[list[SearchHit]]:
-        """Per-query hits for a list of [q_i, D] token arrays in ONE
-        device dispatch (the corpus streams from HBM once). Query count
-        and token counts pad to power-of-two buckets."""
-        nq = len(queries_tokens)
-        if nq == 0 or self._x is None:
-            return [[] for _ in range(nq)]
-        q_tok, q_counts = pack_query_batch(queries_tokens, self.dim)
-        k = min(self.limit, self.n_rows)
-        vals, idx = _maxsim_find_batch_kernel(
-            self._x,
-            self._counts,
-            jnp.int32(self.n_rows),
-            jnp.asarray(q_tok),
-            jnp.asarray(q_counts),
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        return [
-            finite_maxsim_hits(self, vals[qi], idx[qi])[0]
-            if q_counts[qi]
-            else []
-            for qi in range(nq)
-        ]
+        """Per-query hits for a list of [q_i, D] token arrays in one (or
+        a few memory-bounded — _MAX_Q_LANES) device dispatches; each
+        dispatch streams the corpus from HBM once for all its queries."""
+
+        def invoke(q_tok, q_counts, k, use_sort):
+            return _maxsim_find_batch_kernel(
+                self._x,
+                self._counts,
+                jnp.int32(self.n_rows),
+                jnp.asarray(q_tok),
+                jnp.asarray(q_counts),
+                k=k,
+                use_sort=use_sort,
+            )
+
+        return batched_maxsim_lookup(self, queries_tokens, invoke)
 
     def find_with_scores(self, query_tokens: np.ndarray):
         """``query_tokens``: [q, D] f32 (the query's per-token

@@ -47,6 +47,35 @@ def _bucket_rows_sharded(n: int, n_shards: int) -> int:
     return per_shard * n_shards
 
 
+def _merge_shard_winners(vals, idx, k):
+    """[n_shards, k] winner lists -> global (vals[:k], idx[:k]) via one
+    replicated stable sort. Concatenation order == global row order
+    among ties (module docstring), so stability finishes the job."""
+    flat_vals = vals.reshape(-1)
+    flat_idx = idx.reshape(-1)
+    order = jnp.arange(flat_vals.shape[0], dtype=jnp.int32)
+    merged_vals, merged_order = jax.lax.sort(
+        (flat_vals, order), num_keys=1, is_stable=True
+    )
+    return merged_vals[:k], flat_idx[merged_order[:k]]
+
+
+def _merge_shard_winners_batch(vals, idx, k):
+    """Per-query variant: [n_shards, Q, k] winner lists -> ([Q, k],
+    [Q, k]), one stable merge per query."""
+    q = vals.shape[1]
+    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)
+    flat_idx = idx.transpose(1, 0, 2).reshape(q, -1)
+    order = jnp.broadcast_to(
+        jnp.arange(flat_vals.shape[1], dtype=jnp.int32), flat_vals.shape
+    )
+    merged_vals, merged_order = jax.lax.sort(
+        (flat_vals, order), num_keys=1, is_stable=True, dimension=-1
+    )
+    merged_idx = jnp.take_along_axis(flat_idx, merged_order, axis=-1)
+    return merged_vals[:, :k], merged_idx[:, :k]
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "metric", "k", "use_sort"),
@@ -75,15 +104,7 @@ def _sharded_find_kernel(emb, query, n_valid, *, mesh, metric, k, use_sort):
         out_specs=(P("idx"), P("idx")),
     )(emb, query, n_valid)
 
-    # [n_shards, k] -> [n_shards * k]; concatenation order == global row
-    # order among ties, so one stable merge finishes the job.
-    flat_vals = vals.reshape(-1)
-    flat_idx = idx.reshape(-1)
-    order = jnp.arange(flat_vals.shape[0], dtype=jnp.int32)
-    merged_vals, merged_order = jax.lax.sort(
-        (flat_vals, order), num_keys=1, is_stable=True
-    )
-    return merged_vals[:k], flat_idx[merged_order[:k]]
+    return _merge_shard_winners(vals, idx, k)
 
 
 @partial(
@@ -119,17 +140,7 @@ def _sharded_find_batch_kernel(
         out_specs=(P("idx"), P("idx")),
     )(emb, queries, n_valid)  # [n_shards, Q, k]
 
-    q = queries.shape[0]
-    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
-    flat_idx = idx.transpose(1, 0, 2).reshape(q, -1)
-    order = jnp.broadcast_to(
-        jnp.arange(flat_vals.shape[1], dtype=jnp.int32), flat_vals.shape
-    )
-    merged_vals, merged_order = jax.lax.sort(
-        (flat_vals, order), num_keys=1, is_stable=True, dimension=-1
-    )
-    merged_idx = jnp.take_along_axis(flat_idx, merged_order, axis=-1)
-    return merged_vals[:, :k], merged_idx[:, :k]
+    return _merge_shard_winners_batch(vals, idx, k)
 
 
 class ShardedDenseIndex:
@@ -287,13 +298,7 @@ def _sharded_maxsim_find_kernel(
         out_specs=(P("idx"), P("idx")),
     )(x, counts, n_valid, q_tokens, q_count)
 
-    flat_vals = vals.reshape(-1)
-    flat_idx = idx.reshape(-1)
-    order = jnp.arange(flat_vals.shape[0], dtype=jnp.int32)
-    merged_vals, merged_order = jax.lax.sort(
-        (flat_vals, order), num_keys=1, is_stable=True
-    )
-    return merged_vals[:k], flat_idx[merged_order[:k]]
+    return _merge_shard_winners(vals, idx, k)
 
 
 @partial(jax.jit, static_argnames=("mesh", "k", "use_sort"))
@@ -330,17 +335,7 @@ def _sharded_maxsim_find_batch_kernel(
         out_specs=(P("idx"), P("idx")),
     )(x, counts, n_valid, q_tokens, q_counts)  # [n_shards, Q, k]
 
-    q = q_tokens.shape[0]
-    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)
-    flat_idx = idx.transpose(1, 0, 2).reshape(q, -1)
-    order = jnp.broadcast_to(
-        jnp.arange(flat_vals.shape[1], dtype=jnp.int32), flat_vals.shape
-    )
-    merged_vals, merged_order = jax.lax.sort(
-        (flat_vals, order), num_keys=1, is_stable=True, dimension=-1
-    )
-    merged_idx = jnp.take_along_axis(flat_idx, merged_order, axis=-1)
-    return merged_vals[:, :k], merged_idx[:, :k]
+    return _merge_shard_winners_batch(vals, idx, k)
 
 
 class ShardedLateInteractionIndex:
@@ -408,40 +403,33 @@ class ShardedLateInteractionIndex:
         return self.find_with_scores(query_tokens)[0]
 
     def find_batch(self, queries_tokens) -> list[list[SearchHit]]:
-        """Per-query hits for a list of [q_i, D] token arrays in one
-        sharded dispatch (each shard's corpus pass is shared across all
-        queries). Same semantics as the single-chip find_batch."""
+        """Per-query hits for a list of [q_i, D] token arrays in one (or
+        a few memory-bounded) sharded dispatches; each shard's corpus
+        pass is shared across its dispatch's queries. Same semantics as
+        the single-chip find_batch."""
         from dial_rag_tpu.index.late_interaction import (
-            finite_maxsim_hits,
-            pack_query_batch,
+            batched_maxsim_lookup,
         )
 
-        nq = len(queries_tokens)
-        if nq == 0 or self._x is None:
-            return [[] for _ in range(nq)]
-        q_tok, q_counts = pack_query_batch(queries_tokens, self.dim)
-        k = min(self.limit, self.n_rows)
-        vals, idx = _sharded_maxsim_find_batch_kernel(
-            self._x,
-            self._counts,
-            jnp.int32(self.n_rows),
-            jnp.asarray(q_tok),
-            jnp.asarray(q_counts),
-            mesh=self._mesh,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        return [
-            finite_maxsim_hits(self, vals[qi], idx[qi])[0]
-            if q_counts[qi]
-            else []
-            for qi in range(nq)
-        ]
+        def invoke(q_tok, q_counts, k, use_sort):
+            return _sharded_maxsim_find_batch_kernel(
+                self._x,
+                self._counts,
+                jnp.int32(self.n_rows),
+                jnp.asarray(q_tok),
+                jnp.asarray(q_counts),
+                mesh=self._mesh,
+                k=k,
+                use_sort=use_sort,
+            )
+
+        return batched_maxsim_lookup(self, queries_tokens, invoke)
 
     def find_with_scores(self, query_tokens: np.ndarray):
-        from dial_rag_tpu.index.late_interaction import _bucket_q
+        from dial_rag_tpu.index.late_interaction import (
+            _bucket_q,
+            finite_maxsim_hits,
+        )
 
         if self._x is None:
             return [], []
@@ -463,8 +451,6 @@ class ShardedLateInteractionIndex:
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        from dial_rag_tpu.index.late_interaction import finite_maxsim_hits
-
         return finite_maxsim_hits(self, vals, idx)
 
 
