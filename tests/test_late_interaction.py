@@ -359,3 +359,26 @@ def test_small_index_memory_is_bounded():
     np.testing.assert_allclose(
         scores, np.sort(ref)[::-1][:3], rtol=1e-6, atol=1e-5
     )
+
+
+def test_find_batch_splits_into_memory_bounded_groups():
+    """A batch whose (queries x token-bucket) lanes exceed _MAX_Q_LANES
+    must split into several dispatches and still match per-query finds."""
+    from dial_rag_tpu.index.late_interaction import _MAX_Q_LANES
+
+    rng = np.random.default_rng(11)
+    chunks = random_ragged(rng, 30)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=4
+    )
+    # 40 tokens -> qp bucket 64; 9 queries -> nq_pad 16; group = 2
+    queries = [
+        rng.standard_normal((40, 16)).astype(np.float32) for _ in range(9)
+    ]
+    assert 16 * 64 > _MAX_Q_LANES  # the premise: grouping must kick in
+    batched = index.find_batch(queries)
+    for q, hits in zip(queries, batched):
+        single = index.find(q)
+        assert [(h.doc_id, h.chunk_id) for h in hits] == [
+            (h.doc_id, h.chunk_id) for h in single
+        ]
