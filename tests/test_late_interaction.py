@@ -382,3 +382,51 @@ def test_find_batch_splits_into_memory_bounded_groups():
         assert [(h.doc_id, h.chunk_id) for h in hits] == [
             (h.doc_id, h.chunk_id) for h in single
         ]
+
+
+def test_maxsim_fuzz_vs_numpy():
+    """Property check across random shapes/dtypes of everything at once:
+    ragged chunks, empty chunks, multiple docs, truncation, odd query
+    lengths — scores and order must match the numpy reference."""
+    rng = np.random.default_rng(12)
+    for trial in range(15):
+        d = int(rng.choice([4, 8, 16, 24]))
+        t_cap = int(rng.integers(2, 12))
+        n_docs = int(rng.integers(1, 4))
+        docs = []
+        for _ in range(n_docs):
+            n = int(rng.integers(1, 25))
+            docs.append(
+                [
+                    rng.standard_normal(
+                        (int(rng.integers(0, 14)), d)
+                    ).astype(np.float32)
+                    for _ in range(n)
+                ]
+            )
+        q = rng.standard_normal((int(rng.integers(1, 9)), d)).astype(
+            np.float32
+        )
+        limit = int(rng.integers(1, 6))
+        index = LateInteractionIndex(
+            RetrievalType.TEXT, docs, max_chunk_tokens=t_cap, limit=limit
+        )
+        hits, scores = index.find_with_scores(q)
+        flat = [c for doc in docs for c in doc]
+        ref = numpy_maxsim([c[:t_cap] for c in flat], q)
+        finite = np.isfinite(ref)
+        order = [
+            i for i in np.argsort(-ref, kind="stable") if finite[i]
+        ][:limit]
+        row_of = {}
+        r = 0
+        for doc_id, doc in enumerate(docs):
+            for chunk_id in range(len(doc)):
+                row_of[r] = (doc_id, chunk_id)
+                r += 1
+        assert [(h.doc_id, h.chunk_id) for h in hits] == [
+            row_of[i] for i in order
+        ], trial
+        np.testing.assert_allclose(
+            scores, ref[order], rtol=1e-5, atol=1e-4, err_msg=str(trial)
+        )
