@@ -232,7 +232,12 @@ def pack_ragged_token_embeddings(
     x = np.zeros((n_pad, max_chunk_tokens, dim), dtype=np.float32)
     counts = np.zeros((n_pad,), dtype=np.int32)
     for i, arr in enumerate(per_chunk):
-        if arr.size:
+        # chunks whose embedding width disagrees with the index dim
+        # (e.g. records indexed under different encoder configs merged
+        # into one request) stay count-0 — never retrieved — mirroring
+        # pack_query_batch's malformed-query handling, instead of dying
+        # in a raw numpy broadcast error
+        if arr.size and arr.shape[1] == dim:
             x[i, : arr.shape[0]] = arr
             counts[i] = arr.shape[0]
     return (
@@ -398,8 +403,19 @@ class LateInteractionIndex:
         if self._x is None:
             return [], []
         q_tokens = np.asarray(query_tokens, dtype=np.float32)
-        if q_tokens.ndim != 2 or q_tokens.shape[0] == 0:
+        if (
+            q_tokens.ndim != 2
+            or q_tokens.shape[0] == 0
+            or q_tokens.shape[1] != self.dim
+        ):
+            # same sanitization as the batch path (pack_query_batch):
+            # malformed / wrong-dim queries yield no hits instead of an
+            # opaque jit shape error
             return [], []
+        # bound the [block, T, qp] sim transient like the batch path
+        # does via _MAX_Q_LANES: truncate over-long queries (the
+        # document side truncates to max_chunk_tokens the same way)
+        q_tokens = q_tokens[:_MAX_Q_LANES]
         q = q_tokens.shape[0]
         q_pad = _bucket_q(q)
         if q_pad != q:

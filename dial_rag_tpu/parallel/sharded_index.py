@@ -427,6 +427,7 @@ class ShardedLateInteractionIndex:
 
     def find_with_scores(self, query_tokens: np.ndarray):
         from dial_rag_tpu.index.late_interaction import (
+            _MAX_Q_LANES,
             _bucket_q,
             finite_maxsim_hits,
         )
@@ -434,8 +435,16 @@ class ShardedLateInteractionIndex:
         if self._x is None:
             return [], []
         q_tokens = np.asarray(query_tokens, dtype=np.float32)
-        if q_tokens.ndim != 2 or q_tokens.shape[0] == 0:
+        if (
+            q_tokens.ndim != 2
+            or q_tokens.shape[0] == 0
+            or q_tokens.shape[1] != self.dim
+        ):
+            # match the batch path's sanitization (pack_query_batch)
             return [], []
+        # bound the per-shard sim transient exactly like the single-chip
+        # path: truncate over-long queries to the lane cap
+        q_tokens = q_tokens[:_MAX_Q_LANES]
         q = q_tokens.shape[0]
         q_pad = _bucket_q(q)
         if q_pad != q:

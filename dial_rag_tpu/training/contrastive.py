@@ -89,7 +89,14 @@ def maxsim_scores_pairwise(q_tok, q_mask, p_tok, p_mask):
     )
     per_q = jnp.max(sims, axis=-1)  # [B, C, S]
     per_q = jnp.where(q_mask[:, None, :].astype(bool), per_q, 0.0)
-    return jnp.sum(per_q, axis=-1)
+    scores = jnp.sum(per_q, axis=-1)
+    # a passage with zero real tokens scores -inf against EVERY query,
+    # which turns the softmax row all -inf -> NaN loss. Unreachable with
+    # tokenizer-built batches (CLS/SEP are always present) but a silent
+    # NaN for hand-built ones: give such passages a large-but-finite
+    # floor instead so the loss stays defined
+    has_tokens = p_mask.sum(axis=-1) > 0  # [C]
+    return jnp.where(has_tokens[None, :], scores, -1e9)
 
 
 def contrastive_loss(

@@ -37,7 +37,11 @@ class TrainConfig:
     learning_rate: float = 2e-5
     warmup_steps: int = 100
     total_steps: int = 1000
-    temperature: float = 0.02
+    # InfoNCE temperature; None resolves per objective in __post_init__:
+    # 0.02 for cosine-calibrated CLS logits in [-1, 1], 1.0 for MaxSim
+    # logits (sums over ~query-length tokens, an order of magnitude
+    # larger — 0.02 there causes measured held-out collapse)
+    temperature: float | None = None
     checkpoint_every: int = 200
     seed: int = 0
     # rematerialize encoder layers in the backward: O(1)-layer
@@ -46,6 +50,16 @@ class TrainConfig:
     # "cls" = single-vector bge-style representation (semantic retriever);
     # "maxsim" = token-level late-interaction representation
     objective: str = "cls"
+
+    def __post_init__(self):
+        if self.objective not in ("cls", "maxsim"):
+            raise ValueError(f"unknown objective {self.objective!r}")
+        if self.temperature is None:
+            object.__setattr__(
+                self,
+                "temperature",
+                0.02 if self.objective == "cls" else 1.0,
+            )
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:

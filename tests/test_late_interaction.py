@@ -430,3 +430,51 @@ def test_maxsim_fuzz_vs_numpy():
         np.testing.assert_allclose(
             scores, ref[order], rtol=1e-5, atol=1e-4, err_msg=str(trial)
         )
+
+
+def test_single_query_sanitizes_wrong_dim():
+    """Single-query path agrees with the batch path on malformed input:
+    a wrong-dim query returns ([], []) instead of an opaque jit shape
+    error (advisor round-2 finding)."""
+    rng = np.random.default_rng(11)
+    chunks = random_ragged(rng, 5)
+    index = LateInteractionIndex(RetrievalType.TEXT, [chunks], limit=2)
+    bad = rng.standard_normal((3, 8)).astype(np.float32)  # dim 8 != 16
+    assert index.find_with_scores(bad) == ([], [])
+    assert index.find(bad) == []
+
+
+def test_single_query_lane_cap_truncates_long_queries():
+    """Queries beyond _MAX_Q_LANES tokens truncate (like the document
+    side truncates to max_chunk_tokens) instead of scaling the sim
+    transient without bound; results equal explicit truncation."""
+    from dial_rag_tpu.index.late_interaction import _MAX_Q_LANES
+
+    rng = np.random.default_rng(12)
+    chunks = random_ragged(rng, 6)
+    index = LateInteractionIndex(RetrievalType.TEXT, [chunks], limit=3)
+    long_q = rng.standard_normal((_MAX_Q_LANES + 37, 16)).astype(
+        np.float32
+    )
+    hits_long, scores_long = index.find_with_scores(long_q)
+    hits_cap, scores_cap = index.find_with_scores(long_q[:_MAX_Q_LANES])
+    assert [(h.doc_id, h.chunk_id) for h in hits_long] == [
+        (h.doc_id, h.chunk_id) for h in hits_cap
+    ]
+    np.testing.assert_allclose(scores_long, scores_cap)
+
+
+def test_mixed_width_chunks_are_skipped_not_fatal():
+    """Chunks whose embedding width disagrees with the index dim (e.g.
+    records from different encoder configs merged into one request) are
+    skipped (count 0, never retrieved) instead of raising a raw numpy
+    broadcast error at build."""
+    rng = np.random.default_rng(13)
+    wide = [rng.standard_normal((4, 16)).astype(np.float32)]
+    narrow = [rng.standard_normal((4, 8)).astype(np.float32)]
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [wide, narrow], limit=4
+    )
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    hits, _ = index.find_with_scores(q)
+    assert [(h.doc_id, h.chunk_id) for h in hits] == [(0, 0)]

@@ -298,3 +298,33 @@ def test_maxsim_training_reduces_loss(tokenizer):
     assert len(losses) == 12
     assert all(np.isfinite(losses))
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_train_config_temperature_resolves_per_objective():
+    """temperature=None (the default) resolves to the per-objective
+    calibration: 0.02 for cosine CLS logits, 1.0 for MaxSim logits
+    (0.02 there causes measured held-out collapse — advisor finding)."""
+    from dial_rag_tpu.training.loop import TrainConfig
+
+    assert TrainConfig().temperature == 0.02
+    assert TrainConfig(objective="maxsim").temperature == 1.0
+    assert TrainConfig(objective="maxsim", temperature=0.5).temperature == 0.5
+    with pytest.raises(ValueError):
+        TrainConfig(objective="colbert")
+
+
+def test_maxsim_pairwise_zero_token_passage_is_finite():
+    """A passage with zero real tokens must score a large-but-finite
+    floor, not -inf (which would NaN the loss_pq softmax row)."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.training.contrastive import maxsim_scores_pairwise
+
+    q_tok = jnp.ones((2, 3, 4))
+    q_mask = jnp.ones((2, 3), jnp.int32)
+    p_tok = jnp.ones((2, 3, 4))
+    p_mask = jnp.asarray([[1, 1, 0], [0, 0, 0]], jnp.int32)
+    scores = maxsim_scores_pairwise(q_tok, q_mask, p_tok, p_mask)
+    assert bool(jnp.all(jnp.isfinite(scores)))
+    # zero-token passage loses to any real passage for every query
+    assert bool(jnp.all(scores[:, 1] < scores[:, 0]))
