@@ -18,9 +18,7 @@ from dial_rag_tpu.documents.mime import (
 )
 from dial_rag_tpu.documents.pdf import extract_pages_text
 from dial_rag_tpu.text.chunker import Element
-
-_TITLE_SIZE_RATIO = 1.15
-_TITLE_MAX_LEN = 200
+from dial_rag_tpu.text.texttype import classify_text
 
 
 def pdf_elements(data: bytes) -> list[Element]:
@@ -29,23 +27,17 @@ def pdf_elements(data: bytes) -> list[Element]:
 
 def pdf_elements_from_pages(pages) -> list[Element]:
     """Elements from already-extracted PageText (lets the parser reuse
-    one PDF parse for both text elements and the page count)."""
-    sizes = [
-        b.font_size for p in pages for b in p.blocks if len(b.text) > 40
-    ] or [b.font_size for p in pages for b in p.blocks]
-    body_size = statistics.median(sizes) if sizes else 0.0
+    one PDF parse for both text elements and the page count). Title
+    detection follows the reference's text-type heuristics (see
+    text/texttype.py), NOT font size — the chunker starts a chunk at
+    every Title, so this is part of the exact-chunk contract."""
     elements = []
     for page in pages:
         for block in page.blocks:
-            is_title = (
-                body_size > 0
-                and block.font_size >= body_size * _TITLE_SIZE_RATIO
-                and len(block.text) <= _TITLE_MAX_LEN
-            )
             elements.append(
                 Element(
                     text=block.text,
-                    is_title=is_title,
+                    is_title=classify_text(block.text) == "title",
                     page_number=page.page_number,
                     metadata={"filetype": MIME_PDF},
                 )

@@ -158,6 +158,20 @@ class PdfFont:
         self.encoding_map: dict[int, str] = {}
         self.widths: dict[int, float] = {}
         self.default_width = 500.0
+        # glyph-space descent (negative, /1000): char bbox bottom =
+        # baseline + descent * size, matching pdfminer's LTChar bbox
+        # convention the layout analysis tolerances are calibrated to
+        self.descent = 0.0
+        desc = rv(font_dict.get("FontDescriptor"))
+        if not isinstance(desc, dict):
+            df = rv(font_dict.get("DescendantFonts")) or []
+            cid = rv(df[0]) if df else None
+            if isinstance(cid, dict):
+                desc = rv(cid.get("FontDescriptor"))
+        if isinstance(desc, dict):
+            d = rv(desc.get("Descent"))
+            if isinstance(d, (int, float)):
+                self.descent = float(d) / 1000.0
 
         tu = rv(font_dict.get("ToUnicode"))
         if isinstance(tu, Stream):

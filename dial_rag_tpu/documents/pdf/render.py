@@ -22,7 +22,11 @@ from PIL import Image, ImageDraw, ImageFont
 from dial_rag_tpu.documents.pdf.document import PdfDocument
 from dial_rag_tpu.documents.pdf.filters import decode_stream
 from dial_rag_tpu.documents.pdf.objects import Name, PdfError, Stream
-from dial_rag_tpu.documents.pdf.text import TextExtractor, _assemble_lines
+from dial_rag_tpu.documents.pdf.layout import (
+    LayoutParams,
+    group_chars_to_lines,
+)
+from dial_rag_tpu.documents.pdf.text import TextExtractor
 
 DEFAULT_SCALE = 2.0  # ~144 dpi
 
@@ -106,18 +110,17 @@ def render_page(
         canvas.paste(resized, (x0, y0))
 
     draw = ImageDraw.Draw(canvas)
-    for line in _assemble_lines(glyphs):
-        text = line.render()
+    for line in group_chars_to_lines(glyphs, LayoutParams()):
+        text = line.text.strip()
         if not text:
             continue
-        size_px = max(int(line.size * scale * 0.9), 4)
+        size_px = max(int(line.height * scale * 0.9), 4)
         try:
             font = ImageFont.load_default(size=size_px)
         except TypeError:  # very old PIL fallback
             font = ImageFont.load_default()
-        first = min(line.glyphs, key=lambda g: g.x)
-        x = (first.x - mb[0]) * scale
-        y = (page_h - (line.y - mb[1])) * scale - size_px
+        x = (line.x0 - mb[0]) * scale
+        y = (page_h - (line.y1 - mb[1])) * scale
         draw.text((x, y), text, fill="black", font=font)
 
     return canvas

@@ -2,16 +2,19 @@
 
 Interprets the text operators of ISO 32000 (BT/ET, Tf, Td/TD/Tm/T*,
 Tc/Tw/Tz/TL/Ts, Tj/TJ/'/") with full text-space -> device-space transforms
-(Tm x CTM), decodes bytes through the font layer, and assembles glyph runs
-into lines and blocks ordered top-to-bottom, left-to-right. Block font
-sizes drive the by-title chunker's heading detection."""
+(Tm x CTM), decodes bytes through the font layer, and assembles the
+content-ordered chars into lines/boxes/reading-order with the
+pdfminer-compatible analysis in layout.py (the reference's segmentation
+goldens depend on that exact grouping — see layout.py docstring)."""
 
 import logging
 import math
+import re
 from dataclasses import dataclass, field
 
 from dial_rag_tpu.documents.pdf.document import PdfDocument
 from dial_rag_tpu.documents.pdf.fonts import PdfFont
+from dial_rag_tpu.documents.pdf.layout import LayoutParams, analyze_page
 from dial_rag_tpu.documents.pdf.objects import Lexer, Name, PdfError, Stream
 
 logger = logging.getLogger(__name__)
@@ -39,64 +42,38 @@ def apply_mat(m: Matrix, x: float, y: float) -> tuple[float, float]:
 
 @dataclass
 class Glyph:
+    """A positioned char in device space; bbox matches pdfminer's LTChar
+    convention (y0 = baseline + descent x size, height = font size)."""
+
     text: str
-    x: float  # device space
-    y: float
-    width: float  # device-space advance
-    size: float  # effective device font size
-
-
-@dataclass
-class TextLine:
-    glyphs: list[Glyph] = field(default_factory=list)
-    # running aggregates so line assembly stays O(glyphs·lines) with O(1)
-    # comparisons instead of re-summing every glyph per comparison
-    _y_sum: float = 0.0
-    _size_max: float = 0.0
-
-    def __post_init__(self):
-        for g in self.glyphs:
-            self._y_sum += g.y
-            self._size_max = max(self._size_max, g.size)
-
-    def add(self, g: Glyph) -> None:
-        self.glyphs.append(g)
-        self._y_sum += g.y
-        self._size_max = max(self._size_max, g.size)
+    x0: float
+    y0: float
+    x1: float
+    y1: float
 
     @property
-    def y(self) -> float:
-        return self._y_sum / len(self.glyphs)
+    def width(self) -> float:
+        return self.x1 - self.x0
 
     @property
-    def size(self) -> float:
-        return self._size_max
+    def height(self) -> float:
+        return self.y1 - self.y0
 
-    def render(self) -> str:
-        """Glyphs -> string with heuristic space insertion."""
-        glyphs = sorted(self.glyphs, key=lambda g: g.x)
-        out: list[str] = []
-        prev_end: float | None = None
-        for g in glyphs:
-            if not g.text:
-                # space/unmapped glyph: its advance already moved the next
-                # visible glyph's x, so the gap shows up naturally
-                continue
-            if prev_end is not None:
-                gap = g.x - prev_end
-                threshold = max(g.size * 0.22, 0.9)
-                if gap > threshold and out and out[-1] != " ":
-                    out.append(" ")
-            out.append(g.text)
-            prev_end = g.x + g.width
-        return "".join(out).strip()
+
+def clean_block_text(raw: str) -> str:
+    """Newlines/nbsp -> spaces, collapse space runs, strip — the
+    cleaning the reference applies to each extracted element
+    (unstructured clean_extra_whitespace semantics, evidenced by the
+    recorded element texts in the reference's cached traffic)."""
+    return re.sub(r"  +", " ", re.sub(r"[\xa0\n]", " ", raw)).strip()
 
 
 @dataclass
 class TextBlock:
-    text: str
-    font_size: float
-    y: float  # top coordinate in reading order (larger = higher on page)
+    text: str  # cleaned single-line text
+    raw: str  # multi-line text as extracted (one trailing \n per line)
+    font_size: float  # max char height in the block
+    y: float  # top coordinate (larger = higher on page)
     x: float
 
 
@@ -170,15 +147,21 @@ class TextExtractor:
                 adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * h
                 # device-space glyph origin
                 gx, gy = trm[4], trm[5]
-                dev_size = math.hypot(trm[2], trm[3]) or tfs
-                if ch and ch != " ":
+                dev_size = math.hypot(trm[2], trm[3]) or abs(tfs) or 1.0
+                if not ch and is_space:
+                    ch = " "
+                if ch:
+                    # bbox per pdfminer's LTChar: advance wide, one font
+                    # size tall, bottom at baseline + descent
+                    gy0 = gy + font.descent * dev_size
                     self.glyphs.append(
-                        Glyph(text=ch, x=gx, y=gy, width=w0 * scale, size=dev_size)
-                    )
-                elif ch == " " or is_space:
-                    # record spaces as empty glyph for gap accounting
-                    self.glyphs.append(
-                        Glyph(text="", x=gx, y=gy, width=w0 * scale, size=dev_size)
+                        Glyph(
+                            text=ch,
+                            x0=gx,
+                            y0=gy0,
+                            x1=gx + w0 * scale,
+                            y1=gy0 + dev_size,
+                        )
                     )
                 tm = mat_mul((1, 0, 0, 1, adv, 0), tm)
 
@@ -314,69 +297,25 @@ class TextExtractor:
         self._run(content, inner_resources, inner_ctm, depth + 1)
 
 
-def _assemble_lines(glyphs: list[Glyph]) -> list[TextLine]:
-    """Group glyphs into baseline lines (y within half the font size).
-
-    Glyphs arrive sorted by descending y, so the matching line is almost
-    always the most recently touched one — check it first, then fall back
-    to the full scan for out-of-order layouts."""
-    lines: list[TextLine] = []
-    last: TextLine | None = None
-    for g in sorted(glyphs, key=lambda g: (-g.y, g.x)):
-        if last is not None and abs(last.y - g.y) <= (
-            max(last.size, g.size) * 0.5
-        ):
-            last.add(g)
+def blocks_from_glyphs(
+    glyphs: list[Glyph], params: LayoutParams | None = None
+) -> list[TextBlock]:
+    """Content-ordered glyphs -> reading-ordered text blocks via the
+    pdfminer-compatible layout analysis."""
+    blocks = []
+    for box in analyze_page(glyphs, params):
+        cleaned = clean_block_text(box.text)
+        if not cleaned:
             continue
-        placed = False
-        for line in lines:
-            tol = max(line.size, g.size) * 0.5
-            if abs(line.y - g.y) <= tol:
-                line.add(g)
-                last = line
-                placed = True
-                break
-        if not placed:
-            last = TextLine(glyphs=[g])
-            lines.append(last)
-    lines.sort(key=lambda ln: -ln.y)
-    return lines
-
-
-def _assemble_blocks(lines: list[TextLine]) -> list[TextBlock]:
-    """Merge adjacent lines into blocks; split on large vertical gaps or
-    font size changes (the heading boundary signal)."""
-    blocks: list[TextBlock] = []
-    current: list[TextLine] = []
-
-    def flush():
-        if not current:
-            return
-        text = " ".join(ln.render() for ln in current).strip()
-        if text:
-            blocks.append(
-                TextBlock(
-                    text=text,
-                    font_size=max(ln.size for ln in current),
-                    y=current[0].y,
-                    x=min(g.x for ln in current for g in ln.glyphs),
-                )
+        blocks.append(
+            TextBlock(
+                text=cleaned,
+                raw=box.text,
+                font_size=box.max_char_height,
+                y=box.y1,
+                x=box.x0,
             )
-        current.clear()
-
-    prev: TextLine | None = None
-    for line in lines:
-        if not line.render():
-            continue
-        if prev is not None:
-            gap = prev.y - line.y
-            max_leading = max(prev.size, line.size) * 1.7
-            size_changed = abs(prev.size - line.size) > 0.5 + 0.08 * prev.size
-            if gap > max_leading or size_changed:
-                flush()
-        current.append(line)
-        prev = line
-    flush()
+        )
     return blocks
 
 
@@ -387,7 +326,7 @@ def extract_pages_text(data: bytes) -> list[PageText]:
     for i, page in enumerate(doc.pages(), start=1):
         try:
             glyphs = TextExtractor(doc, page).extract()
-            blocks = _assemble_blocks(_assemble_lines(glyphs))
+            blocks = blocks_from_glyphs(glyphs)
         except PdfError:
             blocks = []
         pages.append(PageText(page_number=i, blocks=blocks))

@@ -1,17 +1,31 @@
-"""Retrieval-quality goldens on the reference's REAL corpus.
+"""Retrieval-quality and chunk-parity goldens on the reference's REAL
+corpora.
 
-The reference's quality surface is real-document goldens over
-alps_wiki.pdf (reference tests/test_retrievers.py:63-104: 177 chunks,
-BM25 "Colle di Cadibona" -> a page-3 chunk, semantic "climate" -> a
-page-10 chunk) plus the parquet ground-truth eval
-(reference eval/eval_retriever.py:109-146). These tests run the same
-data — used strictly as *data*, mounted read-only — through the
-first-party parse -> chunk -> BM25 pipeline and pin both the
-reference's behavioral contracts and this pipeline's own measured
-quality as regression floors.
+Two distinct alps PDFs exist in the reference (different files!):
+
+- ``tests/data/alps_wiki.pdf`` (26 pages) — the PARITY corpus. The
+  reference's exact-chunk goldens live here (reference
+  tests/test_retrievers.py:63,82-104: 177 chunks, BM25 "Colle di
+  Cadibona" -> chunk 31 page 3, semantic "climate" -> chunk 103 page
+  10), and its cached e2e traffic records full chunk texts
+  (mined into tests/data/alps_oracle_chunks.json by
+  tools/mine_oracle_chunks.py). The first-party segmentation
+  (documents/pdf/layout.py + text/texttype.py) was fitted against
+  those recordings.
+- ``eval/data/alps_wiki.pdf`` (25 pages) — the QUALITY corpus, paired
+  with the ground-truth parquet (reference eval/eval_retriever.py).
+
+Current parity state (pinned below): 174 chunks vs the reference's
+177, the Cadibona golden lands on the reference's exact chunk id 31 /
+page 3, the Climate chunk text is byte-identical (id 101 vs the
+reference's 103), and 20 of the 22 recorded oracle chunks match
+byte-for-byte. The residual divergences are documented in
+docs/chunking_parity.md.
 """
 
 import asyncio
+import json
+from pathlib import Path
 
 import pytest
 
@@ -24,10 +38,17 @@ from eval.eval_alps import (
     score,
 )
 
+TESTS_ALPS_PDF = Path("/root/reference/tests/data/alps_wiki.pdf")
+ORACLE_FIXTURE = Path(__file__).parent / "data" / "alps_oracle_chunks.json"
+
 pytestmark = pytest.mark.skipif(
     not alps_data_available(),
     reason="reference alps corpus not mounted",
 )
+
+
+# ---------------------------------------------------------------- quality
+# (eval/data corpus + ground-truth parquet)
 
 
 @pytest.fixture(scope="module")
@@ -39,46 +60,43 @@ def alps():
 
 
 def test_chunk_count_pinned(alps):
-    """102 chunks from the first-party parser+chunker. The reference's
-    unstructured-based pipeline makes 177 (test_retrievers.py:63): the
-    by-title chunker packs up to 1000 chars per chunk, so chunks are
-    ~2x larger; recall is scored on fact containment, so the count
-    difference does not distort the quality comparison."""
+    """Regression pin for the eval corpus under the reference-parity
+    segmentation (small unstructured-style elements, not the round-2
+    102 coarse chunks)."""
     _, _, chunks, _ = alps
-    assert len(chunks) == 102
+    assert len(chunks) == 170
     pages = {c.page_number for c in chunks}
     assert min(pages) == 1 and max(pages) == 25
 
 
 def test_every_ground_truth_fact_survives_parsing(alps):
-    """All 39 questions must map to at least one chunk containing their
-    fact — proves the parser+chunker preserve the ground-truth text."""
+    """39 questions; at most one fact may fail to map to a single chunk
+    (at reference-parity granularity one multi-sentence fact straddles
+    a chunk boundary, so no single chunk covers >=80% of its trigrams —
+    the text itself is fully preserved, as the union coverage shows)."""
     _, rows, chunks, _ = alps
     truth = fact_relevance(chunks, rows)
     assert len(truth) == 39
-    assert sum(1 for t in truth if not t) == 0
+    unmapped = [i for i, t in enumerate(truth) if not t]
+    assert len(unmapped) <= 1
+    # the straddled fact is still fully present in the concatenated text
+    import re
 
-
-def test_bm25_cadibona_golden(alps):
-    """Reference contract: BM25 'Colle di Cadibona' retrieves a page-3
-    chunk (reference tests/test_retrievers.py:82-88 pins chunk 31 page
-    3 for its chunker; ours is chunk 12 — the page is the contract, the
-    chunk id is this pipeline's own frozen regression golden)."""
-    from dial_rag_tpu.retrieval import Bm25Retriever
-
-    _, _, chunks, record = alps
-    retriever = Bm25Retriever.from_doc_records([record], k=7)
-    hits = asyncio.run(retriever.aretrieve("Colle di Cadibona"))
-    top = hits[0]
-    assert top.chunk_id == 12
-    assert chunks[top.chunk_id].page_number == 3
-    assert "Cadibona" in chunks[top.chunk_id].text
+    all_text = " ".join(c.text for c in chunks)
+    all_tokens = set(re.findall(r"[a-z0-9]+", all_text.lower()))
+    for i in unmapped:
+        for fact in rows[i]["facts"]:
+            fact_tokens = re.findall(r"[a-z0-9]+", fact.lower())
+            covered = sum(1 for t in fact_tokens if t in all_tokens)
+            assert covered / max(len(fact_tokens), 1) >= 0.9
 
 
 def test_bm25_quality_floors(alps):
-    """Measured round-2 quality on the real corpus, frozen as floors:
-    recall@1 0.872, recall@7 0.974, MRR 0.909 (the single @7 miss is a
-    ground-truth typo: 'climber' for 'climbed')."""
+    """Measured quality on the real corpus at reference-parity chunk
+    granularity, frozen as floors: recall@1 0.821, recall@7 0.949,
+    MRR 0.858 (finer chunks score lower than round 2's 102 coarse
+    chunks — this is the apples-to-apples granularity the reference
+    itself serves)."""
     from dial_rag_tpu.retrieval import Bm25Retriever
 
     _, rows, chunks, record = alps
@@ -88,9 +106,89 @@ def test_bm25_quality_floors(alps):
         asyncio.run(retriever.aretrieve(r["question"])) for r in rows
     ]
     m = score(all_hits, truth, chunks)
-    assert m["recall@1"] >= 0.85
-    assert m["recall@7"] >= 0.97
-    assert m["mrr"] >= 0.90
+    assert m["recall@1"] >= 0.82
+    assert m["recall@7"] >= 0.94
+    assert m["mrr"] >= 0.85
+
+
+# ---------------------------------------------------------------- parity
+# (tests/data corpus: the reference's exact-chunk goldens)
+
+
+@pytest.fixture(scope="module")
+def parity_chunks():
+    from dial_rag_tpu.documents.parser import parse_document
+
+    pdf_bytes = TESTS_ALPS_PDF.read_bytes()
+    return pdf_bytes, parse_document(
+        pdf_bytes,
+        "application/pdf",
+        source_link="alps_wiki.pdf",
+        display_name="alps_wiki.pdf",
+    )
+
+
+def test_parity_chunk_count(parity_chunks):
+    """174 chunks vs the reference's 177 (reference
+    tests/test_retrievers.py:63). The three residual boundaries are
+    sub-threshold layout-geometry noise (docs/chunking_parity.md);
+    this pin moves only toward 177."""
+    _, chunks = parity_chunks
+    assert len(chunks) == 174
+    pages = {c.page_number for c in chunks}
+    assert min(pages) == 1 and max(pages) == 26
+
+
+def test_parity_bm25_cadibona_exact_reference_golden(parity_chunks):
+    """THE reference golden, exact: BM25 'Colle di Cadibona' retrieves
+    chunk id 31 on page 3 (reference tests/test_retrievers.py:82-88)."""
+    from dial_rag_tpu.retrieval import Bm25Retriever
+
+    pdf_bytes, chunks = parity_chunks
+    record = asyncio.run(build_record(pdf_bytes, chunks))
+    retriever = Bm25Retriever.from_doc_records([record], k=7)
+    hits = asyncio.run(retriever.aretrieve("Colle di Cadibona"))
+    top = hits[0]
+    assert top.chunk_id == 31
+    assert chunks[31].page_number == 3
+    assert "Colle di Cadibona" in chunks[31].text
+
+
+def test_parity_climate_chunk_text_exact(parity_chunks):
+    """The reference's semantic golden pins chunk 103 page 10 with an
+    exact text prefix (reference tests/test_retrievers.py:90-104);
+    this pipeline produces that chunk byte-identically at id 101."""
+    _, chunks = parity_chunks
+    matches = [
+        (i, c)
+        for i, c in enumerate(chunks)
+        if c.text.startswith(
+            "Climate\n\n"
+            "The Alps are a classic example of what happens when a "
+            "temperate area at lower altitude gives way to "
+            "higher-elevation terrain."
+        )
+    ]
+    assert len(matches) == 1
+    i, c = matches[0]
+    assert i == 101  # reference: 103; see docs/chunking_parity.md
+    assert c.page_number == 10
+
+
+def test_parity_recorded_oracle_chunks(parity_chunks):
+    """Chunk texts recorded in the reference's own cached traffic must
+    reproduce byte-for-byte. 20 of 22 match; the two exceptions are
+    pinned divergences (docs/chunking_parity.md): the page-1 infobox
+    country fragments and one page-17 split-line ordering the
+    reference itself garbles."""
+    _, chunks = parity_chunks
+    oracle = json.load(open(ORACLE_FIXTURE))
+    mine = {c.text for c in chunks}
+    missed = [o for o in oracle if o["text"] not in mine]
+    assert len(oracle) == 22
+    assert len(missed) == 2, [o["text"][:60] for o in missed]
+    missed_pages = sorted(o["page"] for o in missed)
+    assert missed_pages == [1, 17]
 
 
 @pytest.mark.skipif(

