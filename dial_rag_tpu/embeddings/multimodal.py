@@ -54,6 +54,17 @@ class MultimodalEmbeddingsClient:
                 # computed wall-clock timeout (reference MAX_RETRIES=1e9)
                 attempt += 1
                 if attempt > self.max_retries:
+                    status = getattr(e, "status", None)
+                    if status == 429:
+                        # a rate-limit storm must collapse to a single
+                        # 429, not an opaque 500 (reference
+                        # errors.py:84-106 unwraps RateLimitError the
+                        # same way)
+                        from dial_rag_tpu.errors import RateLimitError
+
+                        raise RateLimitError(
+                            f"Rate limit exceeded for {self.model}"
+                        ) from e
                     raise
                 logger.warning(f"multimodal embedding retry {attempt}: {e}")
                 await asyncio.sleep(min(2.0 * attempt, 30.0))

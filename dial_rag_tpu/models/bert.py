@@ -180,6 +180,56 @@ def load_hf_weights(state_dict: dict, config: BertConfig) -> dict:
     return params
 
 
+def export_hf_state(
+    params: dict, config: BertConfig, dtype=np.float32
+) -> dict:
+    """Inverse of :func:`load_hf_weights`: our pytree -> an HF
+    ``BertModel`` state dict (numpy, torch [out, in] Linear layout) so
+    first-party trained checkpoints round-trip through the same
+    ``from_hf_checkpoint`` loader real bge artifacts use."""
+
+    def arr(x):
+        return np.asarray(x, dtype=dtype)
+
+    def dense(prefix, p):
+        return {
+            prefix + ".weight": arr(p["kernel"]).T,
+            prefix + ".bias": arr(p["bias"]),
+        }
+
+    def lnorm(prefix, p):
+        return {
+            prefix + ".weight": arr(p["scale"]),
+            prefix + ".bias": arr(p["bias"]),
+        }
+
+    emb = params["embeddings"]
+    state = {
+        "embeddings.word_embeddings.weight": arr(emb["word"]),
+        "embeddings.position_embeddings.weight": arr(emb["position"]),
+        "embeddings.token_type_embeddings.weight": arr(emb["token_type"]),
+        **lnorm("embeddings.LayerNorm", emb["layernorm"]),
+    }
+    h = config.hidden_size
+    for i, layer in enumerate(params["layers"]):
+        p = f"encoder.layer.{i}."
+        qkv_k = np.asarray(layer["qkv"]["kernel"])  # [in, 3h]
+        qkv_b = np.asarray(layer["qkv"]["bias"])
+        for j, name in enumerate(("query", "key", "value")):
+            state[p + f"attention.self.{name}.weight"] = arr(
+                qkv_k[:, j * h : (j + 1) * h]
+            ).T
+            state[p + f"attention.self.{name}.bias"] = arr(
+                qkv_b[j * h : (j + 1) * h]
+            )
+        state.update(dense(p + "attention.output.dense", layer["attn_out"]))
+        state.update(lnorm(p + "attention.output.LayerNorm", layer["attn_ln"]))
+        state.update(dense(p + "intermediate.dense", layer["ffn_in"]))
+        state.update(dense(p + "output.dense", layer["ffn_out"]))
+        state.update(lnorm(p + "output.LayerNorm", layer["ffn_ln"]))
+    return state
+
+
 def _layernorm(x, scale, bias):
     # LayerNorm in f32 regardless of compute dtype (bf16 LN loses parity)
     xf = x.astype(jnp.float32)

@@ -80,3 +80,38 @@ def jsonl_pairs(
         order = rng.permutation(len(buffer))
         for j in order:
             yield buffer[int(j)]
+
+
+def positive_disjoint_stream(
+    pairs: list[tuple[str, str]],
+    batch_size: int,
+    n_batches: int,
+    seed: int = 0,
+) -> list[tuple[str, str]]:
+    """Arrange (query, positive) pairs into a stream whose consecutive
+    ``batch_size`` slices draw from DISTINCT positives.
+
+    In-batch-negatives InfoNCE is poisoned by duplicate positives in a
+    batch: for query i, a second pair j with the same passage makes
+    logits[i, j] == logits[i, i], so the loss scores a copy of the
+    positive as a negative (measured held-out collapse). ICT pairs
+    share positives heavily (many sentences per chunk), so batches are
+    built positive-disjoint; queries rotate per positive."""
+    rng = np.random.default_rng(seed)
+    unique_pos = sorted({p for _, p in pairs})
+    if len(unique_pos) < 2:
+        raise ValueError("contrastive training needs >= 2 distinct positives")
+    batch_size = min(batch_size, len(unique_pos))
+    by_pos: dict[str, list[str]] = {p: [] for p in unique_pos}
+    for q, p in pairs:
+        by_pos[p].append(q)
+    cursors = {p: 0 for p in unique_pos}
+    stream: list[tuple[str, str]] = []
+    while len(stream) < n_batches * batch_size:
+        chosen = rng.choice(len(unique_pos), size=batch_size, replace=False)
+        for ci in chosen:
+            p = unique_pos[int(ci)]
+            qs = by_pos[p]
+            stream.append((qs[cursors[p] % len(qs)], p))
+            cursors[p] += 1
+    return stream[: n_batches * batch_size]

@@ -827,3 +827,47 @@ async def test_late_interaction_index_e2e(harness):
         assert any("Load indexes" in n for n in stages2)
         assert any("Late interaction search" in n for n in stages2)
         assert not any("Processing document" in n for n in stages2)
+
+
+async def test_rate_limit_storm_collapses_to_single_429(harness, monkeypatch):
+    """A 429 storm on the remote embeddings model during a multimodal
+    build must collapse the per-page ExceptionGroup into ONE 429
+    response (the reference contract, errors.py:84-106) — not a 500 and
+    not one error per page. Exercises _iter_leaf_exceptions +
+    create_document_loading_exception on a real storm, end to end."""
+    import dial_rag_tpu.retrieval.multimodal as mm
+
+    # the storm is permanent; retrying would only run into the map's
+    # wall-clock timeout, so let the first failure per page surface
+    monkeypatch.setattr(mm, "MAX_RETRIES", 0)
+    async with harness() as h:
+        h.fake.embeddings_status = 429
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "cadibona boundary", url="files/user-bucket/big.pdf"
+                    )
+                ],
+                "custom_fields": {
+                    "configuration": {
+                        "request": {"type": "retrieval"},
+                        "indexing": {
+                            "multimodal_index": {
+                                "embeddings_model": "mm-embed"
+                            },
+                            "description_index": None,
+                        },
+                    }
+                },
+            }
+        )
+        assert resp.status == 429
+        body = await resp.json()
+        message = json.dumps(body)
+        assert "Rate limit exceeded for mm-embed" in message

@@ -72,3 +72,47 @@ async def test_get_passthrough(tmp_path):
             assert resp.status in (200, 404)
     await proxy.stop()
     await fake.stop()
+
+
+async def test_record_traffic_tool_records_through_proxy(tmp_path):
+    """The one-command recording entry point (tools/record_traffic.py)
+    wires the proxy in record mode: a POST through it reaches the fake
+    upstream once and lands as an md5-keyed fixture (the reference's
+    REFRESH=True flow, cache_middleware.py:181-196)."""
+    import aiohttp
+    from aiohttp import web
+
+    hits = []
+
+    async def upstream_handler(request):
+        hits.append(await request.read())
+        return web.json_response({"ok": True, "n": len(hits)})
+
+    upstream = web.Application()
+    upstream.router.add_post("/{p:.*}", upstream_handler)
+    runner = web.AppRunner(upstream)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    up_port = site._server.sockets[0].getsockname()[1]
+
+    from tests.utils.record_replay import RecordReplayProxy
+
+    proxy = RecordReplayProxy(
+        f"http://127.0.0.1:{up_port}", str(tmp_path), record=True
+    )
+    url = await proxy.start(port=0)
+    try:
+        async with aiohttp.ClientSession() as session:
+            for _ in range(2):  # second call must replay, not re-record
+                async with session.post(
+                    f"{url}/openai/deployments/m/chat/completions",
+                    json={"messages": []},
+                ) as resp:
+                    body = await resp.json()
+                    assert body["ok"] is True and body["n"] == 1
+    finally:
+        await proxy.stop()
+        await runner.cleanup()
+    assert len(hits) == 1
+    assert len(list(tmp_path.glob("*.response"))) == 1

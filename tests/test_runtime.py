@@ -404,3 +404,63 @@ async def test_cancelled_waiters_leave_the_queue():
     counter.release(6)
     await asyncio.wait_for(head, timeout=1.0)
     assert counter.available == 2
+
+
+async def test_sampling_profiler_builds_wall_clock_tree():
+    """The profiler stage attachment must be a timeline-shaped call
+    tree with per-node wall/self times (the reference attaches a
+    pyinstrument tree — utils.py:50-68), not just a flat table."""
+    import time
+
+    from dial_rag_tpu.utils.sampling_profiler import SamplingProfiler
+
+    def inner_spin():
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < 0.12:
+            sum(range(200))
+
+    def outer_work():
+        inner_spin()
+
+    p = SamplingProfiler(interval=0.002)
+    p.start()
+    outer_work()
+    p.stop()
+    text = p.render(min_fraction=0.02)
+    assert "wall-clock call tree" in text
+    assert "outer_work" in text and "inner_spin" in text
+    # tree shape: inner is indented deeper than outer
+    outer_line = next(l for l in text.splitlines() if "outer_work" in l)
+    inner_line = next(l for l in text.splitlines() if "inner_spin" in l)
+    indent = lambda l: len(l) - len(l.lstrip())
+    assert indent(inner_line) > indent(outer_line)
+    # the spin leaf accumulates self time
+    assert "self" in inner_line or "self" in text
+
+
+async def test_profiler_stage_attaches_tree_and_table():
+    from dial_rag_tpu.service.profiler import profiler_if_enabled
+    from dial_rag_tpu.service.protocol import Choice
+
+    choice = Choice(0)
+    async with profiler_if_enabled(choice, True):
+        import time
+
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < 0.05:
+            sum(range(100))
+    choice.close()
+    attachments = []
+    while not choice._queue.empty():
+        delta = choice._queue.get_nowait()
+        if delta:
+            for stage in (delta.get("custom_content") or {}).get(
+                "stages", []
+            ):
+                attachments += stage.get("attachments", [])
+    titles = [a.get("title") for a in attachments]
+    assert "Profile-tree.txt" in titles and "Profiler.txt" in titles
+    tree = next(
+        a["data"] for a in attachments if a["title"] == "Profile-tree.txt"
+    )
+    assert "wall-clock call tree" in tree

@@ -20,6 +20,9 @@ class FakeDialCore:
         self.llm_responses: list = ["I don't know."]
         self.llm_requests: list[dict] = []
         self.embedding_dim = 16
+        # set to an HTTP status (e.g. 429) to make every embeddings
+        # call fail with it — simulates a rate-limit storm
+        self.embeddings_status: int | None = None
         self.runner = None
         self.port = None
 
@@ -160,6 +163,11 @@ class FakeDialCore:
         )
 
     async def embeddings(self, request):
+        if self.embeddings_status is not None:
+            return web.json_response(
+                {"error": {"message": "rate limited", "code": "429"}},
+                status=self.embeddings_status,
+            )
         body = await request.json()
         inputs = list(body.get("input") or [])
         inputs += [c["data"] for c in body.get("custom_input", [])]

@@ -108,10 +108,10 @@ class RecordReplayProxy:
         app.router.add_get("/{path:.*}", self._proxy_get)
         return app
 
-    async def start(self) -> str:
+    async def start(self, port: int = 0) -> str:
         self.runner = web.AppRunner(self.build_app())
         await self.runner.setup()
-        site = web.TCPSite(self.runner, "127.0.0.1", 0)
+        site = web.TCPSite(self.runner, "127.0.0.1", port)
         await site.start()
         self.port = site._server.sockets[0].getsockname()[1]
         return f"http://127.0.0.1:{self.port}"

