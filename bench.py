@@ -219,6 +219,171 @@ def bench_encoder_mfu(params, config, reps=3, n_batches=64, s=256):
     return mfu, tokens / best
 
 
+def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
+    """Dense top-k at corpus scale (1M x 384), f32 and bf16 storage —
+    the north-star '2 ms' row measured where it is actually stressed
+    (round 2 evidenced it only at 100k rows). Same single-dispatch
+    lax.scan pattern as bench_query_device_time; the bf16 variant
+    stores the matrix half-size and upcasts at the registers exactly
+    like DenseIndex(storage_dtype='bfloat16') does."""
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
+    from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
+
+    out = {}
+    for storage in ("float32", "bfloat16"):
+
+        @jax.jit
+        def gen(seed):
+            kq, ke = jax.random.split(jax.random.PRNGKey(seed))
+            emb = jax.random.normal(ke, (n_rows, d), jnp.float32).astype(
+                jnp.dtype(storage)
+            )
+            queries = jax.random.normal(kq, (m, d), jnp.float32)
+            return emb, queries
+
+        @jax.jit
+        def scan_find(emb, queries):
+            def step(carry, q):
+                dists = pairwise_distances(
+                    q, emb, Metric.SQEUCLIDEAN_DIST
+                )
+                vals, idx = stable_topk_argmin(dists, k)
+                return (
+                    carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)),
+                    None,
+                )
+
+            return jax.lax.scan(step, jnp.float32(0), queries)[0]
+
+        best = float("inf")
+        for rep in range(reps + 1):
+            emb, queries = jax.block_until_ready(gen(rep))
+            t0 = time.perf_counter()
+            float(scan_find(emb, queries))
+            if rep > 0:
+                best = min(best, time.perf_counter() - t0)
+        out[storage] = best / m * 1e3
+    return out["float32"], out["bfloat16"]
+
+
+def _bm25_corpus(rng, n_items, vocab_size, tokens_per_item=12):
+    """Synthetic tokenized corpus with a Zipf-ish term distribution."""
+    ranks = np.arange(1, vocab_size + 1)
+    p = 1.0 / ranks
+    p /= p.sum()
+    draws = rng.choice(vocab_size, size=(n_items, tokens_per_item), p=p)
+    return [[f"t{t}" for t in row] for row in draws]
+
+
+def bench_bm25_scale(n_items=1_000_000, q_terms=4, n_queries=128, reps=2):
+    """BM25 query latency at 1M items for BOTH device layouts:
+
+    - dense [N, V] weights (one MXU matmul for the whole query batch);
+    - row-sharded CSC postings on a 1-device mesh — the same
+      scatter-add kernel the >10M-chunk sharded layout runs, which
+      executes each query batch in ONE dispatch (the single-chip
+      bucketed path dispatches per posting-length bucket and would
+      measure tunnel RTT, not chip time).
+
+    Both paths return host arrays (an honest D2H) and amortize the
+    dispatch over ``n_queries`` queries.
+    """
+    import jax
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(3)
+    items = _bm25_corpus(rng, n_items, vocab_size=512)
+    queries = [
+        [f"t{t}" for t in rng.integers(0, 512, size=q_terms)]
+        for _ in range(n_queries)
+    ]
+
+    dense = Bm25Index.build(items, max_dense_bytes=4 * 1024**3)
+    assert dense._weights_dev is not None
+    dense_ms = float("inf")
+    for rep in range(reps + 1):
+        qs = (
+            queries
+            if rep == 0
+            else [
+                [f"t{t}" for t in rng.integers(0, 512, size=q_terms)]
+                for _ in range(n_queries)
+            ]
+        )
+        t0 = time.perf_counter()
+        out = dense.top_n_batch(qs, 7)
+        assert len(out) == n_queries
+        if rep > 0:
+            dense_ms = min(dense_ms, (time.perf_counter() - t0) / n_queries * 1e3)
+    del dense
+
+    sparse_base = Bm25Index.build(items, max_dense_bytes=0, device=False)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("idx",))
+    sparse = ShardedBm25SparseIndex(sparse_base, mesh, limit=7)
+    sparse_ms = float("inf")
+    for rep in range(reps + 1):
+        qs = (
+            queries
+            if rep == 0
+            else [
+                [f"t{t}" for t in rng.integers(0, 512, size=q_terms)]
+                for _ in range(n_queries)
+            ]
+        )
+        t0 = time.perf_counter()
+        out = sparse.top_n_batch(qs, 7)
+        assert len(out) == n_queries
+        if rep > 0:
+            sparse_ms = min(
+                sparse_ms, (time.perf_counter() - t0) / n_queries * 1e3
+            )
+    return dense_ms, sparse_ms
+
+
+def bench_maxsim_scale(
+    n_rows=100_000, t=16, d=384, nq=16, qp=8, k=7, reps=2
+):
+    """Late-interaction (MaxSim) ms/query at 100k chunks x 16 tokens,
+    bf16 storage: one batched kernel dispatch scores all ``nq`` queries
+    against the full token tensor (the serving find_batch path), timed
+    around a D2H of the result indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.index.late_interaction import (
+        _maxsim_find_batch_kernel,
+    )
+
+    @jax.jit
+    def gen(seed):
+        kx, kq = jax.random.split(jax.random.PRNGKey(seed))
+        x = jax.random.normal(kx, (n_rows, t, d), jnp.float32).astype(
+            jnp.bfloat16
+        )
+        counts = jnp.full((n_rows,), t, jnp.int32)
+        q = jax.random.normal(kq, (nq, qp, d), jnp.float32)
+        q_counts = jnp.full((nq,), qp, jnp.int32)
+        return x, counts, q, q_counts
+
+    best = float("inf")
+    for rep in range(reps + 1):
+        x, counts, q, q_counts = jax.block_until_ready(gen(rep))
+        t0 = time.perf_counter()
+        vals, idx = _maxsim_find_batch_kernel(
+            x, counts, jnp.int32(n_rows), q, q_counts, k=k, use_sort=False
+        )
+        np.asarray(idx)  # honest fetch
+        if rep > 0:
+            best = min(best, time.perf_counter() - t0)
+    return best / nq * 1e3
+
+
 def bench_query_device_time(k=7, n_rows=100_000, d=384, m=256, reps=3):
     """Amortized per-query device time for a dense top-k lookup.
 
@@ -324,6 +489,9 @@ def main():
     tpu_rate, dt, timed_texts = bench_tpu(texts, tok, params, config)
     mfu, device_tokens_per_sec = bench_encoder_mfu(params, config)
     query_ms = bench_query_device_time()
+    dense_1m_f32_ms, dense_1m_bf16_ms = bench_dense_scale()
+    bm25_dense_1m_ms, bm25_sparse_1m_ms = bench_bm25_scale()
+    maxsim_100k_ms = bench_maxsim_scale()
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
     real_tokens = count_real_tokens(timed_texts, tok)
@@ -347,6 +515,14 @@ def main():
                 "device_kind": device_kind,
                 "peak_tflops_bf16": peak / 1e12 if peak else None,
                 "query_device_ms": round(query_ms, 4),
+                # corpus-scale retrieval rows (1M items; single-dispatch
+                # honest — see bench_dense_scale/bench_bm25_scale/
+                # bench_maxsim_scale)
+                "query_1m_f32_ms": round(dense_1m_f32_ms, 4),
+                "query_1m_bf16_ms": round(dense_1m_bf16_ms, 4),
+                "bm25_dense_1m_ms": round(bm25_dense_1m_ms, 4),
+                "bm25_sparse_1m_ms": round(bm25_sparse_1m_ms, 4),
+                "maxsim_100k_ms": round(maxsim_100k_ms, 4),
             }
         )
     )

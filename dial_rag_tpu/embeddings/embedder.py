@@ -37,6 +37,21 @@ EMBEDDINGS_BATCH_SIZE = 128
 # n_batches (transfer latency, not bandwidth, dominates small results)
 _CONCAT_GROUP = 8
 
+# dedicated 1-thread executor for host->device staging: one thread keeps
+# transfers ordered while overlapping them with device compute
+_H2D_STAGER = None
+
+
+def _h2d_stager():
+    global _H2D_STAGER
+    if _H2D_STAGER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _H2D_STAGER = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="h2d-stage"
+        )
+    return _H2D_STAGER
+
 
 def _bucket_rows(n: int, cap: int) -> int:
     """Pad row counts to powers of two (>=8, <=cap) so the encoder jit
@@ -286,23 +301,35 @@ class BgeEmbedder:
             )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def _encode_group(self, stacked: np.ndarray, n_batches: int):
-        """One H2D transfer, n_batches in-order encode dispatches on
-        device-resident slices, one device-side concat -> [gB, D]."""
+    def _stage_group(self, futures: list):
+        """H2D staging step (runs on the 1-thread staging executor):
+        wait for the group's tokenization, assemble, and START the
+        host->device transfer. Returns ("staged", device_array) or
+        ("mixed", toks) when the group spans sequence buckets."""
+        toks = [f.result() for f in futures]
+        buckets = {t[0].shape[1] for t in toks}
+        if len(buckets) != 1:
+            return ("mixed", toks)
+        stacked = self._assemble_group(toks)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            stacked = jax.device_put(
+            dev = jax.device_put(
                 stacked, NamedSharding(self.mesh, P(None, "dp", None))
             )
         else:
-            stacked = jnp.asarray(stacked)
+            dev = jax.device_put(stacked)
+        return ("staged", dev)
+
+    def _dispatch_group(self, dev, n_batches: int):
+        """n_batches in-order encode dispatches on device-resident
+        slices, one device-side concat -> [gB, D]."""
         b = self.batch_size
         outs = [
             self.encoder.encode(
                 self.params,
-                stacked[0, i * b : (i + 1) * b],
-                stacked[1, i * b : (i + 1) * b],
+                dev[0, i * b : (i + 1) * b],
+                dev[1, i * b : (i + 1) * b],
             )
             for i in range(n_batches)
         ]
@@ -315,9 +342,17 @@ class BgeEmbedder:
         processed in groups of _CONCAT_GROUP: each group is one
         host->device transfer and its batches are separate in-order
         encode dispatches — transfer *latency* (not bandwidth) dominates
-        small arrays, especially on remote-attached accelerators. Group
-        tokenization runs up to 2 groups ahead on the parse pool,
-        overlapping the device compute of earlier groups.
+        small arrays, especially on remote-attached accelerators.
+
+        Three overlapped stages:
+        - tokenization runs up to 3 groups ahead on the parse pool;
+        - host->device staging runs up to 2 groups ahead on a dedicated
+          1-thread executor, so each group's transfer ships WHILE the
+          device computes earlier groups (a synchronous transfer on the
+          dispatch thread was measured to idle the device for ~one
+          tunnel round-trip per group — the round-2 39% pipeline gap);
+        - the dispatch thread only chains encode calls on already-
+          device-resident buffers.
 
         Returns (group_outs device arrays, batches).
         """
@@ -332,12 +367,13 @@ class BgeEmbedder:
         from dial_rag_tpu.runtime.host_pools import get_pools
 
         pool = get_pools()["parse"]
+        stager = _h2d_stager()
 
         def submit_group(group):
             # per-BATCH futures: the group's batches tokenize in parallel
             # across the parse pool's workers (flat submissions — nesting
             # group tasks that wait on sub-tasks could deadlock a small
-            # pool); the consumer assembles when all are done
+            # pool); the staging thread assembles when all are done
             return (
                 len(group),
                 [
@@ -348,27 +384,38 @@ class BgeEmbedder:
                 ],
             )
 
-        window: deque = deque()
+        tok_window: deque = deque()
+        stage_window: deque = deque()
         group_outs = []
         it = iter(groups)
-        for group in it:
-            window.append(submit_group(group))
-            if len(window) >= 2:  # tokenize at most 2 groups ahead
-                break
-        for group in list(it) + [None] * len(window):
-            n_batches, futures = window.popleft()
-            toks = [f.result() for f in futures]
-            buckets = {t[0].shape[1] for t in toks}
-            if len(buckets) == 1:
-                stacked = self._assemble_group(toks)
-                group_outs.append(self._encode_group(stacked, n_batches))
+        exhausted = False
+
+        def pump():
+            nonlocal exhausted
+            while not exhausted and len(tok_window) < 3:
+                group = next(it, None)
+                if group is None:
+                    exhausted = True
+                    break
+                tok_window.append(submit_group(group))
+            while tok_window and len(stage_window) < 2:
+                n_batches, futures = tok_window.popleft()
+                stage_window.append(
+                    (n_batches, stager.submit(self._stage_group, futures))
+                )
+
+        pump()
+        while stage_window:
+            n_batches, staged = stage_window.popleft()
+            kind, payload = staged.result()
+            if kind == "staged":
+                group_outs.append(self._dispatch_group(payload, n_batches))
             else:
                 # mixed sequence buckets: stacking would pad every batch
                 # to the group max (up to 8x wasted encoder FLOPs);
                 # encode each batch at its own width instead
-                group_outs.append(self._encode_group_mixed(toks))
-            if group is not None:
-                window.append(submit_group(group))
+                group_outs.append(self._encode_group_mixed(payload))
+            pump()
         return group_outs, batches
 
     def embed_documents(self, texts: list[str]) -> np.ndarray:

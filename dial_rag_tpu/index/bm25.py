@@ -119,6 +119,38 @@ def _bm25_topk_batch_kernel(weights, query_mat, n_valid, *, k, use_sort):
     return -vals, (n_pad - 1) - idx  # [Q, k]
 
 
+@partial(jax.jit, static_argnames=("k", "use_sort", "n_pad", "l_pad"))
+def _bm25_sparse_topk_batch_kernel(
+    rows_dev,
+    vals_dev,
+    starts,  # [Q, T]
+    lens,  # [Q, T]
+    counts,  # [Q, T]
+    n_valid,
+    *,
+    n_pad: int,
+    l_pad: int,
+    k: int,
+    use_sort: bool,
+):
+    """Q sparse-CSC queries scored and ranked in ONE dispatch: vmapped
+    gather/scatter-add over the shared postings arrays, then the
+    reference-exact flipped-layout top-k per query. Mirrors the sharded
+    index's batched path on a single chip (the bucketed per-query path
+    costs one dispatch per posting-length bucket)."""
+    scores = jax.vmap(
+        lambda st, ln, cn: _sparse_scores(
+            rows_dev, vals_dev, st, ln, cn, n_pad=n_pad, l_pad=l_pad
+        )
+    )(starts, lens, counts)  # [Q, n_pad]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
+    scores = jnp.where(row[None, :] < n_valid, scores, -jnp.inf)
+    flipped = jnp.flip(-scores, axis=1)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    vals, idx = jax.vmap(lambda srow: topk(srow, k))(flipped)
+    return -vals, (n_pad - 1) - idx  # [Q, k]
+
+
 @partial(jax.jit, static_argnames=("k", "use_sort"))
 def _bm25_topk_from_scores_kernel(scores, n_valid, *, k: int, use_sort: bool):
     """Reference-exact descending top-k over precomputed scores."""
@@ -367,7 +399,48 @@ class Bm25Index:
             )
             idx = np.asarray(idx)
             return [idx[i] for i in range(q)]
-        return [self.top_n(q, n) for q in queries_tokens]
+        # device CSC postings: all queries in one vmapped dispatch with
+        # common (T, L) padding (the per-query path pays one dispatch per
+        # posting-length bucket)
+        term_ptr = self._postings[0]
+        per_query = []
+        for toks in queries_tokens:
+            counts: dict[int, int] = {}
+            for t in toks:
+                tid = self.vocab.get(t)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            per_query.append(sorted(counts.items()))
+        t_pad = _next_pow2(max((len(pq) for pq in per_query), default=1))
+        l_max = 1
+        for pq in per_query:
+            for tid, _ in pq:
+                l_max = max(l_max, int(term_ptr[tid + 1] - term_ptr[tid]))
+        l_pad = _next_pow2(l_max)
+        q = len(queries_tokens)
+        q_pad = _next_pow2(q)
+        starts = np.zeros((q_pad, t_pad), dtype=np.int32)
+        lens = np.zeros((q_pad, t_pad), dtype=np.int32)
+        cnts = np.zeros((q_pad, t_pad), dtype=np.float32)
+        for qi, pq in enumerate(per_query):
+            for j, (tid, c) in enumerate(pq):
+                starts[qi, j] = term_ptr[tid]
+                lens[qi, j] = term_ptr[tid + 1] - term_ptr[tid]
+                cnts[qi, j] = c
+        _, idx = _bm25_sparse_topk_batch_kernel(
+            self._postings[1],
+            self._postings[2],
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnts),
+            jnp.int32(self.n_items),
+            n_pad=self._n_pad,
+            l_pad=l_pad,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
+        idx = np.asarray(idx)
+        return [idx[i] for i in range(q)]
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties)."""

@@ -218,3 +218,27 @@ def test_scores_match_published_okapi_formula_goldens():
                 rtol=1e-5,
                 atol=1e-6,
             )
+
+
+def test_sparse_top_n_batch_single_dispatch_matches_per_query():
+    """The device-CSC batched path (one vmapped dispatch) must equal
+    the per-query bucketed path exactly, incl. later-wins tie-breaks."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(5)
+    items = [
+        [f"w{int(x)}" for x in rng.integers(0, 40, size=10)]
+        for _ in range(500)
+    ]
+    sparse = Bm25Index.build(items, max_dense_bytes=0)
+    assert sparse._postings is not None
+    queries = [
+        [f"w{int(x)}" for x in rng.integers(0, 50, size=4)]  # some OOV
+        for _ in range(9)
+    ]
+    queries.append(["zzz-not-in-vocab"])
+    batch = sparse.top_n_batch(queries, 5)
+    for q, got in zip(queries, batch):
+        np.testing.assert_array_equal(got, sparse.top_n(q, 5))
