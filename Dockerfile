@@ -2,9 +2,10 @@
 # Dockerfile, rebuilt for a TPU VM instead of a CPU/OpenVINO host).
 #
 # Differences from the reference by design:
-# - no LibreOffice: office formats are parsed by the first-party
-#   OOXML/ODF fallback (dial_rag_tpu/documents/office.py); installing
-#   `soffice` is optional and only adds higher-fidelity conversion;
+# - LibreOffice IS installed in the final stage (binary .doc/.ppt need
+#   `soffice`; see the note there). OOXML/ODF additionally parse
+#   through the first-party fallback (dial_rag_tpu/documents/office.py)
+#   even where soffice is absent;
 # - no nltk/unstructured downloads: tokenization, stemming, parsing and
 #   chunking are first-party (C++ cores under dial_rag_tpu/native are
 #   compiled at build time so first boot does not pay the compile);
@@ -66,6 +67,16 @@ keywords_preprocess('warm the native build')"
 
 
 FROM base AS final
+
+# LibreOffice guarantees reference-parity coverage for the BINARY
+# office formats (.doc/.ppt): without `soffice` those raise
+# InvalidDocumentError (the first-party fallback covers OOXML/ODF
+# only — service/converter.py:43-47). The reference's image installs
+# it for the same reason.
+RUN apt-get update && \
+    apt-get install --no-install-recommends -y \
+        libreoffice-writer libreoffice-impress && \
+    apt-get clean && rm -rf /var/lib/apt/lists/*
 
 ENV VIRTUAL_ENV=/opt/venv
 ENV PATH="$VIRTUAL_ENV/bin:$PATH"

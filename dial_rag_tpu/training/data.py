@@ -87,6 +87,7 @@ def positive_disjoint_stream(
     batch_size: int,
     n_batches: int,
     seed: int = 0,
+    pos_key=None,
 ) -> list[tuple[str, str]]:
     """Arrange (query, positive) pairs into a stream whose consecutive
     ``batch_size`` slices draw from DISTINCT positives.
@@ -96,22 +97,30 @@ def positive_disjoint_stream(
     logits[i, j] == logits[i, i], so the loss scores a copy of the
     positive as a negative (measured held-out collapse). ICT pairs
     share positives heavily (many sentences per chunk), so batches are
-    built positive-disjoint; queries rotate per positive."""
+    built positive-disjoint; queries rotate per positive.
+
+    ``pos_key(passage)`` optionally maps passages to a SOURCE key so
+    augmented views of one source count as the same positive (two views
+    of one chunk in a batch would label a near-copy of the positive as
+    a negative).
+    """
     rng = np.random.default_rng(seed)
-    unique_pos = sorted({p for _, p in pairs})
+    if pos_key is None:
+        pos_key = lambda p: p  # noqa: E731
+    unique_pos = sorted({pos_key(p) for _, p in pairs})
     if len(unique_pos) < 2:
         raise ValueError("contrastive training needs >= 2 distinct positives")
     batch_size = min(batch_size, len(unique_pos))
-    by_pos: dict[str, list[str]] = {p: [] for p in unique_pos}
+    by_pos: dict = {kp: [] for kp in unique_pos}
     for q, p in pairs:
-        by_pos[p].append(q)
-    cursors = {p: 0 for p in unique_pos}
+        by_pos[pos_key(p)].append((q, p))
+    cursors = {kp: 0 for kp in unique_pos}
     stream: list[tuple[str, str]] = []
     while len(stream) < n_batches * batch_size:
         chosen = rng.choice(len(unique_pos), size=batch_size, replace=False)
         for ci in chosen:
-            p = unique_pos[int(ci)]
-            qs = by_pos[p]
-            stream.append((qs[cursors[p] % len(qs)], p))
-            cursors[p] += 1
+            kp = unique_pos[int(ci)]
+            qps = by_pos[kp]
+            stream.append(qps[cursors[kp] % len(qps)])
+            cursors[kp] += 1
     return stream[: n_batches * batch_size]

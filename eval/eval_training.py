@@ -200,26 +200,14 @@ def run(
         # magnitude larger, so the sharpening stays at 1.0 there
         temperature=0.02 if objective == "cls" else 1.0,
     )
-    n_needed = steps * train_config.batch_size
     # positive-disjoint batch construction: each emitted batch draws one
     # query from batch_size DISTINCT positives (pairs_to_batches slices
     # the stream in exact batch_size groups, so alignment holds)
-    rng = np.random.default_rng(seed)
-    by_pos: dict[str, list[str]] = {p: [] for p in unique_pos}
-    for q, p in pairs:
-        by_pos[p].append(q)
-    cursors = {p: 0 for p in unique_pos}
-    stream: list[tuple[str, str]] = []
-    while len(stream) < n_needed:
-        chosen = rng.choice(
-            len(unique_pos), size=batch_size, replace=False
-        )
-        for ci in chosen:
-            p = unique_pos[ci]
-            qs = by_pos[p]
-            stream.append((qs[cursors[p] % len(qs)], p))
-            cursors[p] += 1
-    stream = stream[:n_needed]
+    from dial_rag_tpu.training.data import positive_disjoint_stream
+
+    stream = positive_disjoint_stream(
+        pairs, train_config.batch_size, steps, seed=seed
+    )
     trained_params, losses = train(
         config, train_config, stream, embedder.tokenizer,
         init=embedder.params,

@@ -97,8 +97,10 @@ _STOPWORDS = frozenset(
 
 def ict_pairs(
     texts: list[str], prefix: str, seed: int = 0
-) -> list[tuple[str, str]]:
-    """Self-supervised (query, chunk) pairs. Three query styles per
+):
+    """Self-supervised (query, chunk) pairs; returns (pairs, pos_key)
+    where pos_key maps each passage view back to its source chunk so
+    batch construction treats views of one chunk as ONE positive. Three query styles per
     chunk — exact ICT sentences alone teach verbatim matching and fail
     on question-style paraphrases (measured: semantic recall@7 0.44);
     the keyword/dropout styles force order-invariant bag-of-content
@@ -111,7 +113,13 @@ def ict_pairs(
     """
     rng = np.random.default_rng(seed)
     pairs = []
-    for text in texts:
+    view_src: dict[str, int] = {}
+
+    def add(q, passage, src):
+        view_src.setdefault(passage, src)
+        pairs.append((q, passage))
+
+    for src, text in enumerate(texts):
         content_words = [
             w
             for w in re.findall(r"[A-Za-z][A-Za-z0-9'-]+", text)
@@ -122,11 +130,19 @@ def ict_pairs(
             words = sent.split()
             if len(words) < 4:
                 continue
-            pairs.append((prefix + sent, text))
+            add(prefix + sent, text, src)
             keep = rng.random(len(words)) > 0.3
             dropped = [w for w, k in zip(words, keep) if k]
             if len(dropped) >= 3:
-                pairs.append((prefix + " ".join(dropped), text))
+                add(prefix + " ".join(dropped), text, src)
+            # passage-side dropout: pair the sentence against a 15%%-
+            # word-dropped view of the chunk (blocks chunk-identity
+            # memorization — measured embedding collapse without it)
+            twords = text.split()
+            tkeep = rng.random(len(twords)) > 0.15
+            tview = " ".join(w for w, k in zip(twords, tkeep) if k)
+            if tview:
+                add(prefix + sent, tview, src)
         n_kw = max(2, min(6, len(content_words) // 12))
         for _ in range(n_kw):
             if len(content_words) < 3:
@@ -135,8 +151,8 @@ def ict_pairs(
             sample = rng.choice(
                 content_words, size=min(k, len(content_words)), replace=False
             )
-            pairs.append((prefix + " ".join(sample), text))
-    return pairs
+            add(prefix + " ".join(sample), text, src)
+    return pairs, view_src.get
 
 
 def main() -> None:
@@ -176,10 +192,11 @@ def main() -> None:
     print(f"vocab: {len(tokenizer.vocab)} tokens", flush=True)
 
     prefix = DEFAULT_QUERY_INSTRUCTION if args.objective == "cls" else ""
-    pairs = ict_pairs(texts, prefix, seed=args.seed)
+    pairs, pos_key = ict_pairs(texts, prefix, seed=args.seed)
     print(f"ICT pairs: {len(pairs)}", flush=True)
     stream = positive_disjoint_stream(
-        pairs, args.batch_size, args.steps, seed=args.seed
+        pairs, args.batch_size, args.steps, seed=args.seed,
+        pos_key=pos_key,
     )
 
     config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
