@@ -33,8 +33,10 @@ import time
 
 import numpy as np
 
-N_CHUNKS = 4096  # 32 batches / 4 transfer groups: enough for the host
-# tokenize -> transfer -> encode pipeline to reach steady state
+N_CHUNKS = 16384  # 128 batches / 16 transfer groups: enough for the host
+# tokenize -> transfer -> encode pipeline to reach steady state AND to
+# amortize the fixed per-build costs (pipeline fill + the final ~80ms
+# D2H honesty fetch through the tunnel) below ~10%
 BATCH = 128  # reference EMBEDDINGS_BATCH_SIZE
 CPU_CHUNKS = 128  # baseline sample (scaled)
 WORDS_PER_CHUNK = 180  # ~1000 chars, the reference chunk size

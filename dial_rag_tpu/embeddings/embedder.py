@@ -322,18 +322,16 @@ class BgeEmbedder:
         return ("staged", dev)
 
     def _dispatch_group(self, dev, n_batches: int):
-        """n_batches in-order encode dispatches on device-resident
-        slices, one device-side concat -> [gB, D]."""
+        """ONE encode dispatch for the whole group: [2, gB, S] reshapes
+        to [G, B, S] batches encoded batch-serially inside a lax.scan
+        (replaces G dispatches + 2G device slices — each dispatch costs
+        host latency on a remote-attached device)."""
         b = self.batch_size
-        outs = [
-            self.encoder.encode(
-                self.params,
-                dev[0, i * b : (i + 1) * b],
-                dev[1, i * b : (i + 1) * b],
-            )
-            for i in range(n_batches)
-        ]
-        return outs[0] if n_batches == 1 else jnp.concatenate(outs, axis=0)
+        g = dev.shape[1] // b
+        ids = dev[0].reshape(g, b, dev.shape[2])
+        mask = dev[1].reshape(g, b, dev.shape[2])
+        out = self.encoder.encode_group(self.params, ids, mask)
+        return out[: n_batches * b]
 
     def _encode_grouped(self, texts: list[str]):
         """Shared bulk pipeline: batches are *dispatched* in order (the

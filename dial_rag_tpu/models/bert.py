@@ -312,6 +312,24 @@ class BertEncoder:
             gelu=self.gelu,
         )
 
+    def encode_group(self, params, input_ids, attention_mask):
+        """[G, B, S] -> [G*B, H] in ONE dispatch: a lax.scan encodes the
+        G batches batch-serially inside a single compiled program. On a
+        remote-attached device this replaces G encode dispatches (+2
+        device-slice ops each) with one, removing per-dispatch host
+        latency from the bulk-encode hot path; the fairness contract
+        (batch-serial execution order) is preserved by the scan."""
+        return _encode_group_jit(
+            params,
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            num_heads=self.config.num_heads,
+            compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl,
+            pooling=self.pooling,
+            gelu=self.gelu,
+        )
+
 
 @partial(
     jax.jit,
@@ -351,6 +369,40 @@ def _encode_jit(
         pooled = pooled / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
     norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
     return pooled / jnp.maximum(norm, 1e-12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "compute_dtype", "attention_impl", "pooling", "gelu",
+    ),
+)
+def _encode_group_jit(
+    params,
+    input_ids,  # [G, B, S]
+    attention_mask,
+    *,
+    num_heads,
+    compute_dtype,
+    attention_impl,
+    pooling="cls",
+    gelu="auto",
+):
+    def step(_, io):
+        out = _encode_jit.__wrapped__(
+            params,
+            io[0],
+            io[1],
+            num_heads=num_heads,
+            compute_dtype=compute_dtype,
+            attention_impl=attention_impl,
+            pooling=pooling,
+            gelu=gelu,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(step, None, (input_ids, attention_mask))
+    return outs.reshape(-1, outs.shape[-1])
 
 
 def bert_forward(

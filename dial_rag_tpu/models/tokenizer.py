@@ -19,7 +19,10 @@ import numpy as np
 
 # Static sequence-length buckets: every batch is padded up to one of these
 # so XLA compiles at most len(BUCKETS) encoder variants per batch size.
-DEFAULT_BUCKETS = (64, 128, 256, 512)
+# 96/160/192/224 sit between the pow2 rungs because real by-title chunks
+# cluster at ~180-240 wordpiece tokens (1000-char cap): padding them to
+# 256 burned ~29% of encoder FLOPs (measured in bench.py round 3).
+DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 512)
 
 _SPECIAL = {"pad": "[PAD]", "unk": "[UNK]", "cls": "[CLS]", "sep": "[SEP]"}
 _MAX_WORD_CHARS = 100

@@ -108,6 +108,8 @@ def contrastive_loss(
     compute_dtype=jnp.float32,
     remat: bool = False,
     objective: str = "cls",
+    kd_weight: float = 0.5,
+    teacher_temperature: float = 4.0,
 ):
     """Symmetric InfoNCE over in-batch negatives.
 
@@ -141,7 +143,20 @@ def contrastive_loss(
     labels = jnp.arange(logits.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
-    return 0.5 * (loss_qp.mean() + loss_pq.mean())
+    loss = 0.5 * (loss_qp.mean() + loss_pq.mean())
+    if "teacher_scores" in batch:
+        # lexical distillation: soften the one-hot InfoNCE target with a
+        # teacher's in-batch score distribution (e.g. the serving BM25 —
+        # the student then learns term-weighted matching that
+        # generalizes to unseen phrasings instead of memorizing pairs)
+        targets = jax.nn.softmax(
+            batch["teacher_scores"].astype(jnp.float32)
+            / teacher_temperature,
+            axis=-1,
+        )
+        loss_kd = optax.softmax_cross_entropy(logits, targets).mean()
+        loss = (1.0 - kd_weight) * loss + kd_weight * loss_kd
+    return loss
 
 
 def create_train_state(
@@ -162,6 +177,8 @@ def make_train_step(
     compute_dtype=jnp.float32,
     remat: bool = False,
     objective: str = "cls",
+    kd_weight: float = 0.5,
+    teacher_temperature: float = 4.0,
 ):
     """Build the jitted train step. With a mesh, params/batch/opt-state are
     sharded (tp plan + dp batch) and XLA inserts all collectives.
@@ -178,6 +195,8 @@ def make_train_step(
             compute_dtype=compute_dtype,
             remat=remat,
             objective=objective,
+            kd_weight=kd_weight,
+            teacher_temperature=teacher_temperature,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

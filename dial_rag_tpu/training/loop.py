@@ -50,6 +50,10 @@ class TrainConfig:
     # "cls" = single-vector bge-style representation (semantic retriever);
     # "maxsim" = token-level late-interaction representation
     objective: str = "cls"
+    # lexical-distillation mix (active only when a teacher provides
+    # per-batch scores): loss = (1-kd_weight)*InfoNCE + kd_weight*KD
+    kd_weight: float = 0.5
+    teacher_temperature: float = 4.0
 
     def __post_init__(self):
         if self.objective not in ("cls", "maxsim"):
@@ -76,9 +80,12 @@ def pairs_to_batches(
     tokenizer: WordPieceTokenizer,
     pairs: Iterable[tuple[str, str]],
     config: TrainConfig,
+    teacher=None,
 ) -> Iterator[dict]:
     """(query, passage) text pairs -> token batches, dropping the ragged
-    tail (static shapes keep one compiled step)."""
+    tail (static shapes keep one compiled step). ``teacher(buf)`` may
+    return a [B, B] score matrix attached as ``teacher_scores`` (the
+    lexical-distillation target, contrastive.py)."""
     buf: list[tuple[str, str]] = []
     for pair in pairs:
         buf.append(pair)
@@ -94,12 +101,17 @@ def pairs_to_batches(
             def pad(a):
                 return np.pad(a, ((0, 0), (0, s - a.shape[1])))
 
-            yield {
+            batch = {
                 "q_ids": pad(q_ids),
                 "q_mask": pad(q_mask),
                 "p_ids": pad(p_ids),
                 "p_mask": pad(p_mask),
             }
+            if teacher is not None:
+                batch["teacher_scores"] = np.asarray(
+                    teacher(buf), dtype=np.float32
+                )
+            yield batch
             buf = []
 
 
@@ -154,6 +166,7 @@ def train(
     mesh=None,
     checkpoint_dir: str | None = None,
     init: dict | None = None,
+    teacher=None,
 ):
     """Run the loop; returns (params, losses). Resumes from the latest
     checkpoint in ``checkpoint_dir`` when one exists."""
@@ -177,6 +190,10 @@ def train(
 
         params = jax.device_put(params, bert_param_shardings(params, mesh))
 
+    if teacher is not None and mesh is not None:
+        raise NotImplementedError(
+            "teacher distillation is single-chip for now"
+        )
     step_fn = make_train_step(
         model_config,
         optimizer,
@@ -184,13 +201,15 @@ def train(
         temperature=train_config.temperature,
         remat=train_config.remat,
         objective=train_config.objective,
+        kd_weight=train_config.kd_weight,
+        teacher_temperature=train_config.teacher_temperature,
     )
 
     losses = []  # device scalars; converted once at the end (a float()
     # per step would synchronize host and device every iteration)
     step = start_step
     last_saved = ckpt.latest_step() if ckpt is not None else None
-    batches = pairs_to_batches(tokenizer, pairs, train_config)
+    batches = pairs_to_batches(tokenizer, pairs, train_config, teacher=teacher)
     # resume continues the data stream where the checkpointed run left
     # off; without the skip, the first start_step batches are re-trained
     for _ in range(start_step):

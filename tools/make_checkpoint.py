@@ -168,6 +168,8 @@ def main() -> None:
     parser.add_argument(
         "--save-dtype", choices=("float32", "float16"), default="float16"
     )
+    parser.add_argument("--kd-weight", type=float, default=0.5)
+    parser.add_argument("--teacher-temperature", type=float, default=4.0)
     args = parser.parse_args()
 
     import jax
@@ -199,6 +201,34 @@ def main() -> None:
         pos_key=pos_key,
     )
 
+    teacher = None
+    if args.kd_weight > 0:
+        # lexical distillation: the serving BM25 (keywords-preprocessed,
+        # host scoring) supplies in-batch soft targets. Per-query scores
+        # over ALL chunks are precomputed once; each batch selects its
+        # passages' columns. Passages map to chunks via pos_key (views
+        # share their source chunk's column).
+        from dial_rag_tpu.index.bm25 import Bm25Index
+        from dial_rag_tpu.text import keywords_preprocess
+
+        tokenized = [keywords_preprocess(t) for t in texts]
+        bm25 = Bm25Index.build(tokenized, device=False)
+        uniq_queries = sorted({q for q, _ in stream})
+        qscore = {
+            q: bm25.get_scores(
+                keywords_preprocess(q[len(prefix):] if prefix else q)
+            )
+            for q in uniq_queries
+        }
+        print(
+            f"BM25 teacher ready ({len(uniq_queries)} unique queries)",
+            flush=True,
+        )
+
+        def teacher(buf):
+            cols = [pos_key(p) for _, p in buf]
+            return np.stack([qscore[q][cols] for q, _ in buf])
+
     config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
     # init on host: eager per-op dispatch on the remote TPU is ~100ms/op
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -214,9 +244,12 @@ def main() -> None:
         checkpoint_every=10**9,
         seed=args.seed,
         objective=args.objective,
+        kd_weight=args.kd_weight,
+        teacher_temperature=args.teacher_temperature,
     )
     params, losses = train(
-        config, train_config, stream, tokenizer, init=params
+        config, train_config, stream, tokenizer, init=params,
+        teacher=teacher,
     )
     print(
         f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
@@ -250,6 +283,7 @@ def main() -> None:
                     "batch_size": args.batch_size,
                     "seq_len": args.seq_len,
                     "learning_rate": args.learning_rate,
+                    "kd_weight": args.kd_weight,
                     "seed": args.seed,
                     "recipe": "tools/make_checkpoint.py (ICT, no eval questions)",
                 },
