@@ -127,6 +127,8 @@ def _bm25_sparse_topk_batch_kernel(
     lens,  # [Q, T]
     counts,  # [Q, T]
     n_valid,
+    band_w=None,  # [n_pad, K] dense band weights
+    band_q=None,  # [Q, K] band term counts
     *,
     n_pad: int,
     l_pad: int,
@@ -143,6 +145,13 @@ def _bm25_sparse_topk_batch_kernel(
             rows_dev, vals_dev, st, ln, cn, n_pad=n_pad, l_pad=l_pad
         )
     )(starts, lens, counts)  # [Q, n_pad]
+    if band_w is not None and band_q is not None:
+        scores = scores + jnp.dot(
+            band_q,
+            band_w.T,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION,
+        )
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
     scores = jnp.where(row[None, :] < n_valid, scores, -jnp.inf)
     flipped = jnp.flip(-scores, axis=1)
@@ -182,6 +191,11 @@ class Bm25Index:
     # host CSC postings (device=False sparse build; consumed by the
     # sharded wrapper, which re-shards them row-wise per device)
     _postings_host: tuple | None = field(default=None, repr=False)
+    # dense band over the highest-df terms of a sparse build (TPU
+    # scatter-add costs ~cycles/posting; ubiquitous terms move to one
+    # MXU matvec): [n_pad, K] weights + term_id -> column map
+    _band_dev: jnp.ndarray | None = field(default=None, repr=False)
+    _band_cols: dict | None = field(default=None, repr=False)
 
     @property
     def nbytes(self) -> int:
@@ -189,7 +203,10 @@ class Bm25Index:
             return self._weights_dev.size * 4
         if self._postings is not None:
             _, rows, vals = self._postings
-            return rows.size * 4 + vals.size * 4
+            band = (
+                self._band_dev.size * 4 if self._band_dev is not None else 0
+            )
+            return rows.size * 4 + vals.size * 4 + band
         return 0
 
     @classmethod
@@ -198,6 +215,7 @@ class Bm25Index:
         tokenized_items: list[list[str]],
         max_dense_bytes: int = 256 * 1024 * 1024,
         device: bool = True,
+        max_band_bytes: int = 512 * 1024 * 1024,
     ) -> "Bm25Index":
         """``device=False`` keeps the dense weights host-side (the
         sharded wrapper uploads its own flipped copy instead)."""
@@ -254,15 +272,47 @@ class Bm25Index:
                     per_term_vals[tid].append(
                         idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
                     )
+            # dense band: the highest-df terms are scatter-add poison on
+            # TPU (one serialized update per posting; a ubiquitous term
+            # can carry ~n postings). Terms with df >= n/8 move into a
+            # dense [n_pad, K] column block scored by one MXU matvec
+            # (bounded by max_band_bytes); the CSC tail keeps short
+            # postings where gather/scatter is cheap.
+            if device:
+                k_cap = max(0, max_band_bytes // (n_pad * 4))
+                heavy = [
+                    tid
+                    for tid in range(v)
+                    if len(per_term_rows[tid]) >= max(n // 8, 64)
+                ]
+                heavy.sort(key=lambda t: -len(per_term_rows[t]))
+                heavy = heavy[:k_cap]
+            else:
+                heavy = []  # sharded wrapper re-shards raw postings
+            if heavy:
+                k_band = _pad_to(len(heavy), _LANE)
+                w_band = np.zeros((n_pad, k_band), dtype=np.float32)
+                for col, tid in enumerate(heavy):
+                    w_band[per_term_rows[tid], col] = per_term_vals[tid]
+                    per_term_rows[tid] = []
+                    per_term_vals[tid] = []
+                index._band_cols = {tid: c for c, tid in enumerate(heavy)}
+                index._band_dev = jnp.asarray(w_band)
             term_ptr = np.zeros(v + 1, dtype=np.int64)
             for tid in range(v):
                 term_ptr[tid + 1] = term_ptr[tid] + len(per_term_rows[tid])
-            rows_flat = np.concatenate(
-                [np.array(r, dtype=np.int32) for r in per_term_rows]
-            )
-            vals_flat = np.concatenate(
-                [np.array(x, dtype=np.float32) for x in per_term_vals]
-            )
+            if term_ptr[-1]:
+                rows_flat = np.concatenate(
+                    [np.array(r, dtype=np.int32) for r in per_term_rows]
+                )
+                vals_flat = np.concatenate(
+                    [np.array(x, dtype=np.float32) for x in per_term_vals]
+                )
+            else:
+                # all terms went to the band; keep 1 dummy posting so
+                # the gather's index clip stays well-defined
+                rows_flat = np.zeros(1, dtype=np.int32)
+                vals_flat = np.zeros(1, dtype=np.float32)
             if device:
                 index._postings = (
                     term_ptr,
@@ -281,17 +331,30 @@ class Bm25Index:
                 q[tid] += 1.0
         return q
 
-    def _query_term_groups(self, query_tokens: list[str]):
-        """Unique in-vocab query terms grouped by posting-length bucket,
-        so one ubiquitous term (huge df) cannot inflate the padded work
-        of every other term. Yields (starts, lens, counts, l_pad) per
-        bucket; each group's arrays are padded to a pow2 term count."""
-        term_ptr = self._postings[0]
+    def _query_counts(self, query_tokens: list[str]):
+        """(tail term counts, band count vector [K] or None)."""
         counts: dict[int, int] = {}
         for t in query_tokens:
             tid = self.vocab.get(t)
             if tid is not None:
                 counts[tid] = counts.get(tid, 0) + 1
+        band_q = None
+        if self._band_cols:
+            band_q = np.zeros(
+                self._band_dev.shape[1], dtype=np.float32
+            )
+            for tid in list(counts):
+                col = self._band_cols.get(tid)
+                if col is not None:
+                    band_q[col] = counts.pop(tid)
+        return counts, band_q
+
+    def _query_term_groups(self, counts: dict[int, int]):
+        """Unique in-vocab TAIL terms grouped by posting-length bucket,
+        so one long-posting term cannot inflate the padded work of
+        every other term. Yields (starts, lens, counts, l_pad) per
+        bucket; each group's arrays are padded to a pow2 term count."""
+        term_ptr = self._postings[0]
         by_bucket: dict[int, list[int]] = {}
         for tid in sorted(counts):
             length = int(term_ptr[tid + 1] - term_ptr[tid])
@@ -311,12 +374,19 @@ class Bm25Index:
         return groups
 
     def _sparse_total_scores(self, query_tokens: list[str]):
-        """Device [n_pad] scores accumulated over the term-length groups."""
+        """Device [n_pad] scores: dense-band matvec + scatter-add over
+        the tail term-length groups."""
         _, rows_dev, vals_dev = self._postings
+        counts, band_q = self._query_counts(query_tokens)
         total = None
-        for starts, lens, cnt, l_pad in self._query_term_groups(
-            query_tokens
-        ):
+        if band_q is not None and band_q.any():
+            total = jnp.dot(
+                self._band_dev,
+                jnp.asarray(band_q),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
+        for starts, lens, cnt, l_pad in self._query_term_groups(counts):
             scores = _bm25_sparse_scores_kernel(
                 rows_dev,
                 vals_dev,
@@ -400,16 +470,24 @@ class Bm25Index:
             idx = np.asarray(idx)
             return [idx[i] for i in range(q)]
         # device CSC postings: all queries in one vmapped dispatch with
-        # common (T, L) padding (the per-query path pays one dispatch per
-        # posting-length bucket)
+        # common (T, L) padding over the TAIL terms (the per-query path
+        # pays one dispatch per posting-length bucket); band terms ride
+        # one extra MXU matmul
         term_ptr = self._postings[0]
         per_query = []
-        for toks in queries_tokens:
-            counts: dict[int, int] = {}
-            for t in toks:
-                tid = self.vocab.get(t)
-                if tid is not None:
-                    counts[tid] = counts.get(tid, 0) + 1
+        band_mat = None
+        for qi, toks in enumerate(queries_tokens):
+            counts, band_q = self._query_counts(toks)
+            if band_q is not None:
+                if band_mat is None:
+                    band_mat = np.zeros(
+                        (
+                            _next_pow2(len(queries_tokens)),
+                            self._band_dev.shape[1],
+                        ),
+                        dtype=np.float32,
+                    )
+                band_mat[qi] = band_q
             per_query.append(sorted(counts.items()))
         t_pad = _next_pow2(max((len(pq) for pq in per_query), default=1))
         l_max = 1
@@ -427,6 +505,9 @@ class Bm25Index:
                 starts[qi, j] = term_ptr[tid]
                 lens[qi, j] = term_ptr[tid + 1] - term_ptr[tid]
                 cnts[qi, j] = c
+        band_arg = (
+            jnp.asarray(band_mat) if band_mat is not None else None
+        )
         _, idx = _bm25_sparse_topk_batch_kernel(
             self._postings[1],
             self._postings[2],
@@ -434,6 +515,8 @@ class Bm25Index:
             jnp.asarray(lens),
             jnp.asarray(cnts),
             jnp.int32(self.n_items),
+            self._band_dev,
+            band_arg,
             n_pad=self._n_pad,
             l_pad=l_pad,
             k=k,

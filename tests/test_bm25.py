@@ -242,3 +242,43 @@ def test_sparse_top_n_batch_single_dispatch_matches_per_query():
     batch = sparse.top_n_batch(queries, 5)
     for q, got in zip(queries, batch):
         np.testing.assert_array_equal(got, sparse.top_n(q, 5))
+
+
+def test_sparse_dense_band_activates_and_stays_exact():
+    """High-df terms move into the dense band (TPU scatter-add costs a
+    serialized update per posting); scores and later-wins rankings must
+    stay bit-compatible with the bandless layout."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(11)
+    # 'common' appears in nearly every item (band candidate); the rest
+    # are rare tail terms
+    items = [
+        (["common"] if i % 8 else [])
+        + [f"w{int(x)}" for x in rng.integers(0, 300, size=6)]
+        for i in range(600)
+    ]
+    banded = Bm25Index.build(items, max_dense_bytes=0)
+    plain = Bm25Index.build(items, max_dense_bytes=0, max_band_bytes=0)
+    assert banded._band_dev is not None and "common" in {
+        t for t in banded.vocab if banded.vocab[t] in banded._band_cols
+    }
+    assert plain._band_dev is None
+    queries = [
+        ["common", "w3", "w17"],
+        ["common"],
+        ["w4", "w9"],
+        ["zzz-oov"],
+    ]
+    for q in queries:
+        np.testing.assert_allclose(
+            banded.get_scores(q), plain.get_scores(q), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            banded.top_n(q, 5), plain.top_n(q, 5)
+        )
+    got = banded.top_n_batch(queries, 5)
+    for q, g in zip(queries, got):
+        np.testing.assert_array_equal(g, plain.top_n(q, 5))
