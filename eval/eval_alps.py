@@ -191,7 +191,9 @@ def fact_recall_at_k(all_hits, rows, chunks, k: int = 7) -> float:
     return covered / max(total, 1)
 
 
-async def run_eval(data_dir: str, model_dir: str | None) -> dict:
+async def run_eval(
+    data_dir: str, model_dir: str | None, li_model_dir: str | None = None
+) -> dict:
     pdf_bytes, rows = load_alps(data_dir)
     t0 = time.perf_counter()
     chunks = parse_alps(pdf_bytes)
@@ -208,11 +210,17 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
         semantic_model = os.environ["DIAL_RAG__EMBEDDER__MODEL_PATH"]
         embedder = BgeEmbedder.from_hf_checkpoint(semantic_model)
 
-    # late-interaction arm: with a real checkpoint it shares the
-    # embedder; without one a corpus-vocab random-weight encoder gives a
-    # purely LEXICAL MaxSim signal (identical subwords embed identically
-    # for identical contexts) — measurable without any trained weights
-    li_embedder = embedder
+    # late-interaction arm: its own checkpoint (--li-model-dir, e.g. a
+    # MaxSim-objective artifact) wins; else it shares the semantic
+    # embedder; without either, a corpus-vocab random-weight encoder
+    # gives a purely LEXICAL MaxSim signal (identical subwords embed
+    # identically for identical contexts) — a wiring check only
+    li_model = li_model_dir or semantic_model
+    li_embedder = (
+        BgeEmbedder.from_hf_checkpoint(li_model_dir)
+        if li_model_dir
+        else embedder
+    )
     if li_embedder is None:
         from dial_rag_tpu.models.tokenizer import build_test_vocab
 
@@ -251,7 +259,7 @@ async def run_eval(data_dir: str, model_dir: str | None) -> dict:
         "parse_s": round(t_parse, 3),
         "semantic_model": semantic_model
         or "none (BM25 only; pass --model-dir for semantic quality)",
-        "late_interaction_model": semantic_model
+        "late_interaction_model": li_model
         or "random-weights — a wiring check, NOT a quality number: "
         "contextual token embeddings carry no signal untrained (real "
         "questions share few verbatim contexts with chunks); provide "
@@ -275,12 +283,20 @@ def main(argv=None) -> dict:
         default=None,
         help="local bge-small-en checkpoint dir; adds semantic+ensemble",
     )
+    parser.add_argument(
+        "--li-model-dir",
+        default=None,
+        help="separate checkpoint for the late-interaction arm "
+        "(e.g. a MaxSim-objective artifact)",
+    )
     parser.add_argument("--out", default=str(Path(__file__).parent / "out"))
     args = parser.parse_args(argv)
 
     if not alps_data_available(args.data_dir):
         raise SystemExit(f"alps data not found under {args.data_dir}")
-    metrics = asyncio.run(run_eval(args.data_dir, args.model_dir))
+    metrics = asyncio.run(
+        run_eval(args.data_dir, args.model_dir, args.li_model_dir)
+    )
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
