@@ -213,3 +213,41 @@ def test_semantic_climate_golden(alps):
     retriever = SemanticRetriever.from_doc_records(embedder, [record], k=7)
     hits = asyncio.run(retriever.aretrieve("climate"))
     assert "climate" in chunks[hits[0].chunk_id].text.lower()
+
+
+CHECKPOINTS = Path(__file__).parent.parent / "checkpoints"
+
+
+@pytest.mark.skipif(
+    not (CHECKPOINTS / "alps-cls-kd" / "model.safetensors").is_file(),
+    reason="first-party checkpoint artifact not present",
+)
+def test_first_party_checkpoint_loads_and_discriminates():
+    """The committed first-party checkpoint (tools/make_checkpoint.py)
+    must load through the standard HF-layout loader and produce a
+    discriminative embedding space (quality numbers live in
+    eval/out/alps_metrics.json; this is the fast structural pin)."""
+    import numpy as np
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    emb = BgeEmbedder.from_hf_checkpoint(str(CHECKPOINTS / "alps-cls-kd"))
+    docs = emb.embed_documents(
+        [
+            "The Alps are the highest mountain range in Europe.",
+            "Glaciers carved the valleys during the ice ages.",
+            "Cheese fondue is a traditional alpine dish.",
+        ]
+    )
+    q = emb.embed_query("highest mountains of Europe")
+    sims = docs @ q
+    assert docs.shape == (3, 384)
+    assert np.isfinite(sims).all()
+    # embeddings are unit-norm and the space has spread (exact quality
+    # numbers live in eval/out/alps_metrics.json, regenerated by
+    # eval/eval_alps.py --model-dir)
+    np.testing.assert_allclose(
+        np.linalg.norm(docs, axis=1), 1.0, atol=1e-3
+    )
+    assert float(sims.max() - sims.min()) > 1e-4
+    assert float(np.abs(docs[0] - docs[2]).max()) > 1e-3
