@@ -46,9 +46,15 @@ def pdf_elements_from_pages(pages) -> list[Element]:
 
 
 _HTML_SKIP_TAGS = {"script", "style", "noscript", "head", "template"}
+
+
+def _clean_inline(text: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", text).strip()
 _HTML_BLOCK_TAGS = [
     "h1", "h2", "h3", "h4", "h5", "h6",
-    "p", "li", "pre", "blockquote", "figcaption", "caption", "tr",
+    "p", "li", "pre", "blockquote", "figcaption", "caption", "table",
 ]
 
 
@@ -60,17 +66,51 @@ def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
         tag.decompose()
 
     elements = []
-    for tag in soup.find_all(_HTML_BLOCK_TAGS):
+    for tag in soup.find_all(_HTML_BLOCK_TAGS + ["div"]):
         # skip nested block tags (e.g. p inside li already captured)
         if any(p.name in _HTML_BLOCK_TAGS for p in tag.parents):
             continue
-        if tag.name == "tr":
+        if tag.name == "div":
+            # divs carrying DIRECT text (wiki hatnotes like
+            # "Main article: ...") are elements in the reference's
+            # segmentation; container divs (text only via children)
+            # are not
+            direct = _clean_inline(
+                " ".join(
+                    x for x in tag.find_all(string=True, recursive=False)
+                )
+            )
+            if direct:
+                inline_text = _clean_inline(tag.get_text())
+                elements.append(
+                    Element(text=inline_text, metadata={"filetype": mime})
+                )
+            continue
+        if tag.name == "table":
+            # the reference emits a whole <table> as ONE Table element
+            # (evidenced by its recorded chunks: the peaks table and the
+            # navboxes each arrive as a single space-joined text blob),
+            # and the chunker isolates it into its own chunk(s)
             cells = [
-                c.get_text(" ", strip=True) for c in tag.find_all(["td", "th"])
+                " ".join(c.stripped_strings)
+                for c in tag.find_all(["td", "th"])
             ]
-            text = " | ".join(c for c in cells if c)
+            text = _clean_inline(" ".join(c for c in cells if c))
+            if text:
+                elements.append(
+                    Element(
+                        text=text,
+                        metadata={"filetype": mime, "category": "table"},
+                    )
+                )
+            continue
         else:
-            text = tag.get_text(" ", strip=True)
+            # join inline elements WITHOUT inserting spaces (inline
+            # markup like <i>/<a> splits words otherwise: "(/ælps/;"
+            # must not become "( / æ l p s / ;"), then collapse the
+            # document's own whitespace runs like the reference's
+            # clean_extra_whitespace does
+            text = _clean_inline(tag.get_text())
         if not text:
             continue
         elements.append(

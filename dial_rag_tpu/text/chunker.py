@@ -68,7 +68,8 @@ def chunk_by_title(
             and prev_page is not None
             and el.page_number != prev_page
         )
-        if el.is_title or page_changed:
+        is_table = el.metadata.get("category") == "table"
+        if el.is_title or page_changed or is_table:
             flush()
         if el.page_number is not None:
             prev_page = el.page_number
@@ -83,6 +84,10 @@ def chunk_by_title(
                     current_meta["page_number"] = el.page_number
             current.append(piece)
             current_len += len(piece) + (2 if current_len else 0)
+        if is_table:
+            # tables are isolated chunks (the reference's chunker gives
+            # Table elements their own chunk)
+            flush()
 
     flush()
     return chunks

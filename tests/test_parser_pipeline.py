@@ -181,3 +181,54 @@ def test_real_bmp_still_sniffed():
     buf = _io.BytesIO()
     Image.new("RGB", (4, 4)).save(buf, format="BMP")
     assert sniff_mime(buf.getvalue()) == "image/bmp"
+
+
+class TestHtmlOracleParity:
+    """HTML segmentation vs chunk texts recorded in the reference's
+    cached traffic for alps_wiki.html (mined like the PDF oracle; no
+    exact-count golden exists for HTML in the reference, so this pins
+    the measured floor: 10/24 recorded chunks byte-exact)."""
+
+    def test_recorded_html_chunks(self):
+        import json
+        from pathlib import Path
+
+        html_path = Path("/root/reference/tests/data/alps_wiki.html")
+        fixture = (
+            Path(__file__).parent / "data" / "alps_html_oracle_chunks.json"
+        )
+        if not html_path.is_file() or not fixture.is_file():
+            import pytest
+
+            pytest.skip("reference html corpus not mounted")
+        oracle = json.load(open(fixture))
+        chunks = parse_document(
+            html_path.read_bytes(),
+            "text/html",
+            source_link="alps_wiki.html",
+        )
+        mine = {c.text for c in chunks}
+        exact = sum(1 for t in oracle if t in mine)
+        assert exact >= 10, exact
+
+    def test_table_elements_isolated(self):
+        html = (
+            b"<html><body><p>Before the table.</p>"
+            b"<table><tr><th>Name</th><th>Height</th></tr>"
+            b"<tr><td>Mont Blanc</td><td>4810</td></tr></table>"
+            b"<p>After the table.</p></body></html>"
+        )
+        chunks = parse_document(html, "text/html", source_link="t.html")
+        texts = [c.text for c in chunks]
+        assert "Name Height Mont Blanc 4810" in texts
+        # the table chunk contains nothing but the table
+        ti = texts.index("Name Height Mont Blanc 4810")
+        assert "Before" in texts[ti - 1] and "After" in texts[ti + 1]
+
+    def test_inline_markup_does_not_split_words(self):
+        html = (
+            b"<html><body><p>The Alps (<i>/\xc3\xa6lps/</i>; "
+            b"<a href='x'>high</a> peaks).</p></body></html>"
+        )
+        chunks = parse_document(html, "text/html", source_link="t.html")
+        assert chunks[0].text == "The Alps (/ælps/; high peaks)."

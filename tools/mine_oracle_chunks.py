@@ -23,7 +23,7 @@ import re
 from pathlib import Path
 
 
-def mine(cache_root: str) -> list[dict]:
+def mine(cache_root: str, source_marker: str = "alps_wiki.pdf") -> list[dict]:
     out, seen = [], set()
     for f in sorted(
         glob.glob(f"{cache_root}/**/*.response", recursive=True)
@@ -45,7 +45,7 @@ def mine(cache_root: str) -> list[dict]:
                 attrs, text = mt.group(1), mt.group(2)
                 src = re.search(r"source='([^']*)'", attrs)
                 page = re.search(r"page_number='(\d+)'", attrs)
-                if not src or "alps_wiki.pdf" not in src.group(1):
+                if not src or source_marker not in src.group(1):
                     continue
                 chunk = text.strip()
                 if chunk in seen:
@@ -77,6 +77,13 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(chunks, f, indent=1, ensure_ascii=False)
     print(f"{len(chunks)} oracle chunks -> {args.out}")
+    html_chunks = [
+        c["text"] for c in mine(args.cache_root, "alps_wiki.html")
+    ]
+    html_out = str(Path(args.out).parent / "alps_html_oracle_chunks.json")
+    with open(html_out, "w") as f:
+        json.dump(html_chunks, f, indent=1, ensure_ascii=False)
+    print(f"{len(html_chunks)} html oracle chunks -> {html_out}")
 
 
 if __name__ == "__main__":
