@@ -7,7 +7,7 @@ elements marking section starts for the by-title chunker."""
 
 import csv
 import io
-import statistics
+import re
 
 from dial_rag_tpu.documents.mime import (
     MIME_CSV,
@@ -46,16 +46,20 @@ def pdf_elements_from_pages(pages) -> list[Element]:
 
 
 _HTML_SKIP_TAGS = {"script", "style", "noscript", "head", "template"}
-
-
-def _clean_inline(text: str) -> str:
-    import re
-
-    return re.sub(r"\s+", " ", text).strip()
 _HTML_BLOCK_TAGS = [
     "h1", "h2", "h3", "h4", "h5", "h6",
     "p", "li", "pre", "blockquote", "figcaption", "caption", "table",
 ]
+
+
+def _clean_inline(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _div_direct_text(tag) -> str:
+    return _clean_inline(
+        " ".join(tag.find_all(string=True, recursive=False))
+    )
 
 
 def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
@@ -66,25 +70,36 @@ def html_elements(data: bytes, mime: str = MIME_HTML) -> list[Element]:
         tag.decompose()
 
     elements = []
+    emitted_divs: set = set()
     for tag in soup.find_all(_HTML_BLOCK_TAGS + ["div"]):
-        # skip nested block tags (e.g. p inside li already captured)
-        if any(p.name in _HTML_BLOCK_TAGS for p in tag.parents):
+        # skip content already captured by an enclosing element (block
+        # tag or an emitted text div) — every text node belongs to
+        # exactly one element
+        if any(
+            p.name in _HTML_BLOCK_TAGS or id(p) in emitted_divs
+            for p in tag.parents
+        ):
             continue
         if tag.name == "div":
             # divs carrying DIRECT text (wiki hatnotes like
             # "Main article: ...") are elements in the reference's
             # segmentation; container divs (text only via children)
-            # are not
-            direct = _clean_inline(
-                " ".join(
-                    x for x in tag.find_all(string=True, recursive=False)
+            # are not, and a div with block children defers to them
+            if (
+                not _div_direct_text(tag)
+                or tag.find(_HTML_BLOCK_TAGS) is not None
+                or any(
+                    _div_direct_text(d) for d in tag.find_all("div")
+                )
+            ):
+                continue
+            elements.append(
+                Element(
+                    text=_clean_inline(tag.get_text()),
+                    metadata={"filetype": mime},
                 )
             )
-            if direct:
-                inline_text = _clean_inline(tag.get_text())
-                elements.append(
-                    Element(text=inline_text, metadata={"filetype": mime})
-                )
+            emitted_divs.add(id(tag))
             continue
         if tag.name == "table":
             # the reference emits a whole <table> as ONE Table element

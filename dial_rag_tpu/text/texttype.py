@@ -31,7 +31,7 @@ __all__ = [
 # treebank-style: split standalone punctuation off words, keep
 # interior apostrophes/hyphens/periods (URLs, abbreviations, numbers)
 _WORD_RE = re.compile(
-    r"[A-Za-z0-9_](?:[A-Za-z0-9_''\-./:@&%#=?~+]*[A-Za-z0-9_])?"
+    r"[A-Za-z0-9_](?:[A-Za-z0-9_'’\-./:@&%#=?~+]*[A-Za-z0-9_])?"
     r"|[^\w\s]"
 )
 

@@ -110,7 +110,13 @@ def positive_disjoint_stream(
     unique_pos = sorted({pos_key(p) for _, p in pairs})
     if len(unique_pos) < 2:
         raise ValueError("contrastive training needs >= 2 distinct positives")
-    batch_size = min(batch_size, len(unique_pos))
+    if batch_size > len(unique_pos):
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the {len(unique_pos)} "
+            "distinct positives: batches could not be positive-disjoint "
+            "(duplicate positives poison in-batch-negatives InfoNCE). "
+            "Lower the batch size or provide more sources."
+        )
     by_pos: dict = {kp: [] for kp in unique_pos}
     for q, p in pairs:
         by_pos[pos_key(p)].append((q, p))

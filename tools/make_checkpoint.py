@@ -196,6 +196,14 @@ def main() -> None:
     prefix = DEFAULT_QUERY_INSTRUCTION if args.objective == "cls" else ""
     pairs, pos_key = ict_pairs(texts, prefix, seed=args.seed)
     print(f"ICT pairs: {len(pairs)}", flush=True)
+    n_sources = len({pos_key(p) for _, p in pairs})
+    if args.batch_size > n_sources:
+        args.batch_size = max(2, n_sources)
+        print(
+            f"batch size clamped to {args.batch_size} "
+            f"({n_sources} distinct source chunks)",
+            flush=True,
+        )
     stream = positive_disjoint_stream(
         pairs, args.batch_size, args.steps, seed=args.seed,
         pos_key=pos_key,
