@@ -246,8 +246,13 @@ async def run_eval(
         retrievers["semantic"] = SemanticRetriever.from_doc_records(
             embedder, [record], k=7
         )
+        # serving fuses every enabled arm (RRF); mirror it
         retrievers["ensemble"] = EnsembleRetriever(
-            [retrievers["semantic"], retrievers["bm25"]]
+            [
+                retrievers["semantic"],
+                retrievers["bm25"],
+                retrievers["late_interaction"],
+            ]
         )
 
     metrics: dict = {
