@@ -102,6 +102,24 @@ class DialRagApplication:
         from dial_rag_tpu.index.device_cache import DeviceIndexCache
 
         self.device_index_cache = DeviceIndexCache()
+        # dedicated late-interaction encoders, loaded once per distinct
+        # checkpoint path (requests may select one via
+        # indexing.late_interaction_index.model_path)
+        self._li_embedders: dict[str, BgeEmbedder] = {}
+
+    def _get_li_embedder(self, request_config) -> BgeEmbedder | None:
+        li = request_config.indexing.late_interaction_index
+        path = li.model_path if li else ""
+        if not path:
+            return None
+        if path not in self._li_embedders:
+            embedder = BgeEmbedder.from_hf_checkpoint(
+                path, batch_size=self.app_config.embedder.batch_size
+            )
+            if self.mesh is not None:
+                embedder = embedder.shard_over(self.mesh)
+            self._li_embedders[path] = embedder
+        return self._li_embedders[path]
 
     @staticmethod
     def _create_mesh(app_config: AppConfig):
@@ -198,6 +216,7 @@ class DialRagApplication:
             index_storage,
             dial_api_client,
             config=request_config,
+            li_embedder=self._get_li_embedder(request_config),
         )
 
         request_type = request_config.request.type
@@ -249,6 +268,7 @@ class DialRagApplication:
                 mesh=self.mesh,
                 device_cache=self.device_index_cache,
                 index_dtype=self.app_config.parallel.index_dtype,
+                li_embedder=self._get_li_embedder(request_config),
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

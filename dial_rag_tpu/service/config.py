@@ -198,6 +198,13 @@ class LateInteractionIndexConfig(BaseConfig):
     encoder — a capability beyond the reference, off by default. Memory:
     ~min(chunk_tokens, max_chunk_tokens) x D floats per chunk."""
 
+    model_path: Annotated[str, IndexRebuildTrigger()] = Field(
+        default="",
+        description="Optional dedicated checkpoint for the "
+        "late-interaction encoder (e.g. a MaxSim-objective artifact "
+        "like checkpoints/alps-maxsim); empty shares the main "
+        "embedder. Different weights rebuild the index.",
+    )
     max_chunk_tokens: Annotated[int, IndexRebuildTrigger()] = Field(
         default=256,
         description="Per-chunk token embeddings kept in the index "

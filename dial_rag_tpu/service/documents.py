@@ -79,6 +79,7 @@ async def load_document_impl(
     stage_stream,
     index_settings: IndexSettings,
     config: RequestConfig,
+    li_embedder: BgeEmbedder | None = None,
 ) -> DocumentRecord:
     logger_stream = LoggerStream()
     if config.log_document_links:
@@ -178,7 +179,7 @@ async def load_document_impl(
 
             late_interaction_task = tg.create_task(
                 LateInteractionRetriever.build_index(
-                    embedder,
+                    li_embedder or embedder,
                     chunks_list,
                     index_config.late_interaction_index.max_chunk_tokens,
                 )
@@ -215,6 +216,7 @@ async def load_document(
     index_storage: IndexStorage,
     dial_api_client: DialApiClient,
     config: RequestConfig,
+    li_embedder: BgeEmbedder | None = None,
 ) -> DocumentRecord:
     attachment_link = task.attachment_link
     try:
@@ -261,6 +263,7 @@ async def load_document(
                         doc_stage.content_stream,
                         index_settings,
                         config,
+                        li_embedder=li_embedder,
                     )
                 except InvalidDocumentError as e:
                     doc_stage.append_content(e.message)
@@ -289,6 +292,7 @@ async def load_document_task(
     index_storage: IndexStorage,
     dial_api_client: DialApiClient,
     config: RequestConfig,
+    li_embedder: BgeEmbedder | None = None,
 ) -> DocumentIndexingResult:
     try:
         doc_record = await load_document(
@@ -298,6 +302,7 @@ async def load_document_task(
             index_storage,
             dial_api_client,
             config,
+            li_embedder=li_embedder,
         )
         return DocumentIndexingSuccess(task=task, doc_record=doc_record)
     except DocumentProcessingError as e:
@@ -312,6 +317,7 @@ async def load_documents(
     index_storage: IndexStorage,
     dial_api_client: DialApiClient,
     config: RequestConfig,
+    li_embedder: BgeEmbedder | None = None,
 ) -> list[DocumentIndexingResult]:
     return await asyncio.gather(
         *[
@@ -322,6 +328,7 @@ async def load_documents(
                 index_storage,
                 dial_api_client,
                 config,
+                li_embedder=li_embedder,
             )
             for task in tasks
         ]

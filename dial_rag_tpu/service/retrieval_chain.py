@@ -103,6 +103,7 @@ def create_retriever(
     mesh=None,
     device_cache=None,
     index_dtype: str = "float32",
+    li_embedder: BgeEmbedder | None = None,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
@@ -138,7 +139,7 @@ def create_retriever(
         retrievers.append(
             make_retrieval_stage(
                 LateInteractionRetriever.from_doc_records(
-                    embedder,
+                    li_embedder or embedder,
                     document_records,
                     RETRIEVER_K,
                     max_chunk_tokens=(

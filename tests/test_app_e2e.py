@@ -871,3 +871,52 @@ async def test_rate_limit_storm_collapses_to_single_429(harness, monkeypatch):
         body = await resp.json()
         message = json.dumps(body)
         assert "Rate limit exceeded for mm-embed" in message
+
+
+async def test_late_interaction_dedicated_checkpoint_e2e(harness):
+    """indexing.late_interaction_index.model_path serves the MaxSim arm
+    with its own encoder (e.g. the committed maxsim-objective artifact)
+    while the semantic arm keeps the main embedder; the path is an
+    IndexRebuildTrigger so different weights never reuse an index."""
+    import pathlib
+
+    ckpt = pathlib.Path(__file__).parent.parent / "checkpoints" / "alps-maxsim"
+    if not (ckpt / "model.safetensors").is_file():
+        import pytest
+
+        pytest.skip("maxsim checkpoint artifact not present")
+    async with harness(
+        {
+            "request": {
+                "indexing": {
+                    "late_interaction_index": {"model_path": str(ckpt)}
+                }
+            }
+        }
+    ) as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        h.fake.script_llm("Cadibona bounds the Alps. <[1]>")
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "Colle di Cadibona southern boundary",
+                        url="files/user-bucket/big.pdf",
+                    )
+                ]
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stage_names = [s["name"] for s in custom["stages"]]
+        assert any("Late interaction search" in n for n in stage_names)
+        li_stage = next(
+            s for s in custom["stages"] if "Late interaction" in s["name"]
+        )
+        assert li_stage["status"] == "completed"
+        assert "cadibona" in li_stage["attachments"][0]["data"].lower()
