@@ -274,16 +274,17 @@ class Bm25Index:
                     )
             # dense band: the highest-df terms are scatter-add poison on
             # TPU (one serialized update per posting; a ubiquitous term
-            # can carry ~n postings). Terms with df >= n/8 move into a
+            # can carry ~n postings). Terms with df >= n/64 move into a
             # dense [n_pad, K] column block scored by one MXU matvec
-            # (bounded by max_band_bytes); the CSC tail keeps short
+            # (bounded by max_band_bytes; measured 12x at 1M items over
+            # scatter-only even at n/8); the CSC tail keeps short
             # postings where gather/scatter is cheap.
             if device:
                 k_cap = max(0, max_band_bytes // (n_pad * 4))
                 heavy = [
                     tid
                     for tid in range(v)
-                    if len(per_term_rows[tid]) >= max(n // 8, 64)
+                    if len(per_term_rows[tid]) >= max(n // 64, 64)
                 ]
                 heavy.sort(key=lambda t: -len(per_term_rows[t]))
                 heavy = heavy[:k_cap]

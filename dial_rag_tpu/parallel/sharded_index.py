@@ -474,6 +474,8 @@ def _sharded_bm25_sparse_topk_kernel(
     lens_sh,  # [n_shards, t_pad] i32
     counts,  # [t_pad] f32 query term counts (replicated)
     n_valid,  # i32 global real item count
+    band_sh=None,  # [n_shards, rows_per_shard, K] dense band weights
+    band_q=None,  # [K] band term counts (replicated)
     *,
     mesh,
     k: int,
@@ -482,16 +484,18 @@ def _sharded_bm25_sparse_topk_kernel(
     use_sort: bool,
 ):
     """Each shard gathers its own posting slices from its HBM, scatter-
-    adds local scores, and takes a local reference-exact top-k (flip
+    adds local scores (plus a shard-local MXU matvec over the dense
+    band when present), and takes a local reference-exact top-k (flip
     trick: latest local row wins ties). The [n_shards, k] winners merge
     with ONE two-key stable sort on (-score, reversed global row) — the
     exact global ``argsort(kind="stable")[::-1]`` order."""
     from dial_rag_tpu.index.bm25 import _sparse_scores
+    from dial_rag_tpu.ops.metrics import _PRECISION
 
     n_total_pad = rows_per_shard * mesh.devices.size
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid):
+    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid, *band):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
         scores = _sparse_scores(
@@ -503,6 +507,13 @@ def _sharded_bm25_sparse_topk_kernel(
             n_pad=rows_per_shard,
             l_pad=l_pad,
         )
+        if band:
+            scores = scores + jnp.dot(
+                band[0][0],
+                band[1],
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
@@ -513,19 +524,24 @@ def _sharded_bm25_sparse_topk_kernel(
         rev_row = (n_total_pad - 1) - global_row
         return vals_k[None], rev_row[None], global_row[None]
 
+    in_specs = [
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
+        P(),
+        P(),
+    ]
+    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
+    if band_sh is not None:
+        in_specs += [P("idx", None, None), P()]
+        args += [band_sh, band_q]
     vals, rev, grow = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(
-            P("idx", None),
-            P("idx", None),
-            P("idx", None),
-            P("idx", None),
-            P(),
-            P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx"), P("idx")),
-    )(rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid)
+    )(*args)
 
     flat_vals = vals.reshape(-1)
     flat_rev = rev.reshape(-1)
@@ -547,6 +563,8 @@ def _sharded_bm25_sparse_topk_batch_kernel(
     lens_sh,  # [n_shards, Q, t_pad]
     counts,  # [Q, t_pad] (replicated)
     n_valid,
+    band_sh=None,  # [n_shards, rows_per_shard, K]
+    band_q=None,  # [Q, K] (replicated)
     *,
     mesh,
     k: int,
@@ -555,22 +573,33 @@ def _sharded_bm25_sparse_topk_batch_kernel(
     use_sort: bool,
 ):
     """Batched variant: every shard scores all Q queries against its own
-    postings (vmapped gather/scatter + local top-k), then one two-key
-    sort per query merges the winner lists — same ordering proof as the
-    single-query kernel."""
+    postings (vmapped gather/scatter + one band matmul + local top-k),
+    then one two-key sort per query merges the winner lists — same
+    ordering proof as the single-query kernel."""
     from dial_rag_tpu.index.bm25 import _sparse_scores
+    from dial_rag_tpu.ops.metrics import _PRECISION
 
     n_total_pad = rows_per_shard * mesh.devices.size
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid):
+    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid, *band):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
+        if band:
+            # [rows_per_shard, K] @ [K, Q] -> all queries in one matmul
+            band_scores = jnp.dot(
+                band[0][0],
+                band[1].T,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            ).T  # [Q, rows_per_shard]
+        else:
+            band_scores = None
 
-        def per_query(q_starts, q_lens, q_counts):
+        def per_query(q_starts, q_lens, q_counts, q_band):
             scores = _sparse_scores(
                 rows_l[0],
                 vals_l[0],
@@ -580,29 +609,41 @@ def _sharded_bm25_sparse_topk_batch_kernel(
                 n_pad=rows_per_shard,
                 l_pad=l_pad,
             )
+            if q_band is not None:
+                scores = scores + q_band
             neg = jnp.where(row < n_valid, -scores, jnp.inf)
             vals_k, idx_k = topk(jnp.flip(neg), k)
             global_row = base + (rows_per_shard - 1) - idx_k
             return vals_k, (n_total_pad - 1) - global_row, global_row
 
-        vals, rev, grow = jax.vmap(per_query)(
-            starts[0], lens[0], counts
-        )  # [Q, k] each
+        if band_scores is not None:
+            vals, rev, grow = jax.vmap(per_query)(
+                starts[0], lens[0], counts, band_scores
+            )
+        else:
+            vals, rev, grow = jax.vmap(
+                lambda a, b, c: per_query(a, b, c, None)
+            )(starts[0], lens[0], counts)
         return vals[None], rev[None], grow[None]
 
+    in_specs = [
+        P("idx", None),
+        P("idx", None),
+        P("idx", None, None),
+        P("idx", None, None),
+        P(),
+        P(),
+    ]
+    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
+    if band_sh is not None:
+        in_specs += [P("idx", None, None), P()]
+        args += [band_sh, band_q]
     vals, rev, grow = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(
-            P("idx", None),
-            P("idx", None),
-            P("idx", None, None),
-            P("idx", None, None),
-            P(),
-            P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx"), P("idx")),
-    )(rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid)
+    )(*args)
 
     q = counts.shape[0]
     flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
@@ -621,13 +662,14 @@ def _sharded_bm25_sparse_topk_batch_kernel(
     jax.jit, static_argnames=("mesh", "l_pad", "rows_per_shard")
 )
 def _sharded_bm25_sparse_scores_kernel(
-    rows_sh, vals_sh, starts_sh, lens_sh, counts, *, mesh, l_pad,
-    rows_per_shard,
+    rows_sh, vals_sh, starts_sh, lens_sh, counts, band_sh=None,
+    band_q=None, *, mesh, l_pad, rows_per_shard,
 ):
     from dial_rag_tpu.index.bm25 import _sparse_scores
+    from dial_rag_tpu.ops.metrics import _PRECISION
 
-    def local_scores(rows_l, vals_l, starts, lens, counts):
-        return _sparse_scores(
+    def local_scores(rows_l, vals_l, starts, lens, counts, *band):
+        scores = _sparse_scores(
             rows_l[0],
             vals_l[0],
             starts[0],
@@ -635,20 +677,33 @@ def _sharded_bm25_sparse_scores_kernel(
             counts,
             n_pad=rows_per_shard,
             l_pad=l_pad,
-        )[None]
+        )
+        if band:
+            scores = scores + jnp.dot(
+                band[0][0],
+                band[1],
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
+        return scores[None]
 
+    in_specs = [
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
+        P(),
+    ]
+    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts]
+    if band_sh is not None:
+        in_specs += [P("idx", None, None), P()]
+        args += [band_sh, band_q]
     return jax.shard_map(
         local_scores,
         mesh=mesh,
-        in_specs=(
-            P("idx", None),
-            P("idx", None),
-            P("idx", None),
-            P("idx", None),
-            P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=P("idx"),
-    )(rows_sh, vals_sh, starts_sh, lens_sh, counts)
+    )(*args)
 
 
 class ShardedBm25SparseIndex:
@@ -667,7 +722,13 @@ class ShardedBm25SparseIndex:
     query terms): both memory AND bandwidth scale linearly with chips.
     """
 
-    def __init__(self, base, mesh: Mesh, limit: int):
+    def __init__(
+        self,
+        base,
+        mesh: Mesh,
+        limit: int,
+        max_band_bytes: int = 512 * 1024 * 1024,
+    ):
         from dial_rag_tpu.index.bm25 import Bm25Index
 
         assert isinstance(base, Bm25Index)
@@ -687,15 +748,53 @@ class ShardedBm25SparseIndex:
         term_ptr, rows_flat, vals_flat = base._postings_host
         base._postings_host = None  # re-sharded below; free the original
         v = len(term_ptr) - 1
+        df = np.diff(term_ptr)
+        term_of = np.repeat(np.arange(v, dtype=np.int64), df)
+
+        # dense band (same rationale as the single-chip layout,
+        # index/bm25.py): high-df terms are TPU scatter-add poison, so
+        # they move into a row-sharded [rows_per_shard, K] block scored
+        # by a shard-local MXU matvec; extraction happens BEFORE the
+        # re-shard so the CSC tail keeps only short postings
+        self._band_sh = None
+        self._band_cols: dict = {}
+        k_cap = max(
+            0, max_band_bytes // max(n_shards * rows_per_shard * 4, 1)
+        )
+        heavy = np.nonzero(df >= max(n // 64, 64))[0]
+        heavy = heavy[np.argsort(-df[heavy])][:k_cap]
+        if heavy.size:
+            k_band = -(-int(heavy.size) // 128) * 128
+            band = np.zeros(
+                (n_shards, rows_per_shard, k_band), dtype=np.float32
+            )
+            for c, tid in enumerate(heavy):
+                seg = slice(int(term_ptr[tid]), int(term_ptr[tid + 1]))
+                r = rows_flat[seg].astype(np.int64)
+                band[
+                    r // rows_per_shard, r % rows_per_shard, c
+                ] = vals_flat[seg]
+            self._band_cols = {int(t): c for c, t in enumerate(heavy)}
+            self._band_sh = jax.device_put(
+                band, NamedSharding(self._mesh, P("idx", None, None))
+            )
+            is_heavy = np.zeros(v, dtype=bool)
+            is_heavy[heavy] = True
+            keep = ~is_heavy[term_of]
+            rows_flat = rows_flat[keep]
+            vals_flat = vals_flat[keep]
+            term_of = term_of[keep]
+            df = df.copy()
+            df[heavy] = 0
+            term_ptr = np.zeros(v + 1, dtype=np.int64)
+            np.cumsum(df, out=term_ptr[1:])
+
         # Vectorized re-shard (a per-term Python loop would be millions
         # of iterations at the >10M-chunk scale this class targets).
         # Within a term the rows are ascending, so shard ids are too:
         # selecting one shard's postings preserves term-major order,
         # and per-(shard, term) counts come from one np.add.at.
         shard_of = rows_flat.astype(np.int64) // rows_per_shard
-        term_of = np.repeat(
-            np.arange(v, dtype=np.int64), np.diff(term_ptr)
-        )
         counts = np.zeros((n_shards, v), dtype=np.int64)
         np.add.at(counts, (shard_of, term_of), 1)
         term_ptr_s = np.zeros((n_shards, v + 1), dtype=np.int64)
@@ -723,11 +822,13 @@ class ShardedBm25SparseIndex:
 
     @property
     def nbytes(self) -> int:
-        return self._rows_sh.size * 4 + self._vals_sh.size * 4
+        band = self._band_sh.size * 4 if self._band_sh is not None else 0
+        return self._rows_sh.size * 4 + self._vals_sh.size * 4 + band
 
     def _query_slices(self, query_tokens: list[str]):
-        """(starts [S, T], lens [S, T], counts [T], l_pad) for the
-        query's unique in-vocab terms, padded to pow2 T."""
+        """(starts [S, T], lens [S, T], counts [T], l_pad, band_q) for
+        the query's unique in-vocab terms, padded to pow2 T; band terms
+        ride the [K] count vector instead of the slice tables."""
         from dial_rag_tpu.index.bm25 import _next_pow2
 
         counts: dict[int, int] = {}
@@ -735,6 +836,13 @@ class ShardedBm25SparseIndex:
             tid = self._base.vocab.get(t)
             if tid is not None:
                 counts[tid] = counts.get(tid, 0) + 1
+        band_q = None
+        if self._band_cols:
+            band_q = np.zeros(self._band_sh.shape[2], dtype=np.float32)
+            for tid in list(counts):
+                col = self._band_cols.get(tid)
+                if col is not None:
+                    band_q[col] = counts.pop(tid)
         tids = sorted(counts)
         n_shards = self._mesh.devices.size
         t_pad = _next_pow2(max(len(tids), 1))
@@ -748,16 +856,20 @@ class ShardedBm25SparseIndex:
             )
             cnt[j] = counts[tid]
         l_pad = _next_pow2(max(int(lens.max()) if tids else 1, 1))
-        return starts, lens, cnt, l_pad
+        return starts, lens, cnt, l_pad, band_q
 
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
-        starts, lens, cnt, l_pad = self._query_slices(query_tokens)
+        starts, lens, cnt, l_pad, band_q = self._query_slices(
+            query_tokens
+        )
         scores = _sharded_bm25_sparse_scores_kernel(
             self._rows_sh,
             self._vals_sh,
             jnp.asarray(starts),
             jnp.asarray(lens),
             jnp.asarray(cnt),
+            self._band_sh,
+            jnp.asarray(band_q) if band_q is not None else None,
             mesh=self._mesh,
             l_pad=l_pad,
             rows_per_shard=self._rows_per_shard,
@@ -768,7 +880,9 @@ class ShardedBm25SparseIndex:
         if n > self.limit:
             raise ValueError(f"n={n} exceeds the index limit {self.limit}")
         k = min(n, self.n_items)
-        starts, lens, cnt, l_pad = self._query_slices(query_tokens)
+        starts, lens, cnt, l_pad, band_q = self._query_slices(
+            query_tokens
+        )
         _, idx = _sharded_bm25_sparse_topk_kernel(
             self._rows_sh,
             self._vals_sh,
@@ -776,6 +890,8 @@ class ShardedBm25SparseIndex:
             jnp.asarray(lens),
             jnp.asarray(cnt),
             jnp.int32(self.n_items),
+            self._band_sh,
+            jnp.asarray(band_q) if band_q is not None else None,
             mesh=self._mesh,
             k=k,
             l_pad=l_pad,
@@ -800,17 +916,24 @@ class ShardedBm25SparseIndex:
         q = len(queries_tokens)
         q_pad = _next_pow2(q)
         per_query = [self._query_slices(toks) for toks in queries_tokens]
-        t_pad = max(s.shape[1] for s, _, _, _ in per_query)
-        l_pad = max(lp for _, _, _, lp in per_query)
+        t_pad = max(s.shape[1] for s, _, _, _, _ in per_query)
+        l_pad = max(lp for _, _, _, lp, _ in per_query)
         n_shards = self._mesh.devices.size
         starts = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
         lens = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
         counts = np.zeros((q_pad, t_pad), dtype=np.float32)
-        for qi, (st, ln, cn, _) in enumerate(per_query):
+        band_mat = (
+            np.zeros((q_pad, self._band_sh.shape[2]), dtype=np.float32)
+            if self._band_sh is not None
+            else None
+        )
+        for qi, (st, ln, cn, _, bq) in enumerate(per_query):
             t = st.shape[1]
             starts[:, qi, :t] = st
             lens[:, qi, :t] = ln
             counts[qi, :t] = cn
+            if bq is not None:
+                band_mat[qi] = bq
         _, idx = _sharded_bm25_sparse_topk_batch_kernel(
             self._rows_sh,
             self._vals_sh,
@@ -818,6 +941,8 @@ class ShardedBm25SparseIndex:
             jnp.asarray(lens),
             jnp.asarray(counts),
             jnp.int32(self.n_items),
+            self._band_sh,
+            jnp.asarray(band_mat) if band_mat is not None else None,
             mesh=self._mesh,
             k=k,
             l_pad=l_pad,

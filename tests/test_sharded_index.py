@@ -416,3 +416,46 @@ def test_sharded_maxsim_find_batch_matches_single(mesh):
         assert [(h.doc_id, h.chunk_id) for h in g] == [
             (h.doc_id, h.chunk_id) for h in w
         ]
+
+
+def test_sharded_sparse_band_activates_and_stays_exact():
+    """High-df terms in the sharded CSC layout ride a row-sharded dense
+    band (shard-local MXU matvec); scores + later-wins rankings must be
+    exact vs the bandless sharded layout and the host reference."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.parallel.mesh import create_mesh
+    from dial_rag_tpu.parallel.sharded_index import ShardedBm25SparseIndex
+
+    rng = np.random.default_rng(17)
+    items = [
+        (["common"] if i % 7 else [])
+        + [f"w{int(x)}" for x in rng.integers(0, 200, size=6)]
+        for i in range(500)
+    ]
+    mesh = create_mesh(8)
+    banded = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=5,
+    )
+    plain = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=5,
+        max_band_bytes=0,
+    )
+    assert banded._band_sh is not None and plain._band_sh is None
+    queries = [["common", "w3"], ["common"], ["w7", "w9"], ["zz-oov"]]
+    for q in queries:
+        np.testing.assert_allclose(
+            banded.get_scores(q), plain.get_scores(q), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            banded.top_n(q, 5), plain.top_n(q, 5)
+        )
+    got = banded.top_n_batch(queries, 5)
+    want = plain.top_n_batch(queries, 5)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
