@@ -60,7 +60,9 @@ def make_test_embedder(corpus: EvalCorpus, batch_size: int = 64) -> BgeEmbedder:
 
 
 async def build_record(
-    corpus: EvalCorpus, embedder: BgeEmbedder
+    corpus: EvalCorpus,
+    embedder: BgeEmbedder,
+    li_embedder: BgeEmbedder | None = None,
 ) -> tuple[DocumentRecord, dict]:
     t0 = time.perf_counter()
     chunks = parse_document(
@@ -81,7 +83,7 @@ async def build_record(
 
     t0 = time.perf_counter()
     late_interaction_index = await LateInteractionRetriever.build_index(
-        embedder, chunks
+        li_embedder or embedder, chunks
     )
     t_li = time.perf_counter() - t0
 
@@ -123,7 +125,10 @@ def _ground_truth_chunks(corpus: EvalCorpus, record: DocumentRecord) -> list:
 
 
 async def run_eval(
-    corpus: EvalCorpus, embedder: BgeEmbedder, record: DocumentRecord
+    corpus: EvalCorpus,
+    embedder: BgeEmbedder,
+    record: DocumentRecord,
+    li_embedder: BgeEmbedder | None = None,
 ) -> dict:
     records = [record]
     retrievers = {
@@ -132,11 +137,16 @@ async def run_eval(
             embedder, records, k=max(K_VALUES)
         ),
         "late_interaction": LateInteractionRetriever.from_doc_records(
-            embedder, records, k=max(K_VALUES)
+            li_embedder or embedder, records, k=max(K_VALUES)
         ),
     }
+    # serving fuses every enabled arm (RRF); mirror it
     retrievers["ensemble"] = EnsembleRetriever(
-        [retrievers["semantic"], retrievers["bm25"]]
+        [
+            retrievers["semantic"],
+            retrievers["bm25"],
+            retrievers["late_interaction"],
+        ]
     )
 
     # batched mode: all questions in a handful of device dispatches
@@ -217,6 +227,11 @@ def main(argv=None) -> dict:
         "model.safetensors + vocab.txt); default: random weights",
     )
     parser.add_argument(
+        "--li-model-dir",
+        default=None,
+        help="separate checkpoint for the late-interaction arm",
+    )
+    parser.add_argument(
         "--out", default=str(Path(__file__).parent / "out")
     )
     args = parser.parse_args(argv)
@@ -226,11 +241,23 @@ def main(argv=None) -> dict:
         embedder = BgeEmbedder.from_hf_checkpoint(args.model_dir)
     else:
         embedder = make_test_embedder(corpus)
+    li_embedder = (
+        BgeEmbedder.from_hf_checkpoint(args.li_model_dir)
+        if args.li_model_dir
+        else None
+    )
 
-    record, timings = asyncio.run(build_record(corpus, embedder))
-    metrics = asyncio.run(run_eval(corpus, embedder, record))
+    record, timings = asyncio.run(
+        build_record(corpus, embedder, li_embedder)
+    )
+    metrics = asyncio.run(
+        run_eval(corpus, embedder, record, li_embedder)
+    )
     metrics["indexing"] = timings
     metrics["model"] = args.model_dir or "random-weights"
+    metrics["late_interaction_model"] = (
+        args.li_model_dir or metrics["model"]
+    )
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
