@@ -65,5 +65,5 @@ checkpoint:  ## mint the first-party encoder checkpoints (TPU ~25-50 min each)
 	python -m tools.make_checkpoint --out checkpoints/alps-cls-kd \
 		--objective cls --steps 3000 --batch-size 64 --kd-weight 0.7
 	python -m tools.make_checkpoint --out checkpoints/alps-maxsim \
-		--objective maxsim --steps 9000 --batch-size 16 --seq-len 192 \
+		--objective maxsim --steps 25000 --batch-size 16 --seq-len 192 \
 		--kd-weight 1.0 --teacher-temperature 2.0

@@ -268,6 +268,7 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     assert "random" not in str(m["semantic_model"])
     assert "random" not in str(m["late_interaction_model"])
     assert m["bm25"]["recall@7"] >= 0.94
-    assert m["late_interaction"]["recall@7"] >= 0.85
-    assert m["late_interaction"]["recall@1"] >= 0.5
+    assert m["late_interaction"]["recall@7"] >= 0.9
+    assert m["late_interaction"]["recall@1"] >= 0.7
+    assert m["ensemble"]["recall@7"] >= 0.94
     assert m["semantic"]["recall@7"] >= 0.45
