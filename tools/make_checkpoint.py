@@ -169,6 +169,12 @@ def main() -> None:
         "--save-dtype", choices=("float32", "float16"), default="float16"
     )
     parser.add_argument("--kd-weight", type=float, default=0.5)
+    parser.add_argument(
+        "--init-from",
+        default=None,
+        help="warm-start from an existing checkpoint dir (reuses its "
+        "vocab.txt and weights instead of random init)",
+    )
     parser.add_argument("--teacher-temperature", type=float, default=4.0)
     args = parser.parse_args()
 
@@ -189,7 +195,14 @@ def main() -> None:
 
     texts = gather_corpus_chunks()
     print(f"corpus: {len(texts)} chunks", flush=True)
-    train_vocab(texts, args.vocab_size, out_dir)
+    if args.init_from:
+        import shutil
+
+        shutil.copy(
+            Path(args.init_from) / "vocab.txt", out_dir / "vocab.txt"
+        )
+    else:
+        train_vocab(texts, args.vocab_size, out_dir)
     tokenizer = WordPieceTokenizer.from_vocab_file(str(out_dir / "vocab.txt"))
     print(f"vocab: {len(tokenizer.vocab)} tokens", flush=True)
 
@@ -239,8 +252,20 @@ def main() -> None:
 
     config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
     # init on host: eager per-op dispatch on the remote TPU is ~100ms/op
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        params = init_params(jax.random.PRNGKey(args.seed), config)
+    if args.init_from:
+        import json as _json
+
+        from safetensors.numpy import load_file
+
+        from dial_rag_tpu.models.bert import load_hf_weights
+
+        state = load_file(str(Path(args.init_from) / "model.safetensors"))
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = load_hf_weights(state, config)
+        print(f"warm start from {args.init_from}", flush=True)
+    else:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = init_params(jax.random.PRNGKey(args.seed), config)
     params = jax.device_put(params)
 
     train_config = TrainConfig(
