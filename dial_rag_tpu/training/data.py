@@ -105,6 +105,21 @@ def positive_disjoint_stream(
     a negative).
     """
     rng = np.random.default_rng(seed)
+    unique_pos, by_pos, cursors = _group_by_positive(
+        pairs, batch_size, pos_key
+    )
+    stream: list[tuple[str, str]] = []
+    while len(stream) < n_batches * batch_size:
+        chosen = rng.choice(len(unique_pos), size=batch_size, replace=False)
+        for ci in chosen:
+            kp = unique_pos[int(ci)]
+            qps = by_pos[kp]
+            stream.append(qps[cursors[kp] % len(qps)])
+            cursors[kp] += 1
+    return stream[: n_batches * batch_size]
+
+
+def _group_by_positive(pairs, batch_size, pos_key):
     if pos_key is None:
         pos_key = lambda p: p  # noqa: E731
     unique_pos = sorted({pos_key(p) for _, p in pairs})
@@ -121,11 +136,54 @@ def positive_disjoint_stream(
     for q, p in pairs:
         by_pos[pos_key(p)].append((q, p))
     cursors = {kp: 0 for kp in unique_pos}
+    return unique_pos, by_pos, cursors
+
+
+def hard_negative_stream(
+    pairs: list[tuple[str, str]],
+    batch_size: int,
+    n_batches: int,
+    neighbors: dict,
+    seed: int = 0,
+    pos_key=None,
+) -> list[tuple[str, str]]:
+    """Positive-disjoint stream whose batches cluster CONFUSABLE
+    positives (ANCE/DPR-style hard in-batch negatives).
+
+    Random in-batch negatives teach coarse topic separation; retrieval
+    errors live among lexically-similar neighbours. Each batch seeds on
+    one source and fills the rest by sampling ``batch_size - 1`` of the
+    seed's ranked ``neighbors`` (falling back to random sources when the
+    neighbour list runs short), so InfoNCE discriminates among the
+    candidates an index would actually confuse.
+
+    ``neighbors[kp]`` is the seed source key's neighbour keys, hardest
+    first (e.g. BM25 chunk-as-query ranks). Sampling draws from the top
+    ``2 * batch_size`` so consecutive epochs see varied-but-hard batches.
+    """
+    rng = np.random.default_rng(seed)
+    unique_pos, by_pos, cursors = _group_by_positive(
+        pairs, batch_size, pos_key
+    )
+    known = set(unique_pos)
     stream: list[tuple[str, str]] = []
     while len(stream) < n_batches * batch_size:
-        chosen = rng.choice(len(unique_pos), size=batch_size, replace=False)
-        for ci in chosen:
-            kp = unique_pos[int(ci)]
+        seed_kp = unique_pos[int(rng.integers(len(unique_pos)))]
+        cand = [
+            kp
+            for kp in neighbors.get(seed_kp, [])
+            if kp in known and kp != seed_kp
+        ][: 2 * batch_size]
+        take = min(batch_size - 1, len(cand))
+        picked = list(
+            rng.choice(len(cand), size=take, replace=False)
+        ) if take else []
+        chosen = {seed_kp, *(cand[int(i)] for i in picked)}
+        while len(chosen) < batch_size:  # short neighbour list: pad random
+            chosen.add(unique_pos[int(rng.integers(len(unique_pos)))])
+        order = sorted(chosen)
+        rng.shuffle(order)
+        for kp in order:
             qps = by_pos[kp]
             stream.append(qps[cursors[kp] % len(qps)])
             cursors[kp] += 1

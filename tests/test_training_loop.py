@@ -328,3 +328,81 @@ def test_maxsim_pairwise_zero_token_passage_is_finite():
     assert bool(jnp.all(jnp.isfinite(scores)))
     # zero-token passage loses to any real passage for every query
     assert bool(jnp.all(scores[:, 1] < scores[:, 0]))
+
+
+def _clustered_pairs(n_clusters=6, per_cluster=4, queries_per=3):
+    """Synthetic sources arranged in clusters: source key = cluster *
+    per_cluster + member; neighbours = the other members of the same
+    cluster (hardest first by member index)."""
+    pairs, neighbors = [], {}
+    for c in range(n_clusters):
+        members = [c * per_cluster + m for m in range(per_cluster)]
+        for s in members:
+            neighbors[s] = [o for o in members if o != s]
+            for qi in range(queries_per):
+                pairs.append((f"q{s}_{qi}", f"passage{s}"))
+    return pairs, neighbors
+
+
+def test_hard_negative_stream_batches_are_positive_disjoint():
+    from dial_rag_tpu.training.data import hard_negative_stream
+
+    pairs, neighbors = _clustered_pairs()
+    bs, n_batches = 4, 12
+    stream = hard_negative_stream(
+        pairs, bs, n_batches, neighbors, seed=0,
+        pos_key=lambda p: int(p.removeprefix("passage")),
+    )
+    assert len(stream) == bs * n_batches
+    for b in range(n_batches):
+        batch = stream[b * bs : (b + 1) * bs]
+        sources = {p for _, p in batch}
+        assert len(sources) == bs  # no duplicate positives in a batch
+
+
+def test_hard_negative_stream_clusters_batches():
+    """With cluster-structured neighbours and batch_size == cluster
+    size, every batch must be exactly one cluster (the seed plus its
+    neighbours) — the hard-negative construction, not uniform draws."""
+    from dial_rag_tpu.training.data import hard_negative_stream
+
+    pairs, neighbors = _clustered_pairs(n_clusters=6, per_cluster=4)
+    bs, n_batches = 4, 20
+    key = lambda p: int(p.removeprefix("passage"))  # noqa: E731
+    stream = hard_negative_stream(
+        pairs, bs, n_batches, neighbors, seed=1, pos_key=key
+    )
+    for b in range(n_batches):
+        batch = stream[b * bs : (b + 1) * bs]
+        clusters = {key(p) // 4 for _, p in batch}
+        assert len(clusters) == 1
+
+
+def test_hard_negative_stream_pads_short_neighbour_lists():
+    """Sources with no neighbours still form full, positive-disjoint
+    batches (random fill)."""
+    from dial_rag_tpu.training.data import hard_negative_stream
+
+    pairs, _ = _clustered_pairs(n_clusters=3, per_cluster=4)
+    bs, n_batches = 8, 6
+    stream = hard_negative_stream(
+        pairs, bs, n_batches, neighbors={}, seed=2,
+        pos_key=lambda p: int(p.removeprefix("passage")),
+    )
+    assert len(stream) == bs * n_batches
+    for b in range(n_batches):
+        batch = stream[b * bs : (b + 1) * bs]
+        assert len({p for _, p in batch}) == bs
+
+
+def test_hard_negative_stream_rotates_queries_and_is_deterministic():
+    from dial_rag_tpu.training.data import hard_negative_stream
+
+    pairs, neighbors = _clustered_pairs(queries_per=3)
+    key = lambda p: int(p.removeprefix("passage"))  # noqa: E731
+    a = hard_negative_stream(pairs, 4, 30, neighbors, seed=3, pos_key=key)
+    b = hard_negative_stream(pairs, 4, 30, neighbors, seed=3, pos_key=key)
+    assert a == b
+    # every query view of a heavily-drawn source eventually appears
+    qs = {q for q, p in a if key(p) == key(a[0][1])}
+    assert len(qs) == 3

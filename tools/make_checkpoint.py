@@ -155,6 +155,75 @@ def ict_pairs(
     return pairs, view_src.get
 
 
+def maxsim_teacher_scores(
+    model_dir: str,
+    queries: list[str],
+    texts: list[str],
+    qbatch: int = 16,
+) -> np.ndarray:
+    """[Q, N] MaxSim scores of every query against every chunk under a
+    trained late-interaction checkpoint (TCT-ColBERT-style teacher: the
+    token-level model generalizes to paraphrases, and distilling its
+    score distribution into the single CLS vector transfers that — the
+    BM25 teacher alone plateaus the CLS arm at ~0.49 recall@7).
+
+    Everything runs in ONE device dispatch (chunk encode + a lax.scan
+    over query batches with the serving-parity pairwise scorer): only
+    token ids go H2D and only the [Q, N] score matrix comes D2H, which
+    keeps the slow tunnel transfers out of the hot path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.embeddings.embedder import (
+        BgeEmbedder,
+        _token_encode_jit,
+    )
+    from dial_rag_tpu.training.contrastive import maxsim_scores_pairwise
+
+    emb = BgeEmbedder.from_hf_checkpoint(model_dir)
+    p_ids, p_mask = emb.tokenizer.encode_batch(texts, max_len=256)
+    q_ids, q_mask = emb.tokenizer.encode_batch(queries, max_len=64)
+    nq = len(queries)
+    pad = (-nq) % qbatch
+    if pad:
+        q_ids = np.pad(q_ids, ((0, pad), (0, 0)))
+        q_mask = np.pad(q_mask, ((0, pad), (0, 0)))
+    q_ids = q_ids.reshape(-1, qbatch, q_ids.shape[1])
+    q_mask = q_mask.reshape(-1, qbatch, q_mask.shape[1])
+    enc_kw = dict(
+        num_heads=emb.encoder.config.num_heads,
+        compute_dtype=emb.encoder.compute_dtype,
+        attention_impl=emb.encoder.attention_impl,
+        gelu=emb.encoder.gelu,
+    )
+
+    @jax.jit
+    def run(params, p_ids, p_mask, q_ids, q_mask):
+        p_tok = _token_encode_jit(params, p_ids, p_mask, **enc_kw)
+        pm = p_mask.astype(jnp.float32)
+
+        def body(_, qb):
+            ids, mask = qb
+            q_tok = _token_encode_jit(params, ids, mask, **enc_kw)
+            return None, maxsim_scores_pairwise(
+                q_tok, mask.astype(jnp.float32), p_tok, pm
+            )
+
+        _, scores = jax.lax.scan(body, None, (q_ids, q_mask))
+        return scores.reshape(-1, scores.shape[-1])
+
+    print(
+        f"maxsim teacher: scoring {nq} queries x {len(texts)} chunks "
+        f"({model_dir})",
+        flush=True,
+    )
+    scores = np.asarray(
+        run(emb.params, p_ids, p_mask, q_ids, q_mask)
+    )[:nq]
+    return scores
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", required=True)
@@ -176,6 +245,28 @@ def main() -> None:
         "vocab.txt and weights instead of random init)",
     )
     parser.add_argument("--teacher-temperature", type=float, default=4.0)
+    parser.add_argument(
+        "--teacher",
+        choices=("bm25", "maxsim", "mix"),
+        default="bm25",
+        help="distillation teacher: the serving BM25 (lexical), a "
+        "trained late-interaction checkpoint (--li-teacher-dir; "
+        "TCT-ColBERT-style score distillation), or an equal mixture "
+        "of both softened distributions",
+    )
+    parser.add_argument(
+        "--li-teacher-dir",
+        default="checkpoints/alps-maxsim",
+        help="late-interaction checkpoint used when --teacher is "
+        "maxsim/mix",
+    )
+    parser.add_argument(
+        "--hard-negatives",
+        action="store_true",
+        help="build batches from BM25-confusable neighbour chunks "
+        "(ANCE-style hard in-batch negatives) instead of uniform "
+        "positive-disjoint sampling",
+    )
     args = parser.parse_args()
 
     import jax
@@ -217,38 +308,92 @@ def main() -> None:
             f"({n_sources} distinct source chunks)",
             flush=True,
         )
-    stream = positive_disjoint_stream(
-        pairs, args.batch_size, args.steps, seed=args.seed,
-        pos_key=pos_key,
-    )
 
-    teacher = None
-    if args.kd_weight > 0:
-        # lexical distillation: the serving BM25 (keywords-preprocessed,
-        # host scoring) supplies in-batch soft targets. Per-query scores
-        # over ALL chunks are precomputed once; each batch selects its
-        # passages' columns. Passages map to chunks via pos_key (views
-        # share their source chunk's column).
+    bm25 = None
+    if args.hard_negatives or (
+        args.kd_weight > 0 and args.teacher in ("bm25", "mix")
+    ):
         from dial_rag_tpu.index.bm25 import Bm25Index
         from dial_rag_tpu.text import keywords_preprocess
 
         tokenized = [keywords_preprocess(t) for t in texts]
         bm25 = Bm25Index.build(tokenized, device=False)
-        uniq_queries = sorted({q for q, _ in stream})
-        qscore = {
-            q: bm25.get_scores(
-                keywords_preprocess(q[len(prefix):] if prefix else q)
-            )
-            for q in uniq_queries
-        }
-        print(
-            f"BM25 teacher ready ({len(uniq_queries)} unique queries)",
-            flush=True,
+
+    if args.hard_negatives:
+        # each batch = one seed chunk + its most BM25-confusable
+        # neighbours (chunk text as the query), so in-batch negatives
+        # are the candidates an index would actually confuse
+        from dial_rag_tpu.training.data import hard_negative_stream
+
+        neighbors = {}
+        for i, toks in enumerate(tokenized):
+            ranked = np.argsort(bm25.get_scores(toks))[::-1]
+            neighbors[i] = [int(j) for j in ranked if int(j) != i][:128]
+        stream = hard_negative_stream(
+            pairs, args.batch_size, args.steps, neighbors,
+            seed=args.seed, pos_key=pos_key,
+        )
+        print("hard-negative batches (BM25 neighbourhoods)", flush=True)
+    else:
+        stream = positive_disjoint_stream(
+            pairs, args.batch_size, args.steps, seed=args.seed,
+            pos_key=pos_key,
         )
 
-        def teacher(buf):
-            cols = [pos_key(p) for _, p in buf]
-            return np.stack([qscore[q][cols] for q, _ in buf])
+    teacher = None
+    if args.kd_weight > 0:
+        # distillation: per-query scores over ALL chunks are precomputed
+        # once; each batch selects its passages' columns. Passages map
+        # to chunks via pos_key (views share their source chunk's
+        # column).
+        uniq_queries = sorted({q for q, _ in stream})
+        strip = (lambda q: q[len(prefix):]) if prefix else (lambda q: q)
+        qscore = mscore = None
+        if bm25 is not None and args.teacher in ("bm25", "mix"):
+            # lexical teacher: the serving BM25 (keywords-preprocessed,
+            # host scoring)
+            qscore = {
+                q: bm25.get_scores(keywords_preprocess(strip(q)))
+                for q in uniq_queries
+            }
+            print(
+                f"BM25 teacher ready ({len(uniq_queries)} unique queries)",
+                flush=True,
+            )
+        if args.teacher in ("maxsim", "mix"):
+            mat = maxsim_teacher_scores(
+                args.li_teacher_dir,
+                [strip(q) for q in uniq_queries],
+                texts,
+            )
+            mscore = {q: mat[i] for i, q in enumerate(uniq_queries)}
+            print("maxsim teacher ready", flush=True)
+
+        if args.teacher == "mix":
+            # equal mixture of the two softened distributions over the
+            # batch columns; log(p_mix) * T round-trips exactly through
+            # the loss's softmax(scores / T)
+            tt = args.teacher_temperature
+
+            def teacher(buf):
+                cols = [pos_key(p) for _, p in buf]
+                out = []
+                for q, _ in buf:
+                    rows = np.stack(
+                        [qscore[q][cols], mscore[q][cols]]
+                    ) / tt
+                    rows -= rows.max(axis=-1, keepdims=True)
+                    probs = np.exp(rows)
+                    probs /= probs.sum(axis=-1, keepdims=True)
+                    out.append(tt * np.log(probs.mean(axis=0) + 1e-9))
+                return np.stack(out)
+
+        else:
+            score = qscore if args.teacher == "bm25" else mscore
+
+            def teacher(buf):
+                cols = [pos_key(p) for _, p in buf]
+                return np.stack([score[q][cols] for q, _ in buf])
 
     config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
     # init on host: eager per-op dispatch on the remote TPU is ~100ms/op
@@ -317,6 +462,9 @@ def main() -> None:
                     "seq_len": args.seq_len,
                     "learning_rate": args.learning_rate,
                     "kd_weight": args.kd_weight,
+                    "teacher": args.teacher,
+                    "teacher_temperature": args.teacher_temperature,
+                    "hard_negatives": args.hard_negatives,
                     "seed": args.seed,
                     "recipe": "tools/make_checkpoint.py (ICT, no eval questions)",
                 },
