@@ -160,6 +160,119 @@ def _bm25_sparse_topk_batch_kernel(
     return -vals, (n_pad - 1) - idx  # [Q, k]
 
 
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "k", "use_sort"))
+def _bm25_candidate_topk_batch_kernel(
+    rows_dev,
+    vals_dev,
+    starts,  # [Q, T]
+    lens,  # [Q, T]
+    counts,  # [Q, T]
+    n_valid,
+    band_w,  # [n_pad, K]
+    band_q,  # [Q, K]
+    *,
+    n_pad: int,
+    l_pad: int,
+    k: int,
+    use_sort: bool,
+):
+    """Exact banded-sparse top-k WITHOUT the [N]-size scatter-add.
+
+    TPU scatter serializes ~per posting (~2.6 ms/query at 1M items under
+    the Zipf stress corpus). But BM25 term weights are strictly positive
+    (the idf epsilon floor keeps even common terms > 0), so adding tail
+    postings can only RAISE a row's band score — which pins the exact
+    top-k inside a small candidate set:
+
+        true top-k  ⊆  (band-only top-k)  ∪  (rows touched by the tail)
+
+    (an untouched row outranked by k rows on band scores is still
+    outranked when nonnegative tail mass is added). So instead of
+    scattering P = T*L postings into [N] and ranking N rows, rank the
+    P + k candidates directly:
+
+    - band-only [Q, k] via the usual flipped-stable dense kernel;
+    - per-posting totals via per-term binary search over the gathered
+      (sorted) posting slices — duplicates across terms sum exactly,
+      and only the FIRST representation of a row stays canonical;
+    - appended band candidates reuse the same scan: their first-hit
+      term == T means untouched (keep: total is the band score), < T
+      means touched (drop: already represented with the full total);
+    - final (score desc, row desc) rank via a 2-key lax.sort — the
+      reference's later-index-wins tie-break without relying on array
+      position.
+
+    Requires a band (callers fall back to the scatter kernel when no
+    band was built — without a dense [N] vector there is no exact
+    band-only top-k to seed the candidates).
+    """
+    q_n, t_pad = starts.shape
+    # band-only scores + flipped-stable top-k (same semantics as
+    # _bm25_topk_batch_kernel)
+    bscores = jnp.dot(
+        band_w,
+        band_q.T,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )  # [n_pad, Q]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
+    masked = jnp.where(row[:, None] < n_valid, bscores, -jnp.inf)
+    flipped = jnp.flip(-masked, axis=0)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    _, a_idx = jax.vmap(lambda col: topk(col, k))(flipped.T)
+    a_idx = (n_pad - 1) - a_idx  # [Q, k] band-only top-k rows
+
+    p = t_pad * l_pad
+
+    def one(st, ln, cn, bcol, a_i):
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, l_pad), 1)
+        idx = st[:, None] + l_iota
+        valid = l_iota < ln[:, None]
+        idx = jnp.clip(idx, 0, rows_dev.shape[0] - 1)
+        g_rows = jnp.where(valid, rows_dev[idx], n_pad)  # sorted per term
+        g_vals = jnp.where(valid, vals_dev[idx] * cn[:, None], 0.0)
+        cand_rows = jnp.concatenate([g_rows.reshape(-1), a_i])  # [P+k]
+        own_t = jnp.concatenate(
+            [
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (t_pad, l_pad), 0
+                ).reshape(-1),
+                jnp.full((k,), t_pad, jnp.int32),
+            ]
+        )
+
+        def per_term(carry, term):
+            tot, first = carry
+            t_idx, r_t, v_t = term
+            pos = jnp.clip(
+                jnp.searchsorted(r_t, cand_rows), 0, l_pad - 1
+            )
+            hit = (r_t[pos] == cand_rows) & (cand_rows < n_pad)
+            tot = tot + jnp.where(hit, v_t[pos], 0.0)
+            first = jnp.minimum(
+                first, jnp.where(hit, t_idx, t_pad)
+            )
+            return (tot, first), None
+
+        (tot, first), _ = jax.lax.scan(
+            per_term,
+            (
+                jnp.zeros(p + k, jnp.float32),
+                jnp.full((p + k,), t_pad, jnp.int32),
+            ),
+            (jnp.arange(t_pad, dtype=jnp.int32), g_rows, g_vals),
+        )
+        canonical = (first == own_t) & (cand_rows < n_valid)
+        scores = tot + bcol[jnp.clip(cand_rows, 0, n_pad - 1)]
+        scores = jnp.where(canonical, scores, -jnp.inf)
+        s_neg, _, s_rows = jax.lax.sort(
+            (-scores, -cand_rows, cand_rows), num_keys=2
+        )
+        return -s_neg[:k], s_rows[:k]
+
+    return jax.vmap(one)(starts, lens, counts, bscores.T, a_idx)
+
+
 @partial(jax.jit, static_argnames=("k", "use_sort"))
 def _bm25_topk_from_scores_kernel(scores, n_valid, *, k: int, use_sort: bool):
     """Reference-exact descending top-k over precomputed scores."""
@@ -506,23 +619,43 @@ class Bm25Index:
                 starts[qi, j] = term_ptr[tid]
                 lens[qi, j] = term_ptr[tid + 1] - term_ptr[tid]
                 cnts[qi, j] = c
-        band_arg = (
-            jnp.asarray(band_mat) if band_mat is not None else None
-        )
-        _, idx = _bm25_sparse_topk_batch_kernel(
-            self._postings[1],
-            self._postings[2],
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(cnts),
-            jnp.int32(self.n_items),
-            self._band_dev,
-            band_arg,
-            n_pad=self._n_pad,
-            l_pad=l_pad,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+        if self._band_dev is not None:
+            # candidate-set ranking: the strictly-positive tail weights
+            # pin the exact top-k inside (band-only top-k) ∪ (touched
+            # rows), so no [N]-size scatter is dispatched at all
+            if band_mat is None:
+                band_mat = np.zeros(
+                    (q_pad, self._band_dev.shape[1]), dtype=np.float32
+                )
+            _, idx = _bm25_candidate_topk_batch_kernel(
+                self._postings[1],
+                self._postings[2],
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(cnts),
+                jnp.int32(self.n_items),
+                self._band_dev,
+                jnp.asarray(band_mat),
+                n_pad=self._n_pad,
+                l_pad=l_pad,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+        else:
+            _, idx = _bm25_sparse_topk_batch_kernel(
+                self._postings[1],
+                self._postings[2],
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(cnts),
+                jnp.int32(self.n_items),
+                None,
+                None,
+                n_pad=self._n_pad,
+                l_pad=l_pad,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         idx = np.asarray(idx)
         return [idx[i] for i in range(q)]
 

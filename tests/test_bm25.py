@@ -282,3 +282,41 @@ def test_sparse_dense_band_activates_and_stays_exact():
     got = banded.top_n_batch(queries, 5)
     for q, g in zip(queries, got):
         np.testing.assert_array_equal(g, plain.top_n(q, 5))
+
+
+def test_candidate_topk_kernel_exact_vs_host_argsort():
+    """The candidate-set banded kernel (no [N] scatter) must reproduce
+    the host reference ``np.argsort(scores, kind='stable')[::-1][:k]``
+    exactly — including later-wins ties from duplicated items, rows
+    touched by several query terms, repeated query terms, and queries
+    with zero tail terms."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(23)
+    base = [
+        [f"w{int(x)}" for x in rng.integers(0, 120, size=8)]
+        for _ in range(300)
+    ]
+    # duplicated items => exact score ties whose order is contractual
+    items = base + base[:40] + [["common", "w1"]] * 25
+    items = [(["common"] if i % 3 else []) + it for i, it in enumerate(items)]
+    banded = Bm25Index.build(items, max_dense_bytes=0)
+    host = Bm25Index.build(items, max_dense_bytes=0, device=False)
+    assert banded._band_dev is not None and banded._postings is not None
+
+    queries = [
+        ["common", "w1", "w1", "w2"],  # band + repeated tail terms
+        ["common"],  # band-only (zero tail terms)
+        ["w1", "w2", "w3", "w4", "w5"],  # tail-only
+        ["w117", "w118", "zzz-oov"],  # rare + OOV
+        ["zzz-oov"],  # all-OOV: pure tie on 0.0 scores
+    ]
+    for k in (5, 12):
+        got = banded.top_n_batch(queries, k)
+        for q, g in zip(queries, got):
+            scores = host.get_scores(q)
+            want = np.argsort(scores, kind="stable")[::-1][:k]
+            np.testing.assert_array_equal(g, want)
+            np.testing.assert_array_equal(banded.top_n(q, k), want)
