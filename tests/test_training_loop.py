@@ -406,3 +406,25 @@ def test_hard_negative_stream_rotates_queries_and_is_deterministic():
     # every query view of a heavily-drawn source eventually appears
     qs = {q for q, p in a if key(p) == key(a[0][1])}
     assert len(qs) == 3
+
+
+def test_mix_teacher_row_roundtrips_through_loss_softmax():
+    """softmax(mix_teacher_row(a, b, tt) / tt) must equal the equal
+    mixture of the two softened teacher distributions — the invariant
+    that lets multi-teacher KD reuse the single-teacher loss path."""
+    from tools.make_checkpoint import mix_teacher_row
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=16).astype(np.float32) * 5
+    b = rng.normal(size=16).astype(np.float32) * 5
+    tt = 2.0
+    mixed = mix_teacher_row(a, b, tt)
+
+    def soft(x):
+        e = np.exp((x - x.max()) / tt)
+        return e / e.sum()
+
+    want = 0.5 * (soft(a) + soft(b))
+    got = np.exp((mixed - mixed.max()) / tt)
+    got /= got.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)

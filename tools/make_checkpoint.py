@@ -155,6 +155,22 @@ def ict_pairs(
     return pairs, view_src.get
 
 
+def mix_teacher_row(row_a: np.ndarray, row_b: np.ndarray, tt: float):
+    """Combine two teachers' raw in-batch score rows into ONE score row
+    whose softened distribution is the equal mixture of theirs.
+
+    The KD loss computes ``softmax(teacher_scores / tt)``; passing
+    ``tt * log(0.5*softmax(a/tt) + 0.5*softmax(b/tt))`` round-trips the
+    mixture exactly (softmax of a log-probability vector is the
+    probability vector), so no loss change is needed for multi-teacher
+    distillation."""
+    rows = np.stack([row_a, row_b]).astype(np.float64) / tt
+    rows -= rows.max(axis=-1, keepdims=True)
+    probs = np.exp(rows)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    return (tt * np.log(probs.mean(axis=0) + 1e-12)).astype(np.float32)
+
+
 def maxsim_teacher_scores(
     model_dir: str,
     queries: list[str],
@@ -370,23 +386,16 @@ def main() -> None:
             print("maxsim teacher ready", flush=True)
 
         if args.teacher == "mix":
-            # equal mixture of the two softened distributions over the
-            # batch columns; log(p_mix) * T round-trips exactly through
-            # the loss's softmax(scores / T)
             tt = args.teacher_temperature
 
             def teacher(buf):
                 cols = [pos_key(p) for _, p in buf]
-                out = []
-                for q, _ in buf:
-                    rows = np.stack(
-                        [qscore[q][cols], mscore[q][cols]]
-                    ) / tt
-                    rows -= rows.max(axis=-1, keepdims=True)
-                    probs = np.exp(rows)
-                    probs /= probs.sum(axis=-1, keepdims=True)
-                    out.append(tt * np.log(probs.mean(axis=0) + 1e-9))
-                return np.stack(out)
+                return np.stack(
+                    [
+                        mix_teacher_row(qscore[q][cols], mscore[q][cols], tt)
+                        for q, _ in buf
+                    ]
+                )
 
         else:
             score = qscore if args.teacher == "bm25" else mscore
