@@ -74,21 +74,43 @@ def _bm25_topk_kernel(weights, query_vec, n_valid, *, k: int, use_sort: bool):
     return -vals, (n_pad - 1) - idx
 
 
+# Fixed virtual-slice width for the CSC tail. Query prep splits every
+# term's posting range into <= _VSLICE-length windows, so (a) the
+# posting load is a run of lax.dynamic_slice reads — measured 10.8x
+# faster than the equivalent arbitrary-index gather on TPU, whose
+# lowering cannot see that the indices are contiguous; (b) scatter
+# padding waste is bounded by _VSLICE per term instead of by the
+# LONGEST posting list in the query; (c) l_pad is a constant, so the
+# jit cache stops growing per distinct posting-length bucket. Postings
+# arrays are zero-padded by _VSLICE at build time so slices never
+# clamp (a clamped dynamic_slice would silently shift the window).
+_VSLICE = 2048
+
+
 def _sparse_scores(rows_dev, vals_dev, starts, lens, counts, *, n_pad, l_pad):
-    """Gather the query terms' posting slices from the HBM-resident CSC
-    arrays and scatter-add into item scores. Masked (padding) entries
-    route to the extra slot n_pad; per-query host->device traffic is just
-    the [t_pad] starts/lens/counts vectors."""
-    t_pad = starts.shape[0]
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, l_pad), 1)
-    idx = starts[:, None] + l_iota
-    valid = l_iota < lens[:, None]
-    idx = jnp.clip(idx, 0, rows_dev.shape[0] - 1)
-    g_rows = jnp.where(valid, rows_dev[idx], n_pad)
-    g_vals = jnp.where(valid, vals_dev[idx] * counts[:, None], 0.0)
-    scores = jnp.zeros(n_pad + 1, dtype=jnp.float32)
-    scores = scores.at[g_rows.reshape(-1)].add(g_vals.reshape(-1))
-    return scores[:n_pad]
+    """Score the query's virtual posting slices into [n_pad] items:
+    a scan of dynamic-slice loads + scatter-adds. Entries beyond a
+    slice's length load a neighbouring term's postings but contribute
+    exactly 0.0 (x + 0.0 == x for the nonnegative BM25 weights, so
+    masked adds are exact); per-query host->device traffic is just the
+    [t_pad] starts/lens/counts vectors."""
+    iota = jax.lax.iota(jnp.int32, l_pad)
+
+    def per_slice(acc, term):
+        s, ln, c = term
+        r = jax.lax.dynamic_slice(rows_dev, (s,), (l_pad,))
+        v = jax.lax.dynamic_slice(vals_dev, (s,), (l_pad,))
+        v = jnp.where(iota < ln, v * c, 0.0)
+        return acc.at[r].add(v), None
+
+    # The zero-mul term pins the carry's varying-manual-axes type to the
+    # inputs' so the same scan traces both under plain jit and inside a
+    # shard_map body (a plain zeros carry is unvarying there and scan
+    # rejects the carry type mismatch); vals_dev is finite, so the added
+    # term is exactly 0.0.
+    acc0 = jnp.zeros(n_pad, dtype=jnp.float32) + vals_dev[0] * 0.0
+    scores, _ = jax.lax.scan(per_slice, acc0, (starts, lens, counts))
+    return scores
 
 
 @partial(jax.jit, static_argnames=("n_pad", "l_pad"))
@@ -98,6 +120,34 @@ def _bm25_sparse_scores_kernel(
     return _sparse_scores(
         rows_dev, vals_dev, starts, lens, counts, n_pad=n_pad, l_pad=l_pad
     )
+
+
+@partial(jax.jit, static_argnames=("n_pad", "l_pad"))
+def _bm25_sparse_banded_scores_kernel(
+    rows_dev,
+    vals_dev,
+    starts,
+    lens,
+    counts,
+    band_w,
+    band_q,
+    *,
+    n_pad: int,
+    l_pad: int,
+):
+    """Single-query [n_pad] scores: tail virtual slices + the dense
+    band matvec, fused into one dispatch."""
+    scores = _sparse_scores(
+        rows_dev, vals_dev, starts, lens, counts, n_pad=n_pad, l_pad=l_pad
+    )
+    if band_w is not None and band_q is not None:
+        scores = scores + jnp.dot(
+            band_w,
+            band_q,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION,
+        )
+    return scores
 
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
@@ -158,119 +208,6 @@ def _bm25_sparse_topk_batch_kernel(
     topk = stable_topk_sort if use_sort else stable_topk_argmin
     vals, idx = jax.vmap(lambda srow: topk(srow, k))(flipped)
     return -vals, (n_pad - 1) - idx  # [Q, k]
-
-
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "k", "use_sort"))
-def _bm25_candidate_topk_batch_kernel(
-    rows_dev,
-    vals_dev,
-    starts,  # [Q, T]
-    lens,  # [Q, T]
-    counts,  # [Q, T]
-    n_valid,
-    band_w,  # [n_pad, K]
-    band_q,  # [Q, K]
-    *,
-    n_pad: int,
-    l_pad: int,
-    k: int,
-    use_sort: bool,
-):
-    """Exact banded-sparse top-k WITHOUT the [N]-size scatter-add.
-
-    TPU scatter serializes ~per posting (~2.6 ms/query at 1M items under
-    the Zipf stress corpus). But BM25 term weights are strictly positive
-    (the idf epsilon floor keeps even common terms > 0), so adding tail
-    postings can only RAISE a row's band score — which pins the exact
-    top-k inside a small candidate set:
-
-        true top-k  ⊆  (band-only top-k)  ∪  (rows touched by the tail)
-
-    (an untouched row outranked by k rows on band scores is still
-    outranked when nonnegative tail mass is added). So instead of
-    scattering P = T*L postings into [N] and ranking N rows, rank the
-    P + k candidates directly:
-
-    - band-only [Q, k] via the usual flipped-stable dense kernel;
-    - per-posting totals via per-term binary search over the gathered
-      (sorted) posting slices — duplicates across terms sum exactly,
-      and only the FIRST representation of a row stays canonical;
-    - appended band candidates reuse the same scan: their first-hit
-      term == T means untouched (keep: total is the band score), < T
-      means touched (drop: already represented with the full total);
-    - final (score desc, row desc) rank via a 2-key lax.sort — the
-      reference's later-index-wins tie-break without relying on array
-      position.
-
-    Requires a band (callers fall back to the scatter kernel when no
-    band was built — without a dense [N] vector there is no exact
-    band-only top-k to seed the candidates).
-    """
-    q_n, t_pad = starts.shape
-    # band-only scores + flipped-stable top-k (same semantics as
-    # _bm25_topk_batch_kernel)
-    bscores = jnp.dot(
-        band_w,
-        band_q.T,
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION,
-    )  # [n_pad, Q]
-    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
-    masked = jnp.where(row[:, None] < n_valid, bscores, -jnp.inf)
-    flipped = jnp.flip(-masked, axis=0)
-    topk = stable_topk_sort if use_sort else stable_topk_argmin
-    _, a_idx = jax.vmap(lambda col: topk(col, k))(flipped.T)
-    a_idx = (n_pad - 1) - a_idx  # [Q, k] band-only top-k rows
-
-    p = t_pad * l_pad
-
-    def one(st, ln, cn, bcol, a_i):
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, l_pad), 1)
-        idx = st[:, None] + l_iota
-        valid = l_iota < ln[:, None]
-        idx = jnp.clip(idx, 0, rows_dev.shape[0] - 1)
-        g_rows = jnp.where(valid, rows_dev[idx], n_pad)  # sorted per term
-        g_vals = jnp.where(valid, vals_dev[idx] * cn[:, None], 0.0)
-        cand_rows = jnp.concatenate([g_rows.reshape(-1), a_i])  # [P+k]
-        own_t = jnp.concatenate(
-            [
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (t_pad, l_pad), 0
-                ).reshape(-1),
-                jnp.full((k,), t_pad, jnp.int32),
-            ]
-        )
-
-        def per_term(carry, term):
-            tot, first = carry
-            t_idx, r_t, v_t = term
-            pos = jnp.clip(
-                jnp.searchsorted(r_t, cand_rows), 0, l_pad - 1
-            )
-            hit = (r_t[pos] == cand_rows) & (cand_rows < n_pad)
-            tot = tot + jnp.where(hit, v_t[pos], 0.0)
-            first = jnp.minimum(
-                first, jnp.where(hit, t_idx, t_pad)
-            )
-            return (tot, first), None
-
-        (tot, first), _ = jax.lax.scan(
-            per_term,
-            (
-                jnp.zeros(p + k, jnp.float32),
-                jnp.full((p + k,), t_pad, jnp.int32),
-            ),
-            (jnp.arange(t_pad, dtype=jnp.int32), g_rows, g_vals),
-        )
-        canonical = (first == own_t) & (cand_rows < n_valid)
-        scores = tot + bcol[jnp.clip(cand_rows, 0, n_pad - 1)]
-        scores = jnp.where(canonical, scores, -jnp.inf)
-        s_neg, _, s_rows = jax.lax.sort(
-            (-scores, -cand_rows, cand_rows), num_keys=2
-        )
-        return -s_neg[:k], s_rows[:k]
-
-    return jax.vmap(one)(starts, lens, counts, bscores.T, a_idx)
 
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
@@ -423,15 +360,21 @@ class Bm25Index:
                     [np.array(x, dtype=np.float32) for x in per_term_vals]
                 )
             else:
-                # all terms went to the band; keep 1 dummy posting so
-                # the gather's index clip stays well-defined
-                rows_flat = np.zeros(1, dtype=np.int32)
-                vals_flat = np.zeros(1, dtype=np.float32)
+                # all terms went to the band
+                rows_flat = np.zeros(0, dtype=np.int32)
+                vals_flat = np.zeros(0, dtype=np.float32)
             if device:
+                # zero-pad by a full virtual slice so dynamic_slice
+                # loads never clamp (row 0 / weight 0.0 entries add
+                # exactly nothing wherever they land)
                 index._postings = (
                     term_ptr,
-                    jnp.asarray(rows_flat),
-                    jnp.asarray(vals_flat),
+                    jnp.asarray(
+                        np.pad(rows_flat, (0, _VSLICE))
+                    ),
+                    jnp.asarray(
+                        np.pad(vals_flat, (0, _VSLICE))
+                    ),
                 )
             else:
                 index._postings_host = (term_ptr, rows_flat, vals_flat)
@@ -463,57 +406,50 @@ class Bm25Index:
                     band_q[col] = counts.pop(tid)
         return counts, band_q
 
-    def _query_term_groups(self, counts: dict[int, int]):
-        """Unique in-vocab TAIL terms grouped by posting-length bucket,
-        so one long-posting term cannot inflate the padded work of
-        every other term. Yields (starts, lens, counts, l_pad) per
-        bucket; each group's arrays are padded to a pow2 term count."""
+    def _query_vslices(self, counts: dict[int, int]):
+        """(starts, lens, counts) of the query TAIL terms' posting
+        ranges split into fixed <=_VSLICE windows (padded to a pow2
+        slice count). Fixed-width slices keep the device read a
+        dynamic-slice run, bound padding waste per term, and keep
+        l_pad — hence the jit cache — constant."""
         term_ptr = self._postings[0]
-        by_bucket: dict[int, list[int]] = {}
+        vslices: list[tuple[int, int, int]] = []
         for tid in sorted(counts):
-            length = int(term_ptr[tid + 1] - term_ptr[tid])
-            by_bucket.setdefault(_next_pow2(max(length, 1)), []).append(tid)
-        groups = []
-        for l_pad in sorted(by_bucket):
-            tids = by_bucket[l_pad]
-            t_pad = _next_pow2(len(tids))
-            starts = np.zeros(t_pad, dtype=np.int32)
-            lens = np.zeros(t_pad, dtype=np.int32)
-            cnt = np.zeros(t_pad, dtype=np.float32)
-            for j, tid in enumerate(tids):
-                starts[j] = term_ptr[tid]
-                lens[j] = term_ptr[tid + 1] - term_ptr[tid]
-                cnt[j] = counts[tid]
-            groups.append((starts, lens, cnt, l_pad))
-        return groups
+            s = int(term_ptr[tid])
+            e = int(term_ptr[tid + 1])
+            c = counts[tid]
+            while s < e:
+                vslices.append((s, min(_VSLICE, e - s), c))
+                s += _VSLICE
+        t_pad = _next_pow2(max(len(vslices), 1))
+        starts = np.zeros(t_pad, dtype=np.int32)
+        lens = np.zeros(t_pad, dtype=np.int32)
+        cnt = np.zeros(t_pad, dtype=np.float32)
+        for j, (s, ln, c) in enumerate(vslices):
+            starts[j] = s
+            lens[j] = ln
+            cnt[j] = c
+        return starts, lens, cnt
 
     def _sparse_total_scores(self, query_tokens: list[str]):
-        """Device [n_pad] scores: dense-band matvec + scatter-add over
-        the tail term-length groups."""
+        """Device [n_pad] scores in ONE dispatch: dense-band matvec +
+        dynamic-slice scatter over the tail's virtual slices."""
         _, rows_dev, vals_dev = self._postings
         counts, band_q = self._query_counts(query_tokens)
-        total = None
-        if band_q is not None and band_q.any():
-            total = jnp.dot(
-                self._band_dev,
-                jnp.asarray(band_q),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
-            )
-        for starts, lens, cnt, l_pad in self._query_term_groups(counts):
-            scores = _bm25_sparse_scores_kernel(
-                rows_dev,
-                vals_dev,
-                jnp.asarray(starts),
-                jnp.asarray(lens),
-                jnp.asarray(cnt),
-                n_pad=self._n_pad,
-                l_pad=l_pad,
-            )
-            total = scores if total is None else total + scores
-        if total is None:
-            total = jnp.zeros(self._n_pad, dtype=jnp.float32)
-        return total
+        if not counts and (band_q is None or not band_q.any()):
+            return jnp.zeros(self._n_pad, dtype=jnp.float32)
+        starts, lens, cnt = self._query_vslices(counts)
+        return _bm25_sparse_banded_scores_kernel(
+            rows_dev,
+            vals_dev,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnt),
+            self._band_dev,
+            jnp.asarray(band_q) if band_q is not None else None,
+            n_pad=self._n_pad,
+            l_pad=_VSLICE,
+        )
 
     @property
     def _n_pad(self) -> int:
@@ -583,11 +519,9 @@ class Bm25Index:
             )
             idx = np.asarray(idx)
             return [idx[i] for i in range(q)]
-        # device CSC postings: all queries in one vmapped dispatch with
-        # common (T, L) padding over the TAIL terms (the per-query path
-        # pays one dispatch per posting-length bucket); band terms ride
-        # one extra MXU matmul
-        term_ptr = self._postings[0]
+        # device CSC postings: all queries in one vmapped dispatch over
+        # common [q_pad, t_pad] virtual-slice tables (l_pad is the
+        # constant _VSLICE); band terms ride one extra MXU matmul
         per_query = []
         band_mat = None
         for qi, toks in enumerate(queries_tokens):
@@ -602,60 +536,31 @@ class Bm25Index:
                         dtype=np.float32,
                     )
                 band_mat[qi] = band_q
-            per_query.append(sorted(counts.items()))
-        t_pad = _next_pow2(max((len(pq) for pq in per_query), default=1))
-        l_max = 1
-        for pq in per_query:
-            for tid, _ in pq:
-                l_max = max(l_max, int(term_ptr[tid + 1] - term_ptr[tid]))
-        l_pad = _next_pow2(l_max)
+            per_query.append(self._query_vslices(counts))
+        t_pad = max(pq[0].shape[0] for pq in per_query)
         q = len(queries_tokens)
         q_pad = _next_pow2(q)
         starts = np.zeros((q_pad, t_pad), dtype=np.int32)
         lens = np.zeros((q_pad, t_pad), dtype=np.int32)
         cnts = np.zeros((q_pad, t_pad), dtype=np.float32)
-        for qi, pq in enumerate(per_query):
-            for j, (tid, c) in enumerate(pq):
-                starts[qi, j] = term_ptr[tid]
-                lens[qi, j] = term_ptr[tid + 1] - term_ptr[tid]
-                cnts[qi, j] = c
-        if self._band_dev is not None:
-            # candidate-set ranking: the strictly-positive tail weights
-            # pin the exact top-k inside (band-only top-k) ∪ (touched
-            # rows), so no [N]-size scatter is dispatched at all
-            if band_mat is None:
-                band_mat = np.zeros(
-                    (q_pad, self._band_dev.shape[1]), dtype=np.float32
-                )
-            _, idx = _bm25_candidate_topk_batch_kernel(
-                self._postings[1],
-                self._postings[2],
-                jnp.asarray(starts),
-                jnp.asarray(lens),
-                jnp.asarray(cnts),
-                jnp.int32(self.n_items),
-                self._band_dev,
-                jnp.asarray(band_mat),
-                n_pad=self._n_pad,
-                l_pad=l_pad,
-                k=k,
-                use_sort=k > _ARGMIN_MAX_K,
-            )
-        else:
-            _, idx = _bm25_sparse_topk_batch_kernel(
-                self._postings[1],
-                self._postings[2],
-                jnp.asarray(starts),
-                jnp.asarray(lens),
-                jnp.asarray(cnts),
-                jnp.int32(self.n_items),
-                None,
-                None,
-                n_pad=self._n_pad,
-                l_pad=l_pad,
-                k=k,
-                use_sort=k > _ARGMIN_MAX_K,
-            )
+        for qi, (st, ln, cn) in enumerate(per_query):
+            starts[qi, : st.shape[0]] = st
+            lens[qi, : ln.shape[0]] = ln
+            cnts[qi, : cn.shape[0]] = cn
+        _, idx = _bm25_sparse_topk_batch_kernel(
+            self._postings[1],
+            self._postings[2],
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(cnts),
+            jnp.int32(self.n_items),
+            self._band_dev,
+            jnp.asarray(band_mat) if band_mat is not None else None,
+            n_pad=self._n_pad,
+            l_pad=_VSLICE,
+            k=k,
+            use_sort=k > _ARGMIN_MAX_K,
+        )
         idx = np.asarray(idx)
         return [idx[i] for i in range(q)]
 

@@ -472,7 +472,7 @@ def _sharded_bm25_sparse_topk_kernel(
     vals_sh,  # [n_shards, nnz_pad] f32 saturation weights
     starts_sh,  # [n_shards, t_pad] i32 into the shard's postings
     lens_sh,  # [n_shards, t_pad] i32
-    counts,  # [t_pad] f32 query term counts (replicated)
+    counts,  # [n_shards, t_pad] f32 per-slice count multipliers
     n_valid,  # i32 global real item count
     band_sh=None,  # [n_shards, rows_per_shard, K] dense band weights
     band_q=None,  # [K] band term counts (replicated)
@@ -503,7 +503,7 @@ def _sharded_bm25_sparse_topk_kernel(
             vals_l[0],
             starts[0],
             lens[0],
-            counts,
+            counts[0],
             n_pad=rows_per_shard,
             l_pad=l_pad,
         )
@@ -529,7 +529,7 @@ def _sharded_bm25_sparse_topk_kernel(
         P("idx", None),
         P("idx", None),
         P("idx", None),
-        P(),
+        P("idx", None),
         P(),
     ]
     args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
@@ -561,7 +561,7 @@ def _sharded_bm25_sparse_topk_batch_kernel(
     vals_sh,  # [n_shards, nnz_pad]
     starts_sh,  # [n_shards, Q, t_pad]
     lens_sh,  # [n_shards, Q, t_pad]
-    counts,  # [Q, t_pad] (replicated)
+    counts,  # [n_shards, Q, t_pad] per-slice count multipliers
     n_valid,
     band_sh=None,  # [n_shards, rows_per_shard, K]
     band_q=None,  # [Q, K] (replicated)
@@ -618,12 +618,12 @@ def _sharded_bm25_sparse_topk_batch_kernel(
 
         if band_scores is not None:
             vals, rev, grow = jax.vmap(per_query)(
-                starts[0], lens[0], counts, band_scores
+                starts[0], lens[0], counts[0], band_scores
             )
         else:
             vals, rev, grow = jax.vmap(
                 lambda a, b, c: per_query(a, b, c, None)
-            )(starts[0], lens[0], counts)
+            )(starts[0], lens[0], counts[0])
         return vals[None], rev[None], grow[None]
 
     in_specs = [
@@ -631,7 +631,7 @@ def _sharded_bm25_sparse_topk_batch_kernel(
         P("idx", None),
         P("idx", None, None),
         P("idx", None, None),
-        P(),
+        P("idx", None, None),
         P(),
     ]
     args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
@@ -645,7 +645,7 @@ def _sharded_bm25_sparse_topk_batch_kernel(
         out_specs=(P("idx"), P("idx"), P("idx")),
     )(*args)
 
-    q = counts.shape[0]
+    q = counts.shape[1]
     flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
     flat_rev = rev.transpose(1, 0, 2).reshape(q, -1)
     flat_row = grow.transpose(1, 0, 2).reshape(q, -1)
@@ -674,7 +674,7 @@ def _sharded_bm25_sparse_scores_kernel(
             vals_l[0],
             starts[0],
             lens[0],
-            counts,
+            counts[0],
             n_pad=rows_per_shard,
             l_pad=l_pad,
         )
@@ -692,7 +692,7 @@ def _sharded_bm25_sparse_scores_kernel(
         P("idx", None),
         P("idx", None),
         P("idx", None),
-        P(),
+        P("idx", None),
     ]
     args = [rows_sh, vals_sh, starts_sh, lens_sh, counts]
     if band_sh is not None:
@@ -799,7 +799,12 @@ class ShardedBm25SparseIndex:
         np.add.at(counts, (shard_of, term_of), 1)
         term_ptr_s = np.zeros((n_shards, v + 1), dtype=np.int64)
         np.cumsum(counts, axis=1, out=term_ptr_s[:, 1:])
-        nnz_pad = max(8, int(term_ptr_s[:, -1].max()))
+        from dial_rag_tpu.index.bm25 import _VSLICE
+
+        # +_VSLICE so the fixed-width virtual-slice dynamic_slice loads
+        # never clamp (mirrors the single-chip build padding); padding
+        # rows point at local row 0 with weight 0.0 — exact no-ops.
+        nnz_pad = int(term_ptr_s[:, -1].max()) + _VSLICE
         rows_sh = np.zeros((n_shards, nnz_pad), dtype=np.int32)
         vals_sh = np.zeros((n_shards, nnz_pad), dtype=np.float32)
         for s in range(n_shards):
@@ -826,10 +831,15 @@ class ShardedBm25SparseIndex:
         return self._rows_sh.size * 4 + self._vals_sh.size * 4 + band
 
     def _query_slices(self, query_tokens: list[str]):
-        """(starts [S, T], lens [S, T], counts [T], l_pad, band_q) for
-        the query's unique in-vocab terms, padded to pow2 T; band terms
-        ride the [K] count vector instead of the slice tables."""
-        from dial_rag_tpu.index.bm25 import _next_pow2
+        """(starts [S, T], lens [S, T], counts [S, T], l_pad, band_q)
+        for the query's unique in-vocab tail terms, split per shard
+        into fixed <=_VSLICE posting windows (see index/bm25.py: the
+        dynamic-slice load is ~10x a gather, padding waste is bounded
+        per term, and l_pad — hence the jit cache — stays constant);
+        band terms ride the [K] count vector instead of the tables.
+        Slice counts differ per shard, so the count multipliers are a
+        sharded [S, T] table, not a replicated vector."""
+        from dial_rag_tpu.index.bm25 import _VSLICE, _next_pow2
 
         counts: dict[int, int] = {}
         for t in query_tokens:
@@ -843,20 +853,28 @@ class ShardedBm25SparseIndex:
                 col = self._band_cols.get(tid)
                 if col is not None:
                     band_q[col] = counts.pop(tid)
-        tids = sorted(counts)
         n_shards = self._mesh.devices.size
-        t_pad = _next_pow2(max(len(tids), 1))
+        per_shard: list[list[tuple[int, int, int]]] = [
+            [] for _ in range(n_shards)
+        ]
+        for tid in sorted(counts):
+            c = counts[tid]
+            for s in range(n_shards):
+                a = int(self._term_ptr_s[s, tid])
+                b = int(self._term_ptr_s[s, tid + 1])
+                while a < b:
+                    per_shard[s].append((a, min(_VSLICE, b - a), c))
+                    a += _VSLICE
+        t_pad = _next_pow2(max((len(x) for x in per_shard), default=1))
         starts = np.zeros((n_shards, t_pad), dtype=np.int32)
         lens = np.zeros((n_shards, t_pad), dtype=np.int32)
-        cnt = np.zeros(t_pad, dtype=np.float32)
-        for j, tid in enumerate(tids):
-            starts[:, j] = self._term_ptr_s[:, tid]
-            lens[:, j] = (
-                self._term_ptr_s[:, tid + 1] - self._term_ptr_s[:, tid]
-            )
-            cnt[j] = counts[tid]
-        l_pad = _next_pow2(max(int(lens.max()) if tids else 1, 1))
-        return starts, lens, cnt, l_pad, band_q
+        cnt = np.zeros((n_shards, t_pad), dtype=np.float32)
+        for s, sl in enumerate(per_shard):
+            for j, (a, ln, c) in enumerate(sl):
+                starts[s, j] = a
+                lens[s, j] = ln
+                cnt[s, j] = c
+        return starts, lens, cnt, _VSLICE, band_q
 
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
         starts, lens, cnt, l_pad, band_q = self._query_slices(
@@ -921,7 +939,7 @@ class ShardedBm25SparseIndex:
         n_shards = self._mesh.devices.size
         starts = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
         lens = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
-        counts = np.zeros((q_pad, t_pad), dtype=np.float32)
+        counts = np.zeros((n_shards, q_pad, t_pad), dtype=np.float32)
         band_mat = (
             np.zeros((q_pad, self._band_sh.shape[2]), dtype=np.float32)
             if self._band_sh is not None
@@ -931,7 +949,7 @@ class ShardedBm25SparseIndex:
             t = st.shape[1]
             starts[:, qi, :t] = st
             lens[:, qi, :t] = ln
-            counts[qi, :t] = cn
+            counts[:, qi, :t] = cn
             if bq is not None:
                 band_mat[qi] = bq
         _, idx = _sharded_bm25_sparse_topk_batch_kernel(

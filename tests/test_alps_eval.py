@@ -271,4 +271,5 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     assert m["late_interaction"]["recall@7"] >= 0.9
     assert m["late_interaction"]["recall@1"] >= 0.7
     assert m["ensemble"]["recall@7"] >= 0.94
-    assert m["semantic"]["recall@7"] >= 0.45
+    assert m["semantic"]["recall@7"] >= 0.55
+    assert m["semantic"]["recall@1"] >= 0.35

@@ -284,9 +284,9 @@ def test_sparse_dense_band_activates_and_stays_exact():
         np.testing.assert_array_equal(g, plain.top_n(q, 5))
 
 
-def test_candidate_topk_kernel_exact_vs_host_argsort():
-    """The candidate-set banded kernel (no [N] scatter) must reproduce
-    the host reference ``np.argsort(scores, kind='stable')[::-1][:k]``
+def test_banded_sparse_topk_exact_vs_host_argsort():
+    """The banded virtual-slice kernels must reproduce the host
+    reference ``np.argsort(scores, kind='stable')[::-1][:k]``
     exactly — including later-wins ties from duplicated items, rows
     touched by several query terms, repeated query terms, and queries
     with zero tail terms."""
@@ -320,3 +320,41 @@ def test_candidate_topk_kernel_exact_vs_host_argsort():
             want = np.argsort(scores, kind="stable")[::-1][:k]
             np.testing.assert_array_equal(g, want)
             np.testing.assert_array_equal(banded.top_n(q, k), want)
+
+
+def test_virtual_slice_split_over_long_posting_lists():
+    """A tail term whose posting list exceeds _VSLICE splits into
+    multiple fixed-width virtual slices at query prep; scores and
+    rankings must match the host path exactly across the split (the
+    band is disabled so the long list cannot hide there)."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import _VSLICE, Bm25Index
+
+    rng = np.random.default_rng(31)
+    n = _VSLICE * 2 + 513  # 'common' df spans >2 full slices + a stub
+    items = [
+        ["common"] + [f"w{int(x)}" for x in rng.integers(0, 50, size=3)]
+        for _ in range(n)
+    ]
+    items[5] += ["common", "common"]  # tf>1 inside slice 0
+    items[_VSLICE + 7] += ["common"]  # tf>1 inside slice 1
+    sparse = Bm25Index.build(items, max_dense_bytes=0, max_band_bytes=0)
+    host = Bm25Index.build(
+        items, max_dense_bytes=0, max_band_bytes=0, device=False
+    )
+    assert sparse._band_dev is None
+    term_ptr = sparse._postings[0]
+    tid = sparse.vocab["common"]
+    assert int(term_ptr[tid + 1] - term_ptr[tid]) > 2 * _VSLICE
+
+    for q in (["common"], ["common", "common", "w3"], ["w7", "common"]):
+        np.testing.assert_allclose(
+            sparse.get_scores(q), host.get_scores(q), rtol=1e-5, atol=1e-6
+        )
+        want = np.argsort(host.get_scores(q), kind="stable")[::-1][:9]
+        np.testing.assert_array_equal(sparse.top_n(q, 9), want)
+    got = sparse.top_n_batch([["common", "w1"], ["w2"]], 6)
+    for q, g in zip([["common", "w1"], ["w2"]], got):
+        want = np.argsort(host.get_scores(q), kind="stable")[::-1][:6]
+        np.testing.assert_array_equal(g, want)

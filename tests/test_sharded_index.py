@@ -299,9 +299,13 @@ def test_sharded_sparse_bm25_batch_matches_sequential(mesh):
         mesh,
         limit=7,
     )
+    # 9 queries: q_pad (16) must differ from the mesh size (8) so a
+    # query-axis/shard-axis mixup cannot cancel out in the reshape
     queries = [["alps"], ["climate", "glacier", "climate"],
                ["missing-word"], ["snow", "river", "pass"],
-               ["cadibona", "boundary"]]
+               ["cadibona", "boundary"], ["valley"],
+               ["peak", "peak"], ["glacier", "snow"],
+               ["river", "cadibona", "alps"]]
     batched = sharded.top_n_batch(queries, 7)
     assert len(batched) == len(queries)
     for got, toks in zip(batched, queries):
