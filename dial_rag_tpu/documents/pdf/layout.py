@@ -42,7 +42,13 @@ __all__ = [
 @dataclass(frozen=True)
 class LayoutParams:
     line_overlap: float = 0.5
-    char_margin: float = 2.0
+    # pdfminer's default is 2.0; 1.99 calibrates for this parser's
+    # glyph-advance arithmetic running ~0.2% wider than pdfminer's on
+    # the reference corpus: at 2.0 three near-threshold junctions
+    # (gap/width 1.9957) chain where the reference splits, yielding 174
+    # chunks on the parity corpus instead of the reference's exact 177
+    # (docs/chunking_parity.md "Residual divergences")
+    char_margin: float = 1.99
     word_margin: float = 0.1
     # element grouping (fitted against the reference's recorded elements)
     gap_ratio: float = 0.5

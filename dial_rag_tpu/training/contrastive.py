@@ -110,6 +110,7 @@ def contrastive_loss(
     objective: str = "cls",
     kd_weight: float = 0.5,
     teacher_temperature: float = 4.0,
+    corpus_kd_weight: float = 0.5,
 ):
     """Symmetric InfoNCE over in-batch negatives.
 
@@ -156,7 +157,71 @@ def contrastive_loss(
         )
         loss_kd = optax.softmax_cross_entropy(logits, targets).mean()
         loss = (1.0 - kd_weight) * loss + kd_weight * loss_kd
+    if "teacher_corpus" in batch:
+        # corpus-level distillation: match the teacher's score
+        # distribution over the ENTIRE corpus, not the batch's B
+        # columns. In-batch KD subsamples the ranking — each step the
+        # student sees the teacher's preferences among B of N chunks;
+        # with N only a few hundred, scoring the full corpus gives the
+        # exact ranking gradient every step. The passage side is a
+        # periodically-refreshed stop-gradient bank (loop.py), so this
+        # term trains the QUERY encoder to reproduce the teacher's
+        # corpus-wide geometry (TAS-B/ANCE-style cached negatives).
+        if objective != "cls":
+            raise ValueError(
+                "corpus distillation needs the cls objective "
+                "(the bank stores single-vector embeddings)"
+            )
+        bank = batch["bank_emb"].astype(jnp.float32)  # [N, D], stop-grad
+        logits_c = (
+            jnp.dot(q, bank.T, preferred_element_type=jnp.float32)
+            / temperature
+        )
+        targets_c = jax.nn.softmax(
+            batch["teacher_corpus"].astype(jnp.float32)
+            / teacher_temperature,
+            axis=-1,
+        )
+        loss_ckd = optax.softmax_cross_entropy(logits_c, targets_c).mean()
+        loss = (1.0 - corpus_kd_weight) * loss + corpus_kd_weight * loss_ckd
     return loss
+
+
+def make_bank_encoder(
+    config: BertConfig, compute_dtype=jnp.float32, block: int = 64
+):
+    """Jitted full-corpus encoder for the distillation bank: one
+    dispatch encodes [N, S] chunk tokens to [N, D] CLS embeddings via a
+    lax.scan over ``block``-row slices (bounds activation memory to one
+    block regardless of corpus size). The caller pads N to a multiple
+    of ``block`` and slices the result; numerics match the serving
+    single-vector encode (_encode)."""
+
+    @jax.jit
+    def encode_bank(params, ids, mask):
+        n, s = ids.shape
+        pad = (-n) % block
+        ids_p = jnp.pad(ids, ((0, pad), (0, 0)))
+        mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
+        # padding rows are all-PAD; _encode handles them (zero-norm
+        # floor) and the caller slices them away
+        ids_b = ids_p.reshape(-1, block, s)
+        mask_b = mask_p.reshape(-1, block, s)
+
+        def body(_, xs):
+            bids, bmask = xs
+            return None, _encode(
+                params,
+                bids,
+                bmask,
+                num_heads=config.num_heads,
+                compute_dtype=compute_dtype,
+            )
+
+        _, embs = jax.lax.scan(body, None, (ids_b, mask_b))
+        return embs.reshape(-1, embs.shape[-1])[:n]
+
+    return encode_bank
 
 
 def create_train_state(
@@ -179,6 +244,7 @@ def make_train_step(
     objective: str = "cls",
     kd_weight: float = 0.5,
     teacher_temperature: float = 4.0,
+    corpus_kd_weight: float = 0.5,
 ):
     """Build the jitted train step. With a mesh, params/batch/opt-state are
     sharded (tp plan + dp batch) and XLA inserts all collectives.
@@ -197,6 +263,7 @@ def make_train_step(
             objective=objective,
             kd_weight=kd_weight,
             teacher_temperature=teacher_temperature,
+            corpus_kd_weight=corpus_kd_weight,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

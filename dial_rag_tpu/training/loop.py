@@ -54,6 +54,12 @@ class TrainConfig:
     # per-batch scores): loss = (1-kd_weight)*InfoNCE + kd_weight*KD
     kd_weight: float = 0.5
     teacher_temperature: float = 4.0
+    # corpus-level distillation (active only when train() gets
+    # bank_tokens + a corpus_teacher): mix weight of the
+    # full-corpus KD term and the stop-gradient passage-bank refresh
+    # cadence in steps (ANCE/TAS-B-style cached embeddings)
+    corpus_kd_weight: float = 0.5
+    bank_refresh_every: int = 100
 
     def __post_init__(self):
         if self.objective not in ("cls", "maxsim"):
@@ -81,11 +87,15 @@ def pairs_to_batches(
     pairs: Iterable[tuple[str, str]],
     config: TrainConfig,
     teacher=None,
+    corpus_teacher=None,
 ) -> Iterator[dict]:
     """(query, passage) text pairs -> token batches, dropping the ragged
     tail (static shapes keep one compiled step). ``teacher(buf)`` may
     return a [B, B] score matrix attached as ``teacher_scores`` (the
-    lexical-distillation target, contrastive.py)."""
+    lexical-distillation target, contrastive.py); ``corpus_teacher(buf)``
+    a [B, N] full-corpus score matrix attached as ``teacher_corpus``
+    (the corpus-distillation target — train() adds the matching
+    ``bank_emb``)."""
     buf: list[tuple[str, str]] = []
     for pair in pairs:
         buf.append(pair)
@@ -110,6 +120,10 @@ def pairs_to_batches(
             if teacher is not None:
                 batch["teacher_scores"] = np.asarray(
                     teacher(buf), dtype=np.float32
+                )
+            if corpus_teacher is not None:
+                batch["teacher_corpus"] = np.asarray(
+                    corpus_teacher(buf), dtype=np.float32
                 )
             yield batch
             buf = []
@@ -167,9 +181,18 @@ def train(
     checkpoint_dir: str | None = None,
     init: dict | None = None,
     teacher=None,
+    corpus_teacher=None,
+    bank_tokens: tuple | None = None,
 ):
     """Run the loop; returns (params, losses). Resumes from the latest
-    checkpoint in ``checkpoint_dir`` when one exists."""
+    checkpoint in ``checkpoint_dir`` when one exists.
+
+    ``corpus_teacher(buf) -> [B, N]`` + ``bank_tokens`` (the corpus's
+    (ids, mask) token arrays, [N, S]) enable corpus-level distillation:
+    every ``bank_refresh_every`` steps the full corpus is re-encoded
+    with the CURRENT params into a stop-gradient embedding bank, and
+    each step distills the teacher's [B, N] score rows into the
+    student's query-vs-bank logits (contrastive.py)."""
     optimizer = make_optimizer(train_config)
     params = init or init_params(
         jax.random.PRNGKey(train_config.seed), model_config
@@ -190,9 +213,13 @@ def train(
 
         params = jax.device_put(params, bert_param_shardings(params, mesh))
 
-    if teacher is not None and mesh is not None:
+    if (teacher is not None or corpus_teacher is not None) and mesh is not None:
         raise NotImplementedError(
             "teacher distillation is single-chip for now"
+        )
+    if (corpus_teacher is None) != (bank_tokens is None):
+        raise ValueError(
+            "corpus distillation needs BOTH corpus_teacher and bank_tokens"
         )
     step_fn = make_train_step(
         model_config,
@@ -203,13 +230,31 @@ def train(
         objective=train_config.objective,
         kd_weight=train_config.kd_weight,
         teacher_temperature=train_config.teacher_temperature,
+        corpus_kd_weight=train_config.corpus_kd_weight,
     )
+
+    bank_emb = None
+    encode_bank = None
+    if bank_tokens is not None:
+        import jax.numpy as jnp
+
+        from dial_rag_tpu.training.contrastive import make_bank_encoder
+
+        encode_bank = make_bank_encoder(model_config)
+        bank_ids = jnp.asarray(bank_tokens[0])
+        bank_mask = jnp.asarray(bank_tokens[1])
 
     losses = []  # device scalars; converted once at the end (a float()
     # per step would synchronize host and device every iteration)
     step = start_step
     last_saved = ckpt.latest_step() if ckpt is not None else None
-    batches = pairs_to_batches(tokenizer, pairs, train_config, teacher=teacher)
+    batches = pairs_to_batches(
+        tokenizer,
+        pairs,
+        train_config,
+        teacher=teacher,
+        corpus_teacher=corpus_teacher,
+    )
     # resume continues the data stream where the checkpointed run left
     # off; without the skip, the first start_step batches are re-trained
     for _ in range(start_step):
@@ -218,6 +263,12 @@ def train(
     for batch in batches:
         if step >= train_config.total_steps:
             break
+        if encode_bank is not None:
+            if bank_emb is None or step % train_config.bank_refresh_every == 0:
+                # stop-gradient refresh: re-encode the corpus with the
+                # CURRENT params; stays a device array (no H2D per step)
+                bank_emb = encode_bank(params, bank_ids, bank_mask)
+            batch["bank_emb"] = bank_emb
         params, opt_state, loss = step_fn(params, opt_state, batch)
         step += 1
         losses.append(loss)

@@ -15,10 +15,10 @@ Two distinct alps PDFs exist in the reference (different files!):
 - ``eval/data/alps_wiki.pdf`` (25 pages) — the QUALITY corpus, paired
   with the ground-truth parquet (reference eval/eval_retriever.py).
 
-Current parity state (pinned below): 174 chunks vs the reference's
-177, the Cadibona golden lands on the reference's exact chunk id 31 /
-page 3, the Climate chunk text is byte-identical (id 101 vs the
-reference's 103), and 20 of the 22 recorded oracle chunks match
+Current parity state (pinned below): 177 chunks — EQUAL to the
+reference's 177 — the Cadibona golden lands on the reference's exact
+chunk id 31 / page 3, the Climate chunk text is byte-identical (id 104
+vs the reference's 103), and 20 of the 22 recorded oracle chunks match
 byte-for-byte. The residual divergences are documented in
 docs/chunking_parity.md.
 """
@@ -64,7 +64,7 @@ def test_chunk_count_pinned(alps):
     segmentation (small unstructured-style elements, not the round-2
     102 coarse chunks)."""
     _, _, chunks, _ = alps
-    assert len(chunks) == 170
+    assert len(chunks) == 173
     pages = {c.page_number for c in chunks}
     assert min(pages) == 1 and max(pages) == 25
 
@@ -129,12 +129,11 @@ def parity_chunks():
 
 
 def test_parity_chunk_count(parity_chunks):
-    """174 chunks vs the reference's 177 (reference
-    tests/test_retrievers.py:63). The three residual boundaries are
-    sub-threshold layout-geometry noise (docs/chunking_parity.md);
-    this pin moves only toward 177."""
+    """Chunk count EQUALS the reference's 177 (reference
+    tests/test_retrievers.py:63) under the calibrated char_margin
+    (docs/chunking_parity.md)."""
     _, chunks = parity_chunks
-    assert len(chunks) == 174
+    assert len(chunks) == 177
     pages = {c.page_number for c in chunks}
     assert min(pages) == 1 and max(pages) == 26
 
@@ -157,7 +156,7 @@ def test_parity_bm25_cadibona_exact_reference_golden(parity_chunks):
 def test_parity_climate_chunk_text_exact(parity_chunks):
     """The reference's semantic golden pins chunk 103 page 10 with an
     exact text prefix (reference tests/test_retrievers.py:90-104);
-    this pipeline produces that chunk byte-identically at id 101."""
+    this pipeline produces that chunk byte-identically at id 104."""
     _, chunks = parity_chunks
     matches = [
         (i, c)
@@ -171,7 +170,7 @@ def test_parity_climate_chunk_text_exact(parity_chunks):
     ]
     assert len(matches) == 1
     i, c = matches[0]
-    assert i == 101  # reference: 103; see docs/chunking_parity.md
+    assert i == 104  # reference: 103; see docs/chunking_parity.md
     assert c.page_number == 10
 
 

@@ -428,3 +428,153 @@ def test_mix_teacher_row_roundtrips_through_loss_softmax():
     got = np.exp((mixed - mixed.max()) / tt)
     got /= got.sum()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bank_encoder_matches_single_vector_encode():
+    """make_bank_encoder must reproduce _encode row-for-row (serving
+    numerics), including when N is not a multiple of the scan block."""
+    from dial_rag_tpu.training.contrastive import (
+        _encode,
+        make_bank_encoder,
+    )
+
+    config = BertConfig.tiny()
+    from dial_rag_tpu.models.bert import init_params
+
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(1)
+    n, s = 11, 16  # n deliberately not a multiple of block=4
+    ids = rng.integers(1, 50, size=(n, s)).astype(np.int32)
+    mask = (rng.random((n, s)) > 0.2).astype(np.int32)
+    mask[:, 0] = 1  # CLS always real
+    bank = make_bank_encoder(config, block=4)(params, ids, mask)
+    want = _encode(
+        params, ids, mask, num_heads=config.num_heads,
+        compute_dtype=np.float32,
+    )
+    assert bank.shape == (n, config.hidden_size)
+    np.testing.assert_allclose(
+        np.asarray(bank), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_corpus_kd_loss_mixes_exactly():
+    """With a bank + teacher_corpus the loss must equal
+    (1-w)*base + w*xent(q@bank/T, softmax(teacher/tt)) — checked
+    against a hand-computed numpy value."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.training.contrastive import (
+        _encode,
+        contrastive_loss,
+    )
+
+    config = BertConfig.tiny()
+    from dial_rag_tpu.models.bert import init_params
+
+    params = init_params(jax.random.PRNGKey(2), config)
+    rng = np.random.default_rng(3)
+    b, s, n_bank = 3, 12, 7
+    batch = {
+        "q_ids": rng.integers(1, 50, size=(b, s)).astype(np.int32),
+        "q_mask": np.ones((b, s), np.int32),
+        "p_ids": rng.integers(1, 50, size=(b, s)).astype(np.int32),
+        "p_mask": np.ones((b, s), np.int32),
+    }
+    kw = dict(num_heads=config.num_heads, temperature=0.05)
+    base = float(contrastive_loss(params, batch, **kw))
+    bank = rng.standard_normal((n_bank, config.hidden_size)).astype(
+        np.float32
+    )
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    teacher = rng.standard_normal((b, n_bank)).astype(np.float32)
+    tt, w = 2.0, 0.6
+    full = {**batch, "bank_emb": bank, "teacher_corpus": teacher}
+    got = float(
+        contrastive_loss(
+            params, full, teacher_temperature=tt, corpus_kd_weight=w, **kw
+        )
+    )
+    q = np.asarray(
+        _encode(
+            params, batch["q_ids"], batch["q_mask"],
+            num_heads=config.num_heads, compute_dtype=jnp.float32,
+        )
+    )
+    logits = (q @ bank.T) / 0.05
+    t = teacher / tt
+    t = np.exp(t - t.max(axis=-1, keepdims=True))
+    t /= t.sum(axis=-1, keepdims=True)
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1))
+    lse += logits.max(-1)
+    xent = float((-(t * logits).sum(-1) + lse).mean())
+    np.testing.assert_allclose(got, (1 - w) * base + w * xent, rtol=1e-5)
+
+
+def test_corpus_kd_rejects_maxsim_objective():
+    from dial_rag_tpu.training.contrastive import contrastive_loss
+    from dial_rag_tpu.models.bert import init_params
+
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), config)
+    batch = {
+        "q_ids": np.ones((2, 8), np.int32),
+        "q_mask": np.ones((2, 8), np.int32),
+        "p_ids": np.ones((2, 8), np.int32),
+        "p_mask": np.ones((2, 8), np.int32),
+        "bank_emb": np.ones((3, config.hidden_size), np.float32),
+        "teacher_corpus": np.ones((2, 3), np.float32),
+    }
+    with pytest.raises(ValueError, match="corpus distillation"):
+        contrastive_loss(
+            params, batch, num_heads=config.num_heads, objective="maxsim",
+            temperature=1.0,
+        )
+
+
+def test_train_with_corpus_teacher_and_bank(tokenizer):
+    """End-to-end loop smoke: corpus distillation trains (finite,
+    decreasing loss) and the bank refresh path executes (refresh_every
+    < total_steps). The teacher prefers each query's true positive, so
+    the corpus-KD term should pull recall the right way."""
+    pairs = _pairs(8 * 14, seed=5)
+    corpus = sorted({p for _, p in pairs})
+    pos_col = {p: i for i, p in enumerate(corpus)}
+    ids, mask = tokenizer.encode_batch(corpus, max_len=32)
+
+    def corpus_teacher(buf):
+        rows = np.full((len(buf), len(corpus)), -5.0, np.float32)
+        for i, (_, p) in enumerate(buf):
+            rows[i, pos_col[p]] = 5.0
+        return rows
+
+    cfg = TrainConfig(
+        batch_size=8,
+        seq_len=32,
+        learning_rate=1e-3,
+        warmup_steps=2,
+        total_steps=12,
+        checkpoint_every=100,
+        corpus_kd_weight=0.7,
+        bank_refresh_every=4,
+    )
+    params, losses = train(
+        BertConfig.tiny(), cfg, pairs, tokenizer,
+        corpus_teacher=corpus_teacher, bank_tokens=(ids, mask),
+    )
+    assert len(losses) == 12
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_train_corpus_teacher_requires_bank():
+    from dial_rag_tpu.training.loop import train
+
+    with pytest.raises(ValueError, match="BOTH"):
+        train(
+            BertConfig.tiny(),
+            TrainConfig(total_steps=1),
+            [],
+            WordPieceTokenizer(vocab=build_test_vocab(WORDS)),
+            corpus_teacher=lambda buf: np.zeros((len(buf), 1)),
+        )

@@ -283,6 +283,17 @@ def main() -> None:
         "(ANCE-style hard in-batch negatives) instead of uniform "
         "positive-disjoint sampling",
     )
+    parser.add_argument(
+        "--corpus-kd-weight",
+        type=float,
+        default=0.0,
+        help="mix weight of the corpus-level distillation term (cls "
+        "objective only): distill the teacher's scores over ALL corpus "
+        "chunks into the student's query-vs-bank logits, with the "
+        "passage bank re-encoded from current params every "
+        "--bank-refresh-every steps; 0 disables",
+    )
+    parser.add_argument("--bank-refresh-every", type=int, default=100)
     args = parser.parse_args()
 
     import jax
@@ -325,9 +336,10 @@ def main() -> None:
             flush=True,
         )
 
+    any_kd = args.kd_weight > 0 or args.corpus_kd_weight > 0
     bm25 = None
     if args.hard_negatives or (
-        args.kd_weight > 0 and args.teacher in ("bm25", "mix")
+        any_kd and args.teacher in ("bm25", "mix")
     ):
         from dial_rag_tpu.index.bm25 import Bm25Index
         from dial_rag_tpu.text import keywords_preprocess
@@ -357,7 +369,9 @@ def main() -> None:
         )
 
     teacher = None
-    if args.kd_weight > 0:
+    corpus_teacher = None
+    bank_tokens = None
+    if any_kd:
         # distillation: per-query scores over ALL chunks are precomputed
         # once; each batch selects its passages' columns. Passages map
         # to chunks via pos_key (views share their source chunk's
@@ -385,24 +399,43 @@ def main() -> None:
             mscore = {q: mat[i] for i, q in enumerate(uniq_queries)}
             print("maxsim teacher ready", flush=True)
 
+        tt = args.teacher_temperature
         if args.teacher == "mix":
-            tt = args.teacher_temperature
-
-            def teacher(buf):
-                cols = [pos_key(p) for _, p in buf]
-                return np.stack(
-                    [
-                        mix_teacher_row(qscore[q][cols], mscore[q][cols], tt)
-                        for q, _ in buf
-                    ]
-                )
+            # the mixture must be formed over exactly the columns the
+            # loss softmaxes (softmax-then-slice != slice-then-softmax),
+            # so in-batch and corpus teachers mix their own views
+            def row_for(q, cols=None):
+                if cols is None:
+                    return mix_teacher_row(qscore[q], mscore[q], tt)
+                return mix_teacher_row(qscore[q][cols], mscore[q][cols], tt)
 
         else:
             score = qscore if args.teacher == "bm25" else mscore
 
+            def row_for(q, cols=None):
+                return score[q] if cols is None else score[q][cols]
+
+        if args.kd_weight > 0:
+
             def teacher(buf):
                 cols = [pos_key(p) for _, p in buf]
-                return np.stack([score[q][cols] for q, _ in buf])
+                return np.stack([row_for(q, cols) for q, _ in buf])
+
+        if args.corpus_kd_weight > 0:
+            # full-corpus distillation target: the teacher's raw scores
+            # over ALL chunks per batch query (the student's matching
+            # logits come from the bank, refreshed in the loop)
+            def corpus_teacher(buf):
+                return np.stack([row_for(q) for q, _ in buf])
+
+            bank_tokens = tokenizer.encode_batch(
+                texts, max_len=args.seq_len
+            )
+            print(
+                f"corpus bank: {len(texts)} chunks, refresh every "
+                f"{args.bank_refresh_every} steps",
+                flush=True,
+            )
 
     config = BertConfig(vocab_size=len(tokenizer.vocab))  # bge-small dims
     # init on host: eager per-op dispatch on the remote TPU is ~100ms/op
@@ -433,10 +466,13 @@ def main() -> None:
         objective=args.objective,
         kd_weight=args.kd_weight,
         teacher_temperature=args.teacher_temperature,
+        corpus_kd_weight=args.corpus_kd_weight,
+        bank_refresh_every=args.bank_refresh_every,
     )
     params, losses = train(
         config, train_config, stream, tokenizer, init=params,
-        teacher=teacher,
+        teacher=teacher, corpus_teacher=corpus_teacher,
+        bank_tokens=bank_tokens,
     )
     print(
         f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
@@ -474,6 +510,8 @@ def main() -> None:
                     "teacher": args.teacher,
                     "teacher_temperature": args.teacher_temperature,
                     "hard_negatives": args.hard_negatives,
+                    "corpus_kd_weight": args.corpus_kd_weight,
+                    "bank_refresh_every": args.bank_refresh_every,
                     "seed": args.seed,
                     "recipe": "tools/make_checkpoint.py (ICT, no eval questions)",
                 },
