@@ -272,3 +272,21 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     assert m["ensemble"]["recall@7"] >= 0.94
     assert m["semantic"]["recall@7"] >= 0.55
     assert m["semantic"]["recall@1"] >= 0.35
+
+
+def test_published_synthetic_artifact_is_real_and_meets_floors():
+    """eval/out/metrics.json (synthetic corpus) must also carry
+    trained-model provenance and meet measured floors — a plain
+    ``eval_retriever`` run without --model-dir writes random-weight
+    rows into the same path, which must never be committed (round-2
+    review: no random-weight rows posing as quality numbers)."""
+    artifact = Path(__file__).parent.parent / "eval" / "out" / "metrics.json"
+    if not artifact.is_file():
+        pytest.skip("eval artifact not generated")
+    m = json.load(open(artifact))
+    assert m.get("model"), "missing semantic checkpoint provenance"
+    assert m.get("late_interaction_model"), "missing LI provenance"
+    assert m["bm25"]["recall@1"] >= 0.99
+    assert m["semantic"]["recall@7"] >= 0.7
+    assert m["late_interaction"]["recall@7"] >= 0.9
+    assert m["ensemble"]["recall@7"] >= 0.98
