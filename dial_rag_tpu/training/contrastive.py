@@ -172,7 +172,18 @@ def contrastive_loss(
                 "corpus distillation needs the cls objective "
                 "(the bank stores single-vector embeddings)"
             )
-        bank = batch["bank_emb"].astype(jnp.float32)  # [N, D], stop-grad
+        bank = jnp.asarray(batch["bank_emb"], jnp.float32)  # [N, D], stop-grad
+        if "bank_cols" in batch:
+            # live columns (XBM-style): replace the batch positives'
+            # bank rows with the CURRENT differentiable passage
+            # embeddings. Without this the corpus term gives the doc
+            # side zero gradient and class separability hinges on the
+            # frozen bank's spread — random-init CLS embeddings are
+            # near-collinear, so the pure stop-grad term plateaus
+            # (measured: held-out recall@1 0.33 vs 0.94 InfoNCE on the
+            # mechanism probe). Positive-disjoint batches guarantee
+            # unique columns.
+            bank = bank.at[batch["bank_cols"]].set(p)
         logits_c = (
             jnp.dot(q, bank.T, preferred_element_type=jnp.float32)
             / temperature

@@ -122,8 +122,16 @@ def pairs_to_batches(
                     teacher(buf), dtype=np.float32
                 )
             if corpus_teacher is not None:
+                rows = corpus_teacher(buf)
+                if isinstance(rows, tuple):
+                    # (teacher_rows [B, N], live column ids [B]): the
+                    # columns let the loss scatter the batch's live
+                    # passage embeddings into the bank (doc-side
+                    # gradient — see contrastive.py)
+                    rows, cols = rows
+                    batch["bank_cols"] = np.asarray(cols, dtype=np.int32)
                 batch["teacher_corpus"] = np.asarray(
-                    corpus_teacher(buf), dtype=np.float32
+                    rows, dtype=np.float32
                 )
             yield batch
             buf = []

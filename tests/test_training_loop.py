@@ -578,3 +578,66 @@ def test_train_corpus_teacher_requires_bank():
             WordPieceTokenizer(vocab=build_test_vocab(WORDS)),
             corpus_teacher=lambda buf: np.zeros((len(buf), 1)),
         )
+
+
+def test_corpus_kd_live_columns_scatter_exact():
+    """With bank_cols the loss must score queries against the bank with
+    the batch positives' columns REPLACED by the live passage
+    embeddings — equal to hand-scattering p into the bank."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.training.contrastive import (
+        _encode,
+        contrastive_loss,
+    )
+    from dial_rag_tpu.models.bert import init_params
+
+    config = BertConfig.tiny()
+    params = init_params(jax.random.PRNGKey(4), config)
+    rng = np.random.default_rng(5)
+    b, s, n_bank = 3, 12, 7
+    batch = {
+        "q_ids": rng.integers(1, 50, size=(b, s)).astype(np.int32),
+        "q_mask": np.ones((b, s), np.int32),
+        "p_ids": rng.integers(1, 50, size=(b, s)).astype(np.int32),
+        "p_mask": np.ones((b, s), np.int32),
+    }
+    bank = rng.standard_normal((n_bank, config.hidden_size)).astype(
+        np.float32
+    )
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    teacher = rng.standard_normal((b, n_bank)).astype(np.float32)
+    cols = np.array([5, 0, 2], np.int32)
+    kw = dict(num_heads=config.num_heads, temperature=0.05,
+              teacher_temperature=2.0, corpus_kd_weight=1.0)
+    live = float(contrastive_loss(
+        params,
+        {**batch, "bank_emb": bank, "teacher_corpus": teacher,
+         "bank_cols": cols},
+        **kw,
+    ))
+    p = np.asarray(_encode(
+        params, batch["p_ids"], batch["p_mask"],
+        num_heads=config.num_heads, compute_dtype=jnp.float32,
+    ))
+    scattered = bank.copy()
+    scattered[cols] = p
+    manual = float(contrastive_loss(
+        params,
+        {**batch, "bank_emb": scattered, "teacher_corpus": teacher},
+        **kw,
+    ))
+    np.testing.assert_allclose(live, manual, rtol=1e-6)
+    # and the doc side must actually receive gradient through the
+    # live columns (the stop-grad bank alone gives it none)
+    def loss_of(params):
+        return contrastive_loss(
+            params,
+            {**batch, "bank_emb": bank, "teacher_corpus": teacher,
+             "bank_cols": cols},
+            **kw,
+        )
+
+    grads = jax.grad(loss_of)(params)
+    leaf = jax.tree_util.tree_leaves(grads)[0]
+    assert float(np.abs(np.asarray(leaf)).max()) > 0

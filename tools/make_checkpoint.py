@@ -423,10 +423,16 @@ def main() -> None:
 
         if args.corpus_kd_weight > 0:
             # full-corpus distillation target: the teacher's raw scores
-            # over ALL chunks per batch query (the student's matching
-            # logits come from the bank, refreshed in the loop)
+            # over ALL chunks per batch query. The student's matching
+            # logits come from the bank (refreshed in the loop) with the
+            # batch positives' columns replaced by LIVE passage
+            # embeddings (doc-side gradient; contrastive.py)
             def corpus_teacher(buf):
-                return np.stack([row_for(q) for q, _ in buf])
+                rows = np.stack([row_for(q) for q, _ in buf])
+                cols = np.asarray(
+                    [pos_key(p) for _, p in buf], dtype=np.int32
+                )
+                return rows, cols
 
             bank_tokens = tokenizer.encode_batch(
                 texts, max_len=args.seq_len
