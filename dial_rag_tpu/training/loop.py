@@ -64,6 +64,11 @@ class TrainConfig:
     def __post_init__(self):
         if self.objective not in ("cls", "maxsim"):
             raise ValueError(f"unknown objective {self.objective!r}")
+        if self.bank_refresh_every < 1:
+            raise ValueError(
+                "bank_refresh_every must be >= 1 (the bank is encoded "
+                "at step 0 and re-encoded every bank_refresh_every steps)"
+            )
         if self.temperature is None:
             object.__setattr__(
                 self,
@@ -129,7 +134,18 @@ def pairs_to_batches(
                     # passage embeddings into the bank (doc-side
                     # gradient — see contrastive.py)
                     rows, cols = rows
-                    batch["bank_cols"] = np.asarray(cols, dtype=np.int32)
+                    cols = np.asarray(cols, dtype=np.int32)
+                    if len(np.unique(cols)) != len(cols):
+                        # duplicate columns would make the live scatter
+                        # keep an arbitrary competing row — silent wrong
+                        # gradients. Positive-disjoint batches guarantee
+                        # uniqueness; reject anything else loudly.
+                        raise ValueError(
+                            "corpus_teacher returned duplicate bank "
+                            "columns in one batch; build batches "
+                            "positive-disjoint at pos_key granularity"
+                        )
+                    batch["bank_cols"] = cols
                 batch["teacher_corpus"] = np.asarray(
                     rows, dtype=np.float32
                 )

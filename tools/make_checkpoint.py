@@ -295,6 +295,13 @@ def main() -> None:
     )
     parser.add_argument("--bank-refresh-every", type=int, default=100)
     args = parser.parse_args()
+    if args.corpus_kd_weight > 0 and args.objective != "cls":
+        # fail in milliseconds, not after minutes of teacher precompute:
+        # the loss would raise this only at the first jitted train step
+        parser.error(
+            "--corpus-kd-weight needs --objective cls "
+            "(the bank stores single-vector embeddings)"
+        )
 
     import jax
 
