@@ -97,6 +97,10 @@ class BgeEmbedder:
     batch_size: int = EMBEDDINGS_BATCH_SIZE
     max_len: int = 512
     mesh: object = None  # jax.sharding.Mesh | None
+    # identity of the weights for index-rebuild invalidation: persisted
+    # semantic indexes must not be served with a different model's query
+    # embeddings (service/documents.py folds this into IndexSettings)
+    model_id: str = "random"
 
     def shard_over(self, mesh) -> "BgeEmbedder":
         """Data-parallel encode over ``mesh``: weights are replicated
@@ -122,6 +126,7 @@ class BgeEmbedder:
             batch_size=batch_size,  # rounded to a dp multiple
             max_len=self.max_len,
             mesh=mesh,
+            model_id=self.model_id,
         )
 
     @classmethod
@@ -229,10 +234,32 @@ class BgeEmbedder:
                 ).items()
             }
         params = load_hf_weights(state, config)
+        # first-party idf pooling artifact: a [V] token-weight table
+        # minted by tools/make_idf_pooling.py. When present, the
+        # checkpoint serves idf-weighted mean pooling (over per-token
+        # normalized hidden states) instead of CLS — the single-vector
+        # serving mode for a MaxSim-trained trunk. Queries carry no
+        # instruction prefix: the prefix tunes the CLS objective, and
+        # its tokens are rare in document corpora (high idf), so under
+        # idf pooling it would dominate every query vector.
+        idf_path = os.path.join(model_dir, "idf_pooling.npz")
+        if os.path.isfile(idf_path):
+            import numpy as _np
+
+            weights = _np.load(idf_path)["weights"].astype(_np.float32)
+            if weights.shape != (config.vocab_size,):
+                raise ValueError(
+                    f"idf_pooling.npz weights shape {weights.shape} does "
+                    f"not match vocab_size {config.vocab_size}"
+                )
+            params["pooling_idf"] = jnp.asarray(weights)
+            pooling = "idf"
+            kw.setdefault("query_instruction", "")
         tokenizer = WordPieceTokenizer.from_vocab_file(
             os.path.join(transformer_dir, "vocab.txt"),
             lowercase=hf.get("do_lower_case", True),
         )
+        kw.setdefault("model_id", model_dir)
         return cls(
             tokenizer=tokenizer,
             encoder=BertEncoder(

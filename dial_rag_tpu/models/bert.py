@@ -278,7 +278,7 @@ class BertEncoder:
         pooling: str = "cls",
         gelu: str = "auto",
     ):
-        if pooling not in ("cls", "mean"):
+        if pooling not in ("cls", "mean", "idf"):
             raise ValueError(f"unsupported pooling mode: {pooling!r}")
         if gelu not in ("auto", "exact", "tanh"):
             raise ValueError(f"unsupported gelu mode: {gelu!r}")
@@ -361,6 +361,22 @@ def _encode_jit(
         # bge pooling: CLS token (sentence-transformers
         # pooling_mode_cls_token, reference embeddings.py:60-62)
         pooled = hidden[:, 0, :].astype(jnp.float32)
+    elif pooling == "idf":
+        # idf-weighted mean over per-token L2-normalized hidden states
+        # (SIF/SPLADE-style lexical weighting): the [V] weight table is
+        # a checkpoint artifact carried in params["pooling_idf"] (see
+        # BgeEmbedder.from_hf_checkpoint). Normalizing tokens first
+        # makes the pool an idf-weighted average of the SAME per-token
+        # directions the MaxSim index scores, so a MaxSim-trained trunk
+        # serves a single-vector arm without retraining.
+        h = hidden.astype(jnp.float32)
+        tok = h / jnp.maximum(
+            jnp.sqrt(jnp.sum(h * h, axis=-1, keepdims=True)), 1e-12
+        )
+        w = params["pooling_idf"][input_ids] * attention_mask.astype(
+            jnp.float32
+        )
+        pooled = jnp.sum(w[:, :, None] * tok, axis=1)
     else:
         # mask-weighted mean over real tokens
         # (sentence-transformers pooling_mode_mean_tokens)

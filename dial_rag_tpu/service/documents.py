@@ -222,6 +222,12 @@ async def load_document(
     try:
         validate_indexing_task(task, dial_api_client)
         index_settings = config.indexing.collect_fields_that_rebuild_index()
+        # the semantic index stores THIS embedder's document vectors;
+        # serving a record built by different weights would score
+        # queries in a mismatched space, so the weight identity is a
+        # rebuild trigger like indexing.late_interaction_index
+        # .model_path (which covers only the dedicated LI checkpoint)
+        index_settings.indexes["embedder"] = {"model_id": embedder.model_id}
         choice = request_context.choice
 
         if attachment_link.is_dial_document:

@@ -252,12 +252,44 @@ def test_first_party_checkpoint_loads_and_discriminates():
     assert float(np.abs(docs[0] - docs[2]).max()) > 1e-3
 
 
+@pytest.mark.skipif(
+    not (CHECKPOINTS / "alps-maxsim" / "idf_pooling.npz").is_file(),
+    reason="idf pooling artifact not present",
+)
+def test_idf_pooling_artifact_serves_semantic_arm():
+    """checkpoints/alps-maxsim carries an idf_pooling.npz table
+    (tools/make_idf_pooling.py), so the standard loader serves it with
+    idf-weighted token pooling — the single-vector semantic arm
+    (measured recall@7 0.769 on the real corpus, vs 0.59 for the same
+    trunk's CLS). Structural pin: pooling mode, no query instruction,
+    and a topically discriminative space."""
+    import numpy as np
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    emb = BgeEmbedder.from_hf_checkpoint(str(CHECKPOINTS / "alps-maxsim"))
+    assert emb.encoder.pooling == "idf"
+    assert emb.query_instruction == ""
+    docs = emb.embed_documents(
+        [
+            "The climate of the Alps is shaped by altitude and latitude.",
+            "Cheese fondue is a traditional alpine dish.",
+        ]
+    )
+    s_climate = docs @ emb.embed_query("climate altitude weather")
+    s_food = docs @ emb.embed_query("traditional food")
+    assert s_climate[0] > s_climate[1], s_climate
+    assert s_food[1] > s_food[0], s_food
+
+
 def test_published_quality_artifact_is_real_and_meets_floors():
     """eval/out/alps_metrics.json is the quality artifact a reader will
     quote; it must carry trained-model provenance (round-2 review: no
     random-weight rows posing as quality numbers) and meet the measured
     floors: late-interaction recall@7 >= 0.85 (the review's credibility
-    target), BM25 >= 0.94."""
+    target), BM25 >= 0.94, semantic (idf pooling over the MaxSim trunk,
+    measured 0.769 recall@7) >= 0.75, and the all-arm RRF ensemble
+    STRICTLY ABOVE the BM25 teacher (measured 0.974 vs 0.949)."""
     artifact = (
         Path(__file__).parent.parent / "eval" / "out" / "alps_metrics.json"
     )
@@ -269,9 +301,10 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     assert m["bm25"]["recall@7"] >= 0.94
     assert m["late_interaction"]["recall@7"] >= 0.9
     assert m["late_interaction"]["recall@1"] >= 0.7
-    assert m["ensemble"]["recall@7"] >= 0.94
-    assert m["semantic"]["recall@7"] >= 0.55
-    assert m["semantic"]["recall@1"] >= 0.35
+    assert m["ensemble"]["recall@7"] >= 0.97
+    assert m["ensemble"]["recall@7"] > m["bm25"]["recall@7"]
+    assert m["semantic"]["recall@7"] >= 0.75
+    assert m["semantic"]["recall@1"] >= 0.5
 
 
 def test_published_synthetic_artifact_is_real_and_meets_floors():

@@ -920,3 +920,26 @@ async def test_late_interaction_dedicated_checkpoint_e2e(harness):
         )
         assert li_stage["status"] == "completed"
         assert "cadibona" in li_stage["attachments"][0]["data"].lower()
+
+
+async def test_embedder_change_invalidates_index(harness):
+    """A persisted record must not be served with a different embedding
+    model's query vectors: the weight identity (BgeEmbedder.model_id)
+    is folded into IndexSettings by load_document, so swapping the
+    embedder re-processes the document instead of loading the cache."""
+    import dataclasses
+
+    async with harness() as h:
+        h.fake.script_llm("Answer one.", "Answer two.")
+        await h.chat({"messages": [_attach_message("first question")]})
+        application = h.client.app["dial_rag"]
+        application.embedder = dataclasses.replace(
+            application.embedder, model_id="checkpoints/other-weights"
+        )
+        resp = await h.chat({"messages": [_attach_message("second question")]})
+        body = await resp.json()
+        stage_names = [
+            s["name"]
+            for s in body["choices"][0]["message"]["custom_content"]["stages"]
+        ]
+        assert any("Processing document" in n for n in stage_names)

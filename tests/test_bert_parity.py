@@ -369,3 +369,80 @@ def test_mean_pooling_and_torch_bin_fallback(tmp_path):
     pooled = (hidden * m).sum(0) / m.sum(0).clamp(min=1e-9)
     expected = torch.nn.functional.normalize(pooled, dim=-1).numpy()
     np.testing.assert_allclose(ours, expected, atol=2e-5)
+
+
+def test_idf_pooling_checkpoint(tmp_path):
+    """``idf_pooling.npz`` next to the weights switches the loader to
+    idf-weighted mean pooling over per-token L2-normalized hidden
+    states (the single-vector serving mode for a MaxSim-trained trunk,
+    minted by tools/make_idf_pooling.py), drops the bge query
+    instruction, and matches a manual numpy pool of the HF states."""
+    import json
+
+    from safetensors.torch import save_file
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg, model = _tiny_hf_bert()
+    _write_vocab(tmp_path / "vocab.txt")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+    rng = np.random.default_rng(5)
+    weights = (rng.random(64) + 0.05).astype(np.float32)
+    np.savez(tmp_path / "idf_pooling.npz", weights=weights)
+
+    embedder = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    )
+    assert embedder.encoder.pooling == "idf"
+    assert embedder.query_instruction == ""
+
+    text = "ab cd efg"
+    ours = embedder.embed_documents([text])[0]
+
+    ids, mask = embedder.tokenizer.encode_batch([text], max_len=64)
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(ids.astype("int64")),
+            attention_mask=torch.from_numpy(mask.astype("int64")),
+        ).last_hidden_state[0].numpy()
+    t = int(mask[0].sum())
+    tok = hidden[:t] / np.linalg.norm(hidden[:t], axis=1, keepdims=True)
+    w = weights[ids[0, :t]]
+    pooled = (w[:, None] * tok).sum(0)
+    expected = pooled / np.linalg.norm(pooled)
+    np.testing.assert_allclose(ours, expected, atol=2e-5)
+
+    # query path shares the pooling and carries NO instruction prefix
+    # (instruction tokens are rare in document corpora -> high idf ->
+    # they would dominate every query vector)
+    q = embedder.embed_query("ab cd efg")
+    np.testing.assert_allclose(q, expected, atol=2e-5)
+
+
+def test_idf_pooling_vocab_mismatch_rejected(tmp_path):
+    """A weight table whose length disagrees with the model vocab is a
+    corrupt artifact: clean ValueError, not a silent misgather."""
+    import json
+
+    import pytest as _pytest
+    from safetensors.torch import save_file
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg, model = _tiny_hf_bert()
+    _write_vocab(tmp_path / "vocab.txt")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+    np.savez(
+        tmp_path / "idf_pooling.npz",
+        weights=np.ones(100, dtype=np.float32),
+    )
+    with _pytest.raises(ValueError, match="idf_pooling"):
+        BgeEmbedder.from_hf_checkpoint(str(tmp_path))
