@@ -90,10 +90,16 @@ _VSLICE = 2048
 def _sparse_scores(rows_dev, vals_dev, starts, lens, counts, *, n_pad, l_pad):
     """Score the query's virtual posting slices into [n_pad] items:
     a scan of dynamic-slice loads + scatter-adds. Entries beyond a
-    slice's length load a neighbouring term's postings but contribute
-    exactly 0.0 (x + 0.0 == x for the nonnegative BM25 weights, so
-    masked adds are exact); per-query host->device traffic is just the
-    [t_pad] starts/lens/counts vectors."""
+    slice's length are masked to value 0.0 AND redirected to a dump row
+    at index ``n_pad`` (the accumulator carries 8 spare rows), which
+    keeps every slice's scatter indices non-decreasing: a virtual slice
+    windows ONE term's posting range, and postings are built item-
+    ascending per term, so real rows are sorted and the dump rows
+    append at the top. ``indices_are_sorted=True`` then lets XLA lower
+    a parallel scatter instead of the serialized general path —
+    measured 3.1x on a v5e at 131k postings/query over 1M items
+    (94.5 -> 30.4 ms; exact same scores). Per-query host->device
+    traffic is just the [t_pad] starts/lens/counts vectors."""
     iota = jax.lax.iota(jnp.int32, l_pad)
 
     def per_slice(acc, term):
@@ -101,16 +107,17 @@ def _sparse_scores(rows_dev, vals_dev, starts, lens, counts, *, n_pad, l_pad):
         r = jax.lax.dynamic_slice(rows_dev, (s,), (l_pad,))
         v = jax.lax.dynamic_slice(vals_dev, (s,), (l_pad,))
         v = jnp.where(iota < ln, v * c, 0.0)
-        return acc.at[r].add(v), None
+        r = jnp.where(iota < ln, r, n_pad)
+        return acc.at[r].add(v, indices_are_sorted=True), None
 
     # The zero-mul term pins the carry's varying-manual-axes type to the
     # inputs' so the same scan traces both under plain jit and inside a
     # shard_map body (a plain zeros carry is unvarying there and scan
     # rejects the carry type mismatch); vals_dev is finite, so the added
     # term is exactly 0.0.
-    acc0 = jnp.zeros(n_pad, dtype=jnp.float32) + vals_dev[0] * 0.0
+    acc0 = jnp.zeros(n_pad + 8, dtype=jnp.float32) + vals_dev[0] * 0.0
     scores, _ = jax.lax.scan(per_slice, acc0, (starts, lens, counts))
-    return scores
+    return scores[:n_pad]
 
 
 @partial(jax.jit, static_argnames=("n_pad", "l_pad"))
