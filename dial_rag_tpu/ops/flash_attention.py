@@ -112,24 +112,35 @@ _Q_BLOCKED_MAX_S = 4096
 _KV_BLOCK = 512
 
 
-def _attention_q_blocked_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+def _attention_q_blocked_kernel(
+    bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale, precision=None
+):
     """Query-blocked fused attention: K/V stay whole in VMEM (512 KB at
     S=4096, Dh=64) while scores materialize only [Q_BLOCK, S] per step —
     the long-context design point up to ~8k tokens. Softmax is exact per
-    query row (full row in VMEM), so no online rescaling is needed."""
+    query row (full row in VMEM), so no online rescaling is needed.
+
+    ``precision``: under f32 inputs the TPU MXU's default matmul is
+    bf16-grade (~4e-3 relative) — the whole source of the measured
+    ~1e-3 long-context drift vs f64 ground truth (the CPU interpreter
+    run of this same algorithm sits at 6e-8). The long-context paths
+    request multi-pass f32 matmuls for f32 inputs; bf16 compute (the
+    serving default) keeps the fast single-pass MXU."""
     q = q_ref[0, 0]  # [Q_BLOCK, Dh]
     k = k_ref[0, 0]  # [S, Dh]
     v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [Q_BLOCK, S]
     scores = scores * scale + bias_ref[0, 0][None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jnp.dot(
-        probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+        probs.astype(q.dtype), v, preferred_element_type=jnp.float32,
+        precision=precision,
     )
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -153,7 +164,7 @@ def _q_blocked_specs(s, dh, qb):
 
 def _attention_kv_blocked_fwd_kernel(
     bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-    acc_ref, m_ref, l_ref, *, scale,
+    acc_ref, m_ref, l_ref, *, scale, precision=None,
 ):
     """Online-softmax forward: the grid walks KV blocks innermost while
     (m, l, acc) running statistics live in VMEM scratch — the classic
@@ -178,6 +189,7 @@ def _attention_kv_blocked_fwd_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     s = s * scale + bias_ref[0, 0][None, :]  # [QB, KB]
 
@@ -190,7 +202,8 @@ def _attention_kv_blocked_fwd_kernel(
     m_ref[:] = m_next
     l_ref[:] = l_next
     pv = jnp.dot(
-        e.astype(q.dtype), v, preferred_element_type=jnp.float32
+        e.astype(q.dtype), v, preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [QB, Dh]
     acc_ref[:] = acc_ref[:] * corr[:, :1] + pv
 
@@ -225,6 +238,17 @@ def _kv_blocked_specs(dh, qb, kb, n_q_blocks):
     return bias_spec, q_spec, kv_spec, lse_spec
 
 
+def _long_context_precision(dtype):
+    """Multi-pass f32 MXU matmuls for f32 long-context inputs (parity
+    with the f64 ground truth to ~1e-5 instead of the bf16-grade
+    default's ~1e-3); bf16/other compute keeps the single-pass MXU.
+    Only the blocked (S > 512) paths pay this — the serving-shape
+    single-tile path keeps its measured-tight default."""
+    return (
+        jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    )
+
+
 def _forward(q, k, v, attention_mask):
     """Returns (o, lse-or-None); lse is produced only by the KV-blocked
     path, where the backward needs it."""
@@ -245,7 +269,11 @@ def _forward(q, k, v, attention_mask):
         )(_mask_to_bias(attention_mask), q, k, v), None
     if s <= _Q_BLOCKED_MAX_S or s % _KV_BLOCK != 0:
         bias_spec, q_spec, kv_spec = _q_blocked_specs(s, dh, _Q_BLOCK)
-        kernel = partial(_attention_q_blocked_kernel, scale=scale)
+        kernel = partial(
+            _attention_q_blocked_kernel,
+            scale=scale,
+            precision=_long_context_precision(q.dtype),
+        )
         return pl.pallas_call(
             kernel,
             grid=(b, h, s // _Q_BLOCK),
@@ -258,7 +286,11 @@ def _forward(q, k, v, attention_mask):
     bias_spec, q_spec, kv_spec, lse_spec = _kv_blocked_specs(
         dh, _Q_BLOCK, _KV_BLOCK, n_q_blocks
     )
-    kernel = partial(_attention_kv_blocked_fwd_kernel, scale=scale)
+    kernel = partial(
+        _attention_kv_blocked_fwd_kernel,
+        scale=scale,
+        precision=_long_context_precision(q.dtype),
+    )
     o, lse = pl.pallas_call(
         kernel,
         grid=(b, h, n_q_blocks, s // _KV_BLOCK),
@@ -377,7 +409,7 @@ def _attention_bwd_q_blocked_kernel(
 
 def _bwd_dq_kv_blocked_kernel(
     bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    acc_ref, *, scale,
+    acc_ref, *, scale, precision=None,
 ):
     """dQ pass of the KV-blocked backward: grid walks KV blocks
     innermost, dQ accumulates in VMEM scratch. P is recomputed from the
@@ -400,15 +432,19 @@ def _bwd_dq_kv_blocked_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     s = s * scale + bias_ref[0, 0][None, :]
     p = jnp.exp(s - lse)  # [QB, KB]
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     ds = (p * (dp - delta) * scale).astype(q.dtype)
-    acc_ref[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(
+        ds, k, preferred_element_type=jnp.float32, precision=precision
+    )
 
     @pl.when(t == n_t - 1)
     def _():
@@ -417,7 +453,7 @@ def _bwd_dq_kv_blocked_kernel(
 
 def _bwd_dkv_kv_blocked_kernel(
     bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc, *, scale,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, precision=None,
 ):
     """dK/dV pass: grid walks Q blocks innermost for a fixed KV block,
     accumulating both gradients in VMEM scratch."""
@@ -438,6 +474,7 @@ def _bwd_dkv_kv_blocked_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     s = s * scale + bias_ref[0, 0][None, :]
     p = jnp.exp(s - lse)
@@ -445,15 +482,18 @@ def _bwd_dkv_kv_blocked_kernel(
     dv_acc[:] += jax.lax.dot_general(
         p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     ds = (p * (dp - delta) * scale).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
     @pl.when(g == n_g - 1)
@@ -492,8 +532,9 @@ def _backward_kv_blocked(attention_mask, q, k, v, o, lse, do):
         lambda i, j, g, t: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    prec = _long_context_precision(q.dtype)
     dq = pl.pallas_call(
-        partial(_bwd_dq_kv_blocked_kernel, scale=scale),
+        partial(_bwd_dq_kv_blocked_kernel, scale=scale, precision=prec),
         grid=(b, h, s // qb, s // kb),
         in_specs=[bias_spec, q_spec, kv_spec, kv_spec, q_spec, row_spec,
                   row_spec],
@@ -521,7 +562,7 @@ def _backward_kv_blocked(attention_mask, q, k, v, o, lse, do):
         memory_space=pltpu.VMEM,
     )
     dk, dv = pl.pallas_call(
-        partial(_bwd_dkv_kv_blocked_kernel, scale=scale),
+        partial(_bwd_dkv_kv_blocked_kernel, scale=scale, precision=prec),
         grid=(b, h, s // kb, s // qb),
         in_specs=[bias_spec_t, q_spec_t, kv_spec_t, kv_spec_t, q_spec_t,
                   row_spec_t, row_spec_t],

@@ -325,6 +325,8 @@ def test_published_synthetic_artifact_is_real_and_meets_floors():
         None, "", "random-weights",
     ), "missing trained LI checkpoint provenance"
     assert m["bm25"]["recall@1"] >= 0.99
-    assert m["semantic"]["recall@7"] >= 0.7
+    # idf-pooled semantic arm: measured 0.700/0.933 r@1/r@7
+    assert m["semantic"]["recall@7"] >= 0.9
+    assert m["semantic"]["recall@1"] >= 0.65
     assert m["late_interaction"]["recall@7"] >= 0.9
     assert m["ensemble"]["recall@7"] >= 0.98
