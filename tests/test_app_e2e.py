@@ -76,7 +76,13 @@ def harness(embedder):
     from contextlib import asynccontextmanager
 
     @asynccontextmanager
-    async def make(app_config_overrides: dict | None = None):
+    async def make(
+        app_config_overrides: dict | None = None,
+        config_embedder: bool = False,
+    ):
+        """``config_embedder=True`` lets the app build its embedder from
+        ``app_config.embedder.model_path`` (the production path) instead
+        of injecting the shared tiny test embedder."""
         fake = FakeDialCore()
         dial_url = await fake.start()
         pdf = build_pdf(ALPS_PDF_LINES, compress=True)
@@ -91,7 +97,9 @@ def harness(embedder):
 
             config_dict = deep_merge(config_dict, app_config_overrides)
         app_config = AppConfig.model_validate(config_dict)
-        app = create_app(app_config, embedder=embedder)
+        app = create_app(
+            app_config, embedder=None if config_embedder else embedder
+        )
         server = TestServer(app)
         client = TestClient(server)
         await client.start_server()
@@ -943,3 +951,48 @@ async def test_embedder_change_invalidates_index(harness):
             for s in body["choices"][0]["message"]["custom_content"]["stages"]
         ]
         assert any("Processing document" in n for n in stage_names)
+
+
+async def test_semantic_idf_checkpoint_e2e(harness):
+    """The production embedder path end-to-end: the app builds its
+    embedder from app_config.embedder.model_path pointing at the
+    committed MaxSim trunk carrying idf_pooling.npz, so the semantic
+    arm serves idf-weighted token pooling (and the index settings carry
+    the checkpoint's model_id)."""
+    import pathlib
+
+    ckpt = pathlib.Path(__file__).parent.parent / "checkpoints" / "alps-maxsim"
+    if not (ckpt / "idf_pooling.npz").is_file():
+        import pytest
+
+        pytest.skip("idf pooling artifact not present")
+    async with harness(
+        {"embedder": {"model_path": str(ckpt)}}, config_embedder=True
+    ) as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        h.fake.script_llm("Cadibona bounds the Alps. <[1]>")
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "Colle di Cadibona southern boundary",
+                        url="files/user-bucket/big.pdf",
+                    )
+                ]
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        app_obj = h.client.app["dial_rag"]
+        assert app_obj.embedder.encoder.pooling == "idf"
+        assert app_obj.embedder.model_id == str(ckpt)
+        emb_stage = next(
+            s for s in custom["stages"] if "Embeddings search" in s["name"]
+        )
+        assert emb_stage["status"] == "completed"
+        assert "cadibona" in emb_stage["attachments"][0]["data"].lower()
