@@ -16,13 +16,14 @@ and scores it first-party:
   (fraction of facts whose text is covered by the top-7 union — the
   closest first-party analogue of the reference's fact-based scoring).
 
-Chunk-count note: this parser+chunker produces **102 chunks** where the
-reference's unstructured-based pipeline produces 177
-(reference tests/test_retrievers.py:63). The by-title chunker packs up
-to 1000 chars per chunk vs unstructured's smaller elements, so chunks
-are ~2x larger; recall is scored against fact containment, not chunk
-ids, so the comparison is apples-to-apples (and larger chunks carry
-more context per retrieved item at equal k).
+Chunk-count note: this parser+chunker produces **173 chunks** on this
+25-page quality corpus where the reference's unstructured-based
+pipeline produces 177 (reference tests/test_retrievers.py:63 — on the
+26-page golden corpus the first-party pipeline matches the reference's
+177 EXACTLY; the residual 4-chunk divergence here is the page-7
+char-margin junctions quantified in docs/chunking_parity.md). Recall
+is scored against fact containment, not chunk ids, so the comparison
+is apples-to-apples.
 
 Semantic numbers are real retrieval quality only when --model-dir
 points at a real bge-small-en checkpoint; with the default
