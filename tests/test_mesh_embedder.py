@@ -107,3 +107,37 @@ def test_mixed_bucket_group_matches_per_text(single):
     )
     np.testing.assert_allclose(host[:7], per_text, rtol=1e-5, atol=1e-6)
     assert host.shape == (len(texts), single.dim)
+
+
+def test_idf_pooling_shards_like_cls(single, mesh):
+    """idf pooling's [V] weight table rides params: shard_over must
+    replicate it with the rest of the tree and produce identical
+    embeddings to the single-device idf path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.models.bert import BertEncoder
+
+    rng = np.random.default_rng(9)
+    v = len(single.tokenizer.vocab)
+    table = (rng.random(v) + 0.05).astype(np.float32)
+    idf_single = dataclasses.replace(
+        single,
+        encoder=BertEncoder(
+            single.encoder.config,
+            compute_dtype=single.encoder.compute_dtype,
+            pooling="idf",
+        ),
+        params={**single.params, "pooling_idf": jnp.asarray(table)},
+        query_instruction="",
+    )
+    sharded = idf_single.shard_over(mesh)
+    texts = [f"word{i} abc def" for i in range(11)]  # not a dp multiple
+    a = idf_single.embed_documents(texts)
+    b = sharded.embed_documents(texts)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    # unit norm (idf pool normalizes at the end)
+    np.testing.assert_allclose(
+        np.linalg.norm(a, axis=1), 1.0, atol=1e-5
+    )
