@@ -61,9 +61,22 @@ docker_serve: docker_build
 help:
 	@grep -E '^[a-z_-]+:' Makefile | cut -d: -f1 | sort -u
 
-checkpoint:  ## mint the first-party encoder checkpoints (TPU ~25-50 min each)
+checkpoint:  ## mint the first-party encoder checkpoints (TPU ~25-50 min per stage)
 	python -m tools.make_checkpoint --out checkpoints/alps-cls-kd \
 		--objective cls --steps 3000 --batch-size 64 --kd-weight 0.7
+	# MaxSim trunk: 25k from scratch + two 25k warm-started continuations
+	# (75k total — measured best; a fourth stage overtrains: real-corpus
+	# ensemble recall@7 0.974 -> 0.897), then the idf pooling table that
+	# serves the same trunk single-vector on the semantic arm
 	python -m tools.make_checkpoint --out checkpoints/alps-maxsim \
 		--objective maxsim --steps 25000 --batch-size 16 --seq-len 192 \
 		--kd-weight 1.0 --teacher-temperature 2.0
+	python -m tools.make_checkpoint --out checkpoints/alps-maxsim \
+		--objective maxsim --steps 25000 --batch-size 16 --seq-len 192 \
+		--kd-weight 1.0 --teacher-temperature 2.0 \
+		--init-from checkpoints/alps-maxsim
+	python -m tools.make_checkpoint --out checkpoints/alps-maxsim \
+		--objective maxsim --steps 25000 --batch-size 16 --seq-len 192 \
+		--kd-weight 1.0 --teacher-temperature 2.0 \
+		--init-from checkpoints/alps-maxsim
+	python -m tools.make_idf_pooling --model-dir checkpoints/alps-maxsim

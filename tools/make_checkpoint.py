@@ -323,9 +323,10 @@ def main() -> None:
     if args.init_from:
         import shutil
 
-        shutil.copy(
-            Path(args.init_from) / "vocab.txt", out_dir / "vocab.txt"
-        )
+        src = (Path(args.init_from) / "vocab.txt").resolve()
+        dst = (out_dir / "vocab.txt").resolve()
+        if src != dst:  # --out may equal --init-from (in-place continuation)
+            shutil.copy(src, dst)
     else:
         train_vocab(texts, args.vocab_size, out_dir)
     tokenizer = WordPieceTokenizer.from_vocab_file(str(out_dir / "vocab.txt"))
