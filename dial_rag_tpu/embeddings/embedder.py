@@ -218,6 +218,7 @@ class BgeEmbedder:
             from safetensors.numpy import load_file
 
             state = load_file(safetensors_path)
+            weights_path = safetensors_path
         else:
             torch_path = os.path.join(transformer_dir, "pytorch_model.bin")
             if not os.path.isfile(torch_path):
@@ -233,6 +234,7 @@ class BgeEmbedder:
                     torch_path, map_location="cpu", weights_only=True
                 ).items()
             }
+            weights_path = torch_path
         params = load_hf_weights(state, config)
         # first-party idf pooling artifact: a [V] token-weight table
         # minted by tools/make_idf_pooling.py. When present, the
@@ -244,9 +246,7 @@ class BgeEmbedder:
         # idf pooling it would dominate every query vector.
         idf_path = os.path.join(model_dir, "idf_pooling.npz")
         if os.path.isfile(idf_path):
-            import numpy as _np
-
-            weights = _np.load(idf_path)["weights"].astype(_np.float32)
+            weights = np.load(idf_path)["weights"].astype(np.float32)
             if weights.shape != (config.vocab_size,):
                 raise ValueError(
                     f"idf_pooling.npz weights shape {weights.shape} does "
@@ -259,7 +259,21 @@ class BgeEmbedder:
             os.path.join(transformer_dir, "vocab.txt"),
             lowercase=hf.get("do_lower_case", True),
         )
-        kw.setdefault("model_id", model_dir)
+        # identity = path @ CONTENT hash: the documented `make
+        # checkpoint` flow re-mints weights (and the idf table) in
+        # place, so a path-only identity would serve persisted indexes
+        # built by the OLD weights in a mismatched embedding space
+        import hashlib
+
+        digest = hashlib.sha256()
+        with open(weights_path, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                digest.update(block)
+        if os.path.isfile(idf_path):
+            digest.update(open(idf_path, "rb").read())
+        kw.setdefault(
+            "model_id", f"{model_dir}@{digest.hexdigest()[:16]}"
+        )
         return cls(
             tokenizer=tokenizer,
             encoder=BertEncoder(

@@ -358,7 +358,8 @@ def _attention_bwd_kernel(
 
 
 def _attention_bwd_q_blocked_kernel(
-    bias_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
+    bias_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+    scale, precision=None,
 ):
     """Query-blocked recompute backward. dq is per-block; dk/dv accumulate
     across the (innermost) q-block grid dimension — their output blocks
@@ -372,6 +373,7 @@ def _attention_bwd_q_blocked_kernel(
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     scores = scores * scale + bias_ref[0, 0][None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -382,17 +384,22 @@ def _attention_bwd_q_blocked_kernel(
     dv_part = jax.lax.dot_general(
         p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     ds_c = (ds * scale).astype(q.dtype)
-    dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+    dq = jnp.dot(
+        ds_c, k, preferred_element_type=jnp.float32, precision=precision
+    )
     dk_part = jax.lax.dot_general(
         ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
@@ -608,7 +615,11 @@ def _backward(attention_mask, q, k, v, do):
         lambda i, j, g: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    kernel = partial(_attention_bwd_q_blocked_kernel, scale=scale)
+    kernel = partial(
+        _attention_bwd_q_blocked_kernel,
+        scale=scale,
+        precision=_long_context_precision(q.dtype),
+    )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, h, s // _Q_BLOCK),

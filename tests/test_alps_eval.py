@@ -260,9 +260,10 @@ def test_idf_pooling_artifact_serves_semantic_arm():
     """checkpoints/alps-maxsim carries an idf_pooling.npz table
     (tools/make_idf_pooling.py), so the standard loader serves it with
     idf-weighted token pooling — the single-vector semantic arm
-    (measured recall@7 0.769 on the real corpus, vs 0.59 for the same
-    trunk's CLS). Structural pin: pooling mode, no query instruction,
-    and a topically discriminative space."""
+    (measured recall@7 0.821 on the real corpus with the 75k trunk —
+    see eval/out/alps_metrics.json, the single source for quality
+    numbers). Structural pin: pooling mode, no query instruction, and
+    a topically discriminative space."""
     import numpy as np
 
     from dial_rag_tpu.embeddings.embedder import BgeEmbedder

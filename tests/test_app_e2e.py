@@ -990,7 +990,9 @@ async def test_semantic_idf_checkpoint_e2e(harness):
         custom = body["choices"][0]["message"]["custom_content"]
         app_obj = h.client.app["dial_rag"]
         assert app_obj.embedder.encoder.pooling == "idf"
-        assert app_obj.embedder.model_id == str(ckpt)
+        # identity = path @ content hash (re-minting weights in place
+        # must invalidate persisted indexes)
+        assert app_obj.embedder.model_id.startswith(str(ckpt) + "@")
         emb_stage = next(
             s for s in custom["stages"] if "Embeddings search" in s["name"]
         )

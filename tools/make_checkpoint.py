@@ -497,6 +497,19 @@ def main() -> None:
     from safetensors.numpy import save_file
 
     dtype = np.float16 if args.save_dtype == "float16" else np.float32
+    # warm-started runs accumulate provenance: total steps and stage
+    # count carry over from the init checkpoint's config so a staged
+    # recipe (e.g. the Makefile's three 25k runs into one dir) reports
+    # its true training length, not just the final stage's
+    prior_steps, prior_stages = 0, 0
+    if args.init_from:
+        init_cfg_path = Path(args.init_from) / "config.json"
+        if init_cfg_path.is_file():
+            prior = json.loads(init_cfg_path.read_text()).get(
+                "first_party_training", {}
+            )
+            prior_steps = int(prior.get("steps", 0))
+            prior_stages = int(prior.get("stages", 1 if prior else 0))
     save_file(
         export_hf_state(params, config, dtype=dtype),
         str(out_dir / "model.safetensors"),
@@ -516,7 +529,9 @@ def main() -> None:
                 "do_lower_case": True,
                 "first_party_training": {
                     "objective": args.objective,
-                    "steps": args.steps,
+                    "steps": prior_steps + args.steps,
+                    "stages": prior_stages + 1,
+                    "final_stage_steps": args.steps,
                     "batch_size": args.batch_size,
                     "seq_len": args.seq_len,
                     "learning_rate": args.learning_rate,

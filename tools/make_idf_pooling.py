@@ -4,12 +4,13 @@ The reference's semantic retriever serves single-vector CLS embeddings
 from frozen bge-small weights (reference embeddings/embeddings.py:29-66).
 The first-party MaxSim-trained trunk (checkpoints/alps-maxsim) carries
 its retrieval signal in per-TOKEN embedding directions, not in CLS —
-measured on the real-corpus eval, its CLS vector scores recall@7 0.59
-while an idf-weighted mean of its normalized token embeddings scores
-0.79 (eval/eval_alps.py semantic row). This tool computes that idf
-weight table from the training corpora and writes it next to the model
-weights as ``idf_pooling.npz``; `BgeEmbedder.from_hf_checkpoint` then
-serves the checkpoint with ``pooling="idf"`` automatically.
+an idf-weighted mean of its normalized token embeddings beats the same
+trunk's CLS vector by >0.2 recall@7 on the real-corpus eval (current
+measured numbers live in eval/out/alps_metrics.json's semantic row).
+This tool computes that idf weight table from the training corpora and
+writes it next to the model weights as ``idf_pooling.npz``;
+`BgeEmbedder.from_hf_checkpoint` then serves the checkpoint with
+``pooling="idf"`` automatically.
 
 The table is a training-corpus statistic baked into the artifact (the
 same corpora that trained the trunk — no eval ground truth enters),
@@ -33,9 +34,15 @@ def build_idf_table(
     tokenizer,
     vocab_size: int,
     alpha: float,
-    max_tokens: int = 256,
+    max_tokens: int = 512,
 ) -> np.ndarray:
-    """[V] f32 idf^alpha weights from chunk-level wordpiece df."""
+    """[V] f32 idf^alpha weights from chunk-level wordpiece df.
+
+    ``max_tokens`` defaults to the embedder's serving max_len (512):
+    df must be counted over the same token window the semantic arm
+    encodes, or a token that appears only in chunk TAILS would count
+    df=0 and receive the table's df-unseen MAXIMUM weight — the exact
+    opposite of its true commonness."""
     n = len(chunk_texts)
     df = np.zeros(vocab_size, dtype=np.int64)
     for i in range(0, n, 64):
