@@ -287,12 +287,13 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     """eval/out/alps_metrics.json is the quality artifact a reader will
     quote; it must carry trained-model provenance (round-2 review: no
     random-weight rows posing as quality numbers) and meet the measured
-    floors (measured with the 75k-step warm-started MaxSim trunk):
-    late-interaction 0.821/0.949 r@1/r@7 — recall EQUAL to the BM25
-    teacher with the review's 0.85 credibility target well cleared;
-    semantic (idf pooling over the same trunk) 0.692/0.821; and the
-    all-arm RRF ensemble 0.795/0.974 — STRICTLY ABOVE the BM25
-    teacher's recall@7."""
+    floors (measured with the per-arm pairing serving ships:
+    late-interaction = the 75k-step MaxSim trunk, semantic = the
+    100k-step low-final-LR trunk via idf pooling): late-interaction
+    0.821/0.949 r@1/r@7 — recall EQUAL to the BM25 teacher; semantic
+    0.692/0.872 — ABOVE the review's 0.85 credibility target; and the
+    all-arm RRF ensemble 0.821/0.974 with MRR 0.871 — above the BM25
+    teacher on BOTH recall@7 and MRR."""
     artifact = (
         Path(__file__).parent.parent / "eval" / "out" / "alps_metrics.json"
     )
@@ -306,7 +307,9 @@ def test_published_quality_artifact_is_real_and_meets_floors():
     assert m["late_interaction"]["recall@1"] >= 0.8
     assert m["ensemble"]["recall@7"] >= 0.97
     assert m["ensemble"]["recall@7"] > m["bm25"]["recall@7"]
-    assert m["semantic"]["recall@7"] >= 0.8
+    assert m["ensemble"]["recall@1"] >= 0.8
+    assert m["ensemble"]["mrr"] > m["bm25"]["mrr"]
+    assert m["semantic"]["recall@7"] >= 0.85
     assert m["semantic"]["recall@1"] >= 0.65
 
 
@@ -328,9 +331,9 @@ def test_published_synthetic_artifact_is_real_and_meets_floors():
         None, "", "random-weights",
     ), "missing trained LI checkpoint provenance"
     assert m["bm25"]["recall@1"] >= 0.99
-    # idf-pooled semantic arm: measured 0.700/0.883 r@1/r@7
-    assert m["semantic"]["recall@7"] >= 0.85
-    assert m["semantic"]["recall@1"] >= 0.65
+    # idf-pooled semantic arm (100k low-final-LR trunk): 0.717/0.917
+    assert m["semantic"]["recall@7"] >= 0.9
+    assert m["semantic"]["recall@1"] >= 0.7
     # 75k-step MaxSim trunk: measured 0.933/1.000
     assert m["late_interaction"]["recall@7"] >= 0.98
     assert m["late_interaction"]["recall@1"] >= 0.9
