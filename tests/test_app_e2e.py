@@ -998,3 +998,63 @@ async def test_semantic_idf_checkpoint_e2e(harness):
         )
         assert emb_stage["status"] == "completed"
         assert "cadibona" in emb_stage["attachments"][0]["data"].lower()
+
+
+async def test_per_arm_checkpoint_pairing_e2e(harness):
+    """The shipped production pairing in one app: the semantic arm
+    serves checkpoints/alps-semantic (idf pooling) while the
+    late-interaction arm serves checkpoints/alps-maxsim — both stages
+    retrieve, and the two arms run different weights."""
+    import pathlib
+
+    ckpts = pathlib.Path(__file__).parent.parent / "checkpoints"
+    sem, li = ckpts / "alps-semantic", ckpts / "alps-maxsim"
+    if not (sem / "idf_pooling.npz").is_file() or not (
+        li / "model.safetensors"
+    ).is_file():
+        import pytest
+
+        pytest.skip("checkpoint artifacts not present")
+    async with harness(
+        {
+            "embedder": {"model_path": str(sem)},
+            "request": {
+                "indexing": {
+                    "late_interaction_index": {"model_path": str(li)}
+                }
+            },
+        },
+        config_embedder=True,
+    ) as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        h.fake.script_llm("Cadibona bounds the Alps. <[1]>")
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "Colle di Cadibona southern boundary",
+                        url="files/user-bucket/big.pdf",
+                    )
+                ]
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        app_obj = h.client.app["dial_rag"]
+        assert app_obj.embedder.encoder.pooling == "idf"
+        li_emb = app_obj._get_li_embedder(
+            app_obj.app_config.request
+        )
+        assert li_emb is not None
+        assert li_emb.model_id != app_obj.embedder.model_id
+        for stage_key in ("Embeddings search", "Late interaction search"):
+            stage = next(
+                s for s in custom["stages"] if stage_key in s["name"]
+            )
+            assert stage["status"] == "completed", stage_key
+            assert "cadibona" in stage["attachments"][0]["data"].lower()
