@@ -263,17 +263,17 @@ class BgeEmbedder:
         # checkpoint` flow re-mints weights (and the idf table) in
         # place, so a path-only identity would serve persisted indexes
         # built by the OLD weights in a mismatched embedding space
-        import hashlib
+        if "model_id" not in kw:
+            import hashlib
 
-        digest = hashlib.sha256()
-        with open(weights_path, "rb") as f:
-            for block in iter(lambda: f.read(1 << 20), b""):
-                digest.update(block)
-        if os.path.isfile(idf_path):
-            digest.update(open(idf_path, "rb").read())
-        kw.setdefault(
-            "model_id", f"{model_dir}@{digest.hexdigest()[:16]}"
-        )
+            digest = hashlib.sha256()
+            with open(weights_path, "rb") as f:
+                for block in iter(lambda: f.read(1 << 20), b""):
+                    digest.update(block)
+            if os.path.isfile(idf_path):
+                with open(idf_path, "rb") as f:
+                    digest.update(f.read())
+            kw["model_id"] = f"{model_dir}@{digest.hexdigest()[:16]}"
         return cls(
             tokenizer=tokenizer,
             encoder=BertEncoder(

@@ -224,10 +224,17 @@ async def load_document(
         index_settings = config.indexing.collect_fields_that_rebuild_index()
         # the semantic index stores THIS embedder's document vectors;
         # serving a record built by different weights would score
-        # queries in a mismatched space, so the weight identity is a
-        # rebuild trigger like indexing.late_interaction_index
-        # .model_path (which covers only the dedicated LI checkpoint)
+        # queries in a mismatched space, so the CONTENT identity of the
+        # weights is a rebuild trigger. The dedicated late-interaction
+        # checkpoint gets the same treatment: its config model_path is
+        # already a trigger, but only as a path string — re-minting
+        # weights in place (the Makefile's staged recipe) changes the
+        # content hash, not the path.
         index_settings.indexes["embedder"] = {"model_id": embedder.model_id}
+        if li_embedder is not None:
+            index_settings.indexes["li_embedder"] = {
+                "model_id": li_embedder.model_id
+            }
         choice = request_context.choice
 
         if attachment_link.is_dial_document:

@@ -1009,9 +1009,11 @@ async def test_per_arm_checkpoint_pairing_e2e(harness):
 
     ckpts = pathlib.Path(__file__).parent.parent / "checkpoints"
     sem, li = ckpts / "alps-semantic", ckpts / "alps-maxsim"
-    if not (sem / "idf_pooling.npz").is_file() or not (
-        li / "model.safetensors"
-    ).is_file():
+    if not all(
+        (d / f).is_file()
+        for d in (sem, li)
+        for f in ("model.safetensors", "idf_pooling.npz")
+    ):
         import pytest
 
         pytest.skip("checkpoint artifacts not present")
@@ -1058,3 +1060,40 @@ async def test_per_arm_checkpoint_pairing_e2e(harness):
             )
             assert stage["status"] == "completed", stage_key
             assert "cadibona" in stage["attachments"][0]["data"].lower()
+
+
+async def test_li_embedder_change_invalidates_index(harness):
+    """The dedicated late-interaction checkpoint's CONTENT identity is
+    a rebuild trigger too: config model_path alone is a path string, so
+    re-minting weights in place would otherwise serve a persisted LI
+    index built by the old weights. load_document folds
+    li_embedder.model_id into IndexSettings; swapping it re-processes."""
+    import dataclasses
+    import pathlib
+
+    ckpt = pathlib.Path(__file__).parent.parent / "checkpoints" / "alps-maxsim"
+    if not (ckpt / "model.safetensors").is_file():
+        import pytest
+
+        pytest.skip("maxsim checkpoint artifact not present")
+    overrides = {
+        "request": {
+            "indexing": {"late_interaction_index": {"model_path": str(ckpt)}}
+        }
+    }
+    async with harness(overrides) as h:
+        h.fake.script_llm("Answer one.", "Answer two.")
+        await h.chat({"messages": [_attach_message("first question")]})
+        application = h.client.app["dial_rag"]
+        key = str(ckpt)
+        application._li_embedders[key] = dataclasses.replace(
+            application._li_embedders[key],
+            model_id="checkpoints/alps-maxsim@re-minted",
+        )
+        resp = await h.chat({"messages": [_attach_message("second question")]})
+        body = await resp.json()
+        stage_names = [
+            s["name"]
+            for s in body["choices"][0]["message"]["custom_content"]["stages"]
+        ]
+        assert any("Processing document" in n for n in stage_names)
