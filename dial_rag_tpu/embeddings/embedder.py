@@ -31,6 +31,11 @@ DEFAULT_QUERY_INSTRUCTION = (
 )
 
 EMBEDDINGS_BATCH_SIZE = 128
+
+# telemetry counter: real (non-padding) tokens entering the encoder
+from dial_rag_tpu import telemetry as _telemetry  # noqa: E402
+
+_TOKENS_ENCODED = _telemetry.get_counter("dial_rag.tokens_encoded")
 # device-side concat arity for bulk encodes: groups of this many batches
 # are concatenated on device and transferred together, so a bulk embed
 # costs ~n_batches/_CONCAT_GROUP device->host transfers instead of
@@ -145,6 +150,15 @@ class BgeEmbedder:
         config = config or BertConfig.tiny()
         if vocab is None:
             vocab = build_test_vocab([chr(c) for c in range(97, 123)])
+        # identity must distinguish random embedders with different
+        # seeds/configs, or index invalidation is silently defeated in
+        # test/benchmark paths (a persisted index built by one seed
+        # would be served by another)
+        kw.setdefault(
+            "model_id",
+            f"random-{seed}-{config.hidden_size}x{config.num_layers}"
+            f"v{config.vocab_size}",
+        )
         return cls(
             tokenizer=WordPieceTokenizer(vocab=vocab),
             encoder=BertEncoder(config, compute_dtype=compute_dtype),
@@ -259,21 +273,33 @@ class BgeEmbedder:
             os.path.join(transformer_dir, "vocab.txt"),
             lowercase=hf.get("do_lower_case", True),
         )
-        # identity = path @ CONTENT hash: the documented `make
+        # identity = basename @ CONTENT hash: the documented `make
         # checkpoint` flow re-mints weights (and the idf table) in
         # place, so a path-only identity would serve persisted indexes
-        # built by the OLD weights in a mismatched embedding space
+        # built by the OLD weights in a mismatched embedding space.
+        # The digest covers everything that changes the embedding of a
+        # text: weights, the idf pooling table, the tokenizer vocab,
+        # and the transformer config (pooling-relevant fields live
+        # there). The path part is the NORMALIZED BASENAME only — the
+        # identical checkpoint mounted at a different path (docker vs
+        # local) must keep its identity, or every persisted index is
+        # invalidated once per mount-point spelling.
         if "model_id" not in kw:
             import hashlib
 
             digest = hashlib.sha256()
-            with open(weights_path, "rb") as f:
-                for block in iter(lambda: f.read(1 << 20), b""):
-                    digest.update(block)
-            if os.path.isfile(idf_path):
-                with open(idf_path, "rb") as f:
-                    digest.update(f.read())
-            kw["model_id"] = f"{model_dir}@{digest.hexdigest()[:16]}"
+            for part in (
+                weights_path,
+                idf_path,
+                os.path.join(transformer_dir, "vocab.txt"),
+                os.path.join(transformer_dir, "config.json"),
+            ):
+                if os.path.isfile(part):
+                    with open(part, "rb") as f:
+                        for block in iter(lambda: f.read(1 << 20), b""):
+                            digest.update(block)
+            base = os.path.basename(os.path.normpath(model_dir))
+            kw["model_id"] = f"{base}@{digest.hexdigest()[:16]}"
         return cls(
             tokenizer=tokenizer,
             encoder=BertEncoder(
@@ -306,10 +332,16 @@ class BgeEmbedder:
         return jax.device_put(ids, sharding), jax.device_put(mask, sharding)
 
     def _encode_batch(self, texts: list[str]) -> np.ndarray:
+        from dial_rag_tpu import telemetry
+
         ids, mask = self.tokenizer.encode_batch(texts, max_len=self.max_len)
-        out = self.encoder.encode(
-            self.params, *self._device_put_batch(ids, mask)
-        )
+        _TOKENS_ENCODED.add(int(mask.sum()))
+        with telemetry.span(
+            "encode_dispatch", rows=len(texts), seq=int(ids.shape[1])
+        ):
+            out = self.encoder.encode(
+                self.params, *self._device_put_batch(ids, mask)
+            )
         return np.asarray(out)[: len(texts)]
 
     def _assemble_group(self, toks: list) -> np.ndarray:
@@ -348,6 +380,7 @@ class BgeEmbedder:
         host->device transfer. Returns ("staged", device_array) or
         ("mixed", toks) when the group spans sequence buckets."""
         toks = [f.result() for f in futures]
+        _TOKENS_ENCODED.add(int(sum(t[1].sum() for t in toks)))
         buckets = {t[0].shape[1] for t in toks}
         if len(buckets) != 1:
             return ("mixed", toks)
@@ -367,12 +400,18 @@ class BgeEmbedder:
         to [G, B, S] batches encoded batch-serially inside a lax.scan
         (replaces G dispatches + 2G device slices — each dispatch costs
         host latency on a remote-attached device)."""
+        from dial_rag_tpu import telemetry
+
         b = self.batch_size
         g = dev.shape[1] // b
-        ids = dev[0].reshape(g, b, dev.shape[2])
-        mask = dev[1].reshape(g, b, dev.shape[2])
-        out = self.encoder.encode_group(self.params, ids, mask)
-        return out[: n_batches * b]
+        with telemetry.span(
+            "encode_dispatch", rows=int(dev.shape[1]), seq=int(dev.shape[2]),
+            group=g,
+        ):
+            ids = dev[0].reshape(g, b, dev.shape[2])
+            mask = dev[1].reshape(g, b, dev.shape[2])
+            out = self.encoder.encode_group(self.params, ids, mask)
+            return out[: n_batches * b]
 
     def _encode_grouped(self, texts: list[str]):
         """Shared bulk pipeline: batches are *dispatched* in order (the

@@ -37,22 +37,27 @@ def init_logging(level: str | None = None):
 
 
 def init_telemetry_if_available():
-    """OpenTelemetry auto-instrumentation when the packages exist; the
-    image may not ship them (the reference initializes OTel before logging
-    — log_config.py:65-75)."""
+    """OpenTelemetry init, before logging like the reference
+    (log_config.py:65-75). The image ships only ``opentelemetry-api``,
+    so the provider/exporters are the first-party SDK-lite in
+    ``dial_rag_tpu.telemetry`` (spans for request -> stages -> encode
+    dispatches, counters, OTLP/HTTP JSON export gated on the standard
+    ``OTEL_*`` env). Third-party auto-instrumentation is attempted on
+    top when those packages exist."""
     try:
-        from opentelemetry import trace  # noqa: F401
+        from dial_rag_tpu import telemetry
     except ImportError:
         return False
+    active = telemetry.init_telemetry()
     try:
         from opentelemetry.instrumentation.aiohttp_server import (
             AioHttpServerInstrumentor,
         )
 
         AioHttpServerInstrumentor().instrument()
-        return True
     except Exception:
-        return False
+        pass
+    return active
 
 
 def init_logging_and_telemetry():

@@ -24,6 +24,7 @@ requests do not pay thread-spawn latency.
 """
 
 import asyncio
+import contextvars
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -59,19 +60,23 @@ def init_host_pools() -> None:
             pool.submit(lambda: None)
 
 
-async def run_in_parse_pool(fn, *args):
+async def _run_in(pool_name: str, fn, *args):
+    # carry contextvars (incl. the OpenTelemetry current-span context)
+    # into the worker thread so device-dispatch spans parent under the
+    # request/stage span instead of starting orphan traces
+    ctx = contextvars.copy_context()
     return await asyncio.get_running_loop().run_in_executor(
-        get_pools()["parse"], fn, *args
+        get_pools()[pool_name], lambda: ctx.run(fn, *args)
     )
+
+
+async def run_in_parse_pool(fn, *args):
+    return await _run_in("parse", fn, *args)
 
 
 async def run_in_indexing_dispatch_pool(fn, *args):
-    return await asyncio.get_running_loop().run_in_executor(
-        get_pools()["indexing_dispatch"], fn, *args
-    )
+    return await _run_in("indexing_dispatch", fn, *args)
 
 
 async def run_in_query_dispatch_pool(fn, *args):
-    return await asyncio.get_running_loop().run_in_executor(
-        get_pools()["query_dispatch"], fn, *args
-    )
+    return await _run_in("query_dispatch", fn, *args)

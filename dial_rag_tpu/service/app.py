@@ -176,6 +176,14 @@ class DialRagApplication:
     async def chat_completion(
         self, request: ChatRequest, responder: ChatCompletionResponder
     ) -> None:
+        from dial_rag_tpu import telemetry
+
+        with telemetry.span("rag_request") as request_span:
+            await self._chat_completion(request, responder, request_span)
+
+    async def _chat_completion(
+        self, request, responder, request_span
+    ) -> None:
         choice = responder.choice
         request_context = RequestContext(
             dial_url=self.app_config.dial_url,
@@ -220,6 +228,10 @@ class DialRagApplication:
         )
 
         request_type = request_config.request.type
+        request_span.set_attribute("dial_rag.request_type", request_type.value)
+        request_span.set_attribute(
+            "dial_rag.attachments", len(attachment_links)
+        )
         if request_type == RequestType.INDEXING:
             for attachment in create_indexing_results_attachments(
                 indexing_results

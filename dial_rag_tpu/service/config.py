@@ -368,7 +368,11 @@ class ParallelConfig(BaseConfig):
         description="HBM storage dtype of the dense index matrix. "
         "'bfloat16' halves index memory and roughly doubles query scan "
         "throughput (bandwidth-bound); arithmetic stays f32, so only "
-        "near-tied candidates can reorder vs the exact default.",
+        "near-tied candidates can reorder vs the exact default. "
+        "'two_pass' keeps bf16+f32 copies (1.5x f32 memory): queries "
+        "scan the bf16 copy and re-score a certified candidate window "
+        "in f32 — provably identical results to 'float32' at "
+        "near-bfloat16 latency (single-chip layout).",
     )
 
 

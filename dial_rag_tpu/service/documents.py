@@ -185,6 +185,11 @@ async def load_document_impl(
                 )
             )
 
+    from dial_rag_tpu import telemetry
+
+    telemetry.get_counter("dial_rag.chunks_indexed").add(
+        len(chunks_list), {"mime_type": mime_type}
+    )
     return DocumentRecord(
         format_version=FORMAT_VERSION,
         index_settings=index_settings,

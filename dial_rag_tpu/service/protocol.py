@@ -158,7 +158,9 @@ class Choice:
 
 class TimedStage:
     """Stage wrapper adding elapsed time to the name and keep-alive pings
-    (reference utils.timed_stage, utils.py:36-47)."""
+    (reference utils.timed_stage, utils.py:36-47). Each stage is also an
+    OpenTelemetry span ("stage: <name>") made current for its body, so
+    device-dispatch spans inside the stage parent under it."""
 
     def __init__(self, choice: Choice, name: str, ping_interval: float = 15.0):
         self._choice = choice
@@ -167,9 +169,22 @@ class TimedStage:
         self.stage: Stage | None = None
         self._ping_task: asyncio.Task | None = None
         self._start = 0.0
+        self._span = None
+        self._otel_token = None
 
     async def __aenter__(self) -> Stage:
+        from opentelemetry import context as otel_context
+        from opentelemetry import trace as trace_api
+
+        from dial_rag_tpu import telemetry
+
         self.stage = self._choice.create_stage(self._name)
+        self._span = telemetry.tracer().start_span(
+            f"stage: {self._name}"
+        )
+        self._otel_token = otel_context.attach(
+            trace_api.set_span_in_context(self._span)
+        )
         self._start = perf_counter()
 
         async def ping():
@@ -181,6 +196,9 @@ class TimedStage:
         return self.stage
 
     async def __aexit__(self, exc_type, exc, tb):
+        from opentelemetry import context as otel_context
+        from opentelemetry.trace import Status, StatusCode
+
         # await the cancelled ping so a just-woken ping cannot append a
         # content delta AFTER the stage's completed/failed status delta
         self._ping_task.cancel()
@@ -191,6 +209,12 @@ class TimedStage:
         elapsed = perf_counter() - self._start
         self.stage.append_name(f" [{elapsed:.2f}s]")
         self.stage.close("failed" if exc_type else "completed")
+        otel_context.detach(self._otel_token)
+        if exc_type is not None:
+            self._span.set_status(Status(StatusCode.ERROR, str(exc)))
+            if exc is not None:
+                self._span.record_exception(exc, escaped=True)
+        self._span.end()
         return False
 
 

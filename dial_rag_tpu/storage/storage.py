@@ -63,9 +63,14 @@ class LRUCacheStorage(IndexStorageBackend):
         self._cache: OrderedDict[str, bytes] = OrderedDict()
 
     async def load(self, url: str) -> bytes | None:
+        from dial_rag_tpu import telemetry
+
         data = self._cache.get(url)
         if data is not None:
             self._cache.move_to_end(url)
+            telemetry.get_counter("dial_rag.index_cache.hits").add(1)
+        else:
+            telemetry.get_counter("dial_rag.index_cache.misses").add(1)
         return data
 
     async def store(self, url: str, data: bytes) -> dict:
@@ -133,7 +138,7 @@ class CachedStorage(IndexStorageBackend):
         self._cache = cache
 
     async def load(self, url: str) -> bytes | None:
-        data = await self._cache.load(url)
+        data = await self._cache.load(url)  # counts the hit/miss
         if data is not None:
             return data
         data = await self._storage.load(url)

@@ -120,6 +120,58 @@ def _attach_message(text: str, url: str = "files/user-bucket/alps.pdf"):
     }
 
 
+async def test_request_emits_telemetry_spans_and_counters(harness):
+    """The OTel story the reference gets from aidial-sdk (reference
+    log_config.py:65-75, main.py:19): one rag_request root span, stage
+    spans parented under it, encode-dispatch spans parented under
+    stages, and counters for tokens/chunks/index-cache traffic — all
+    collected by an in-process exporter."""
+    from dial_rag_tpu import telemetry
+
+    exporter = telemetry.InMemorySpanExporter()
+    previous = telemetry.provider()
+    telemetry.set_provider(telemetry.TracerProvider([exporter]))
+    telemetry.metrics().reset()
+    try:
+        async with harness() as h:
+            h.fake.script_llm("Cadibona. <[1]>")
+            resp = await h.chat(
+                {"messages": [_attach_message("southern boundary?")]}
+            )
+            assert resp.status == 200
+
+        (request_span,) = exporter.find("rag_request")
+        assert request_span.attributes["dial_rag.request_type"] == "rag"
+        assert request_span.attributes["dial_rag.attachments"] == 1
+        request_sc = request_span.get_span_context()
+
+        stage_spans = exporter.find("stage: ")
+        assert any("Processing document" in s.name for s in stage_spans)
+        assert any(
+            "Prepare indexes for search" in s.name for s in stage_spans
+        )
+        # stages parent under the request span, same trace
+        for s in stage_spans:
+            assert s.get_span_context().trace_id == request_sc.trace_id
+            assert s.parent is not None
+
+        # encode dispatches are children of stages (context crossed the
+        # dispatch-pool thread boundary)
+        encode_spans = exporter.find("encode_dispatch")
+        assert encode_spans, [s.name for s in exporter.spans]
+        stage_ids = {s.get_span_context().span_id for s in stage_spans}
+        assert any(s.parent.span_id in stage_ids for s in encode_spans)
+
+        m = telemetry.metrics()
+        assert m.total("dial_rag.tokens_encoded") > 0
+        assert m.total("dial_rag.chunks_indexed") > 0
+        # first request: one miss (no cached index yet)
+        assert m.total("dial_rag.index_cache.misses") >= 1
+    finally:
+        telemetry.set_provider(previous)
+        telemetry.metrics().reset()
+
+
 async def test_rag_request_with_citations(harness):
     async with harness() as h:
         h.fake.script_llm(
@@ -990,9 +1042,10 @@ async def test_semantic_idf_checkpoint_e2e(harness):
         custom = body["choices"][0]["message"]["custom_content"]
         app_obj = h.client.app["dial_rag"]
         assert app_obj.embedder.encoder.pooling == "idf"
-        # identity = path @ content hash (re-minting weights in place
-        # must invalidate persisted indexes)
-        assert app_obj.embedder.model_id.startswith(str(ckpt) + "@")
+        # identity = normalized basename @ content hash (re-minting
+        # weights in place must invalidate persisted indexes; the same
+        # checkpoint at a different mount path must NOT)
+        assert app_obj.embedder.model_id.startswith(ckpt.name + "@")
         emb_stage = next(
             s for s in custom["stages"] if "Embeddings search" in s["name"]
         )

@@ -446,3 +446,61 @@ def test_idf_pooling_vocab_mismatch_rejected(tmp_path):
     )
     with _pytest.raises(ValueError, match="idf_pooling"):
         BgeEmbedder.from_hf_checkpoint(str(tmp_path))
+
+
+def _write_checkpoint(dirpath, seed=0):
+    import json
+
+    from safetensors.torch import save_file
+
+    hf_cfg, model = _tiny_hf_bert(seed=seed)
+    dirpath.mkdir(parents=True, exist_ok=True)
+    _write_vocab(dirpath / "vocab.txt")
+    (dirpath / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(dirpath / "model.safetensors"),
+    )
+
+
+def test_model_identity_contract(tmp_path):
+    """model_id is the index-invalidation key. Contract: (1) the SAME
+    checkpoint content mounted at a different path keeps its identity
+    (no surprise full re-index on a docker-vs-local mount change);
+    (2) changing the tokenizer vocab alone changes the identity even
+    with byte-identical weights (vocab defines the token space the
+    index was built in); (3) from_random identities distinguish seeds
+    and configs (invalidation works in test/bench paths too)."""
+    import dataclasses
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.models.bert import BertConfig
+
+    _write_checkpoint(tmp_path / "mount_a" / "ckpt")
+    _write_checkpoint(tmp_path / "mount_b" / "ckpt")
+    id_a = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path / "mount_a" / "ckpt"), compute_dtype=jnp.float32
+    ).model_id
+    id_b = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path / "mount_b" / "ckpt"), compute_dtype=jnp.float32
+    ).model_id
+    assert id_a == id_b  # identical content, different mount paths
+
+    # vocab.txt changes the embedding of a text with identical weights
+    vocab_path = tmp_path / "mount_a" / "ckpt" / "vocab.txt"
+    vocab_path.write_text(vocab_path.read_text().replace("tok0", "zok0"))
+    id_a2 = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path / "mount_a" / "ckpt"), compute_dtype=jnp.float32
+    ).model_id
+    assert id_a2 != id_a
+
+    assert (
+        BgeEmbedder.from_random(seed=0).model_id
+        != BgeEmbedder.from_random(seed=1).model_id
+    )
+    assert (
+        BgeEmbedder.from_random(seed=0).model_id
+        != BgeEmbedder.from_random(
+            seed=0, config=dataclasses.replace(BertConfig.tiny(), num_layers=1)
+        ).model_id
+    )

@@ -91,9 +91,10 @@ def main() -> None:
     print(f"{len(texts)} corpus chunks", flush=True)
     weights = build_idf_table(texts, tokenizer, vocab_size, args.alpha)
     nz = weights[weights > (1e-3**args.alpha) + 1e-9]
+    median = f"{np.median(nz):.4f}" if nz.size else "n/a (all at floor)"
     print(
         f"idf^{args.alpha}: min={weights.min():.4f} max={weights.max():.4f} "
-        f"median(non-floor)={np.median(nz):.4f}",
+        f"median(non-floor)={median}",
         flush=True,
     )
 
