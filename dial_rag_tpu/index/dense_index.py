@@ -82,6 +82,152 @@ class DocEmbeddings:
         return self.embeddings.shape[0]
 
 
+# Two-pass exact query: candidate budget of the bf16 prefilter. Must be
+# lane-friendly; raised automatically to 4k for large k.
+_TWO_PASS_C = 64
+
+
+@jax.jit
+def _two_pass_error_terms(emb_f32):
+    """Certified per-matrix error components of the bf16 prefilter scan,
+    computed once at build time on device:
+
+    - ``err_a`` = max_i ||x_i - bf16(x_i)||  (row perturbation norm)
+    - ``err_b`` = max_i |  ||bf16(x_i)||^2 - ||x_i||^2 |
+    - ``norm_max`` = max_i ||x_i||
+
+    Padding rows are zero and contribute nothing. See
+    ``_find_two_pass_kernel`` for how these bound the score error."""
+    x = emb_f32
+    xt = x.astype(jnp.bfloat16).astype(jnp.float32)
+    e = x - xt
+    err_a = jnp.sqrt(jnp.max(jnp.sum(e * e, axis=1)))
+    err_b = jnp.max(
+        jnp.abs(jnp.sum(xt * xt, axis=1) - jnp.sum(x * x, axis=1))
+    )
+    norm_max = jnp.sqrt(jnp.max(jnp.sum(x * x, axis=1)))
+    return err_a, err_b, norm_max
+
+
+def _two_pass_bound(query, err_a, err_b, norm_max, d, sel_metric):
+    """Sound upper bound E on |s_bf16(q, x_i) - s_f32(q, x_i)| per row.
+
+    With ``Precision.HIGHEST`` the prefilter matmul upcasts the bf16
+    matrix and runs exact f32 passes, so the ONLY perturbation is the
+    stored rows: x~ = bf16(x). For sqeuclidean (s = ||x||^2 - 2 q.x +
+    ||q||^2; the ||q||^2 term is identical in both scans and cancels in
+    comparisons):
+
+        |s~ - s| <= | ||x~||^2 - ||x||^2 | + 2 |q . (x~ - x)|
+                 <= err_b + 2 ||q|| err_a
+
+    For inner product (s = -q.x): |s~ - s| <= ||q|| err_a.
+
+    f32 accumulation rounding differs between the two scans by at most
+    ~D * u_f32 * (magnitude); ``eps_round`` covers it with a 5x margin,
+    and the whole bound is doubled once more for safety — E is only used
+    to widen the candidate window, so slack costs nothing unless the
+    window overflows the candidate budget (which falls back to the full
+    f32 scan and stays exact)."""
+    qn = jnp.sqrt(jnp.sum(query * query))
+    scale = (qn + err_a) * (norm_max + err_a) + (norm_max + err_a) ** 2
+    eps_round = 3e-7 * d * scale
+    if sel_metric == Metric.SQEUCLIDEAN_DIST:
+        e = err_b + 2.0 * qn * err_a + eps_round
+    else:  # INNER_PRODUCT
+        e = qn * err_a + eps_round
+    return 2.0 * e
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "c"))
+def _find_two_pass_kernel(
+    emb_bf16, emb_f32, query, n_valid, err_a, err_b, norm_max,
+    *, metric: Metric, k: int, c: int,
+):
+    """f32-EXACT top-k at near-bf16 scan cost, one dispatch.
+
+    Pass 1 scans the half-size bf16 matrix and selects the ``c`` best
+    candidates. Pass 2 gathers those rows from the f32 matrix (sorted
+    ascending so the stable tie-break stays 'earliest row wins') and
+    re-scores them exactly. The result provably selects the same stable
+    top-k as the full f32 scan whenever ``ok`` is true (values agree up
+    to XLA fusion-order rounding, a few ulp — the same ambiguity the
+    full kernel itself carries vs a numpy scan; exact ties are
+    bitwise-equal rows and keep their earliest-row order in both paths):
+
+    every row r in the true stable top-k has s_r <= V (the k-th smallest
+    f32 score), and V <= s1_(k) + E (the k best prefilter rows each have
+    true score within E), so s1_r <= s_r + E <= s1_(k) + 2E. ``ok``
+    asserts the candidate cut s1_(c) is STRICTLY above s1_(k) + 2E, so
+    every such row — including all boundary ties — was selected. When
+    ``ok`` is false (more than c near-tied rows) the caller falls back
+    to the full f32 scan; exactness never depends on the bound being
+    tight, only on E being an upper bound."""
+    sel_metric = (
+        Metric.SQEUCLIDEAN_DIST
+        if metric == Metric.EUCLIDEAN_DIST
+        else metric
+    )
+    s1 = pairwise_distances(query, emb_bf16, sel_metric)
+    row = jax.lax.broadcasted_iota(
+        jnp.int32, (emb_bf16.shape[0], 1), 0
+    ).reshape(-1)
+    s1 = jnp.where(row < n_valid, s1, jnp.inf)
+    neg_vals, cand_idx = jax.lax.top_k(-s1, c)
+    cand_s1 = -neg_vals  # ascending: c smallest prefilter scores
+    e_bound = _two_pass_bound(
+        query, err_a, err_b, norm_max, emb_bf16.shape[1], sel_metric
+    )
+    ok = (cand_s1[c - 1] > cand_s1[min(k, c) - 1] + 2.0 * e_bound) | (
+        n_valid <= c
+    )
+    cand_sorted = jnp.sort(cand_idx)
+    rows = emb_f32[cand_sorted]
+    s2 = pairwise_distances(query, rows, metric)
+    s2 = jnp.where(cand_sorted < n_valid, s2, jnp.inf)
+    topk = stable_topk_sort if k > _ARGMIN_MAX_K else stable_topk_argmin
+    vals, pos = topk(s2, min(k, c))
+    return ok, vals, cand_sorted[pos]
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "c"))
+def _find_two_pass_batch_kernel(
+    emb_bf16, emb_f32, queries, n_valid, err_a, err_b, norm_max,
+    *, metric: Metric, k: int, c: int,
+):
+    """Batched two-pass: one bf16 MXU matmul + per-query candidate
+    gather/rescore (vmapped). Returns (ok[Q], vals[Q,k], idx[Q,k])."""
+    sel_metric = (
+        Metric.SQEUCLIDEAN_DIST
+        if metric == Metric.EUCLIDEAN_DIST
+        else metric
+    )
+    s1 = pairwise_distances_batch(queries, emb_bf16, sel_metric)  # [Q, N]
+    row = jax.lax.broadcasted_iota(
+        jnp.int32, (emb_bf16.shape[0], 1), 0
+    ).reshape(-1)
+    s1 = jnp.where(row[None, :] < n_valid, s1, jnp.inf)
+    neg_vals, cand_idx = jax.lax.top_k(-s1, c)  # [Q, c]
+    cand_s1 = -neg_vals
+
+    def per_query(query, cs1, cidx):
+        e_bound = _two_pass_bound(
+            query, err_a, err_b, norm_max, emb_bf16.shape[1], sel_metric
+        )
+        ok = (cs1[c - 1] > cs1[min(k, c) - 1] + 2.0 * e_bound) | (
+            n_valid <= c
+        )
+        cand_sorted = jnp.sort(cidx)
+        rows = emb_f32[cand_sorted]
+        s2 = pairwise_distances(query, rows, metric)
+        s2 = jnp.where(cand_sorted < n_valid, s2, jnp.inf)
+        topk = stable_topk_sort if k > _ARGMIN_MAX_K else stable_topk_argmin
+        vals, pos = topk(s2, min(k, c))
+        return ok, vals, cand_sorted[pos]
+
+    return jax.vmap(per_query)(queries, cand_s1, cand_idx)
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "use_sort"))
 def _find_kernel(emb, query, n_valid, *, metric: Metric, k: int, use_sort: bool):
     dists = pairwise_distances(query, emb, metric)
@@ -144,17 +290,35 @@ class DenseIndex:
         scan is HBM-bandwidth-bound, so query throughput roughly doubles.
         Distances still accumulate in f32; ranking differs from the f32
         index only between near-tied candidates (opt-in — the default
-        keeps exact numpy parity)."""
+        keeps exact numpy parity).
+
+        ``storage_dtype="two_pass"`` keeps BOTH matrices (bf16 + f32,
+        1.5x the f32 memory): queries scan the bf16 copy, then re-score
+        a certified candidate window against the f32 rows — provably
+        identical (values AND stable tie order) to the f32 scan, at
+        near-bf16 latency (see ``_find_two_pass_kernel``). Cosine is
+        excluded: its eps-guarded denominator has no query-independent
+        error bound."""
         self.retrieval_type = retrieval_type
         self.metric = Metric(metric)
         self.limit = limit
         self.storage_dtype = storage_dtype
+        if (
+            storage_dtype == "two_pass"
+            and self.metric == Metric.COSINE_SIM
+        ):
+            raise ValueError(
+                "two_pass storage does not support cosine_sim (the "
+                "eps-guarded denominator has no query-independent "
+                "certified error bound); use float32"
+            )
 
         non_empty = [(i, d) for i, d in enumerate(doc_embeddings) if d.num_rows]
         self.n_rows = sum(d.num_rows for _, d in non_empty)
         if self.n_rows == 0:
             self.dim = 0
             self._emb = None
+            self._emb_f32 = None
             return
 
         self.dim = non_empty[0][1].embeddings.shape[1]
@@ -170,9 +334,15 @@ class DenseIndex:
         # Host-side row -> (doc, chunk) mapping; top-k indices come back small.
         self._doc_ids = doc_ids
         self._chunk_ids = chunk_ids
-        self._emb = jnp.asarray(
-            emb, dtype=jnp.dtype(self.storage_dtype)
-        )  # [n_pad, D] in HBM
+        if self.storage_dtype == "two_pass":
+            self._emb_f32 = jnp.asarray(emb, dtype=jnp.float32)
+            self._emb = self._emb_f32.astype(jnp.bfloat16)
+            self._err = _two_pass_error_terms(self._emb_f32)
+        else:
+            self._emb_f32 = None
+            self._emb = jnp.asarray(
+                emb, dtype=jnp.dtype(self.storage_dtype)
+            )  # [n_pad, D] in HBM
 
     @classmethod
     def from_device_matrix(
@@ -193,6 +363,8 @@ class DenseIndex:
         self.retrieval_type = retrieval_type
         self.metric = Metric(metric)
         self.limit = limit
+        self.storage_dtype = str(emb.dtype)
+        self._emb_f32 = None
         self.n_rows = int(emb.shape[0])
         if self.n_rows == 0:
             self.dim = 0
@@ -217,7 +389,20 @@ class DenseIndex:
 
     @property
     def nbytes(self) -> int:
-        return 0 if self._emb is None else self._emb.size * self._emb.dtype.itemsize
+        if self._emb is None:
+            return 0
+        total = self._emb.size * self._emb.dtype.itemsize
+        if self._emb_f32 is not None:
+            total += self._emb_f32.size * self._emb_f32.dtype.itemsize
+        return total
+
+    def _two_pass_c(self, k: int) -> int:
+        """Candidate budget: >= 4k so the window check rarely binds,
+        never above the padded row count."""
+        c = _TWO_PASS_C
+        while c < 4 * k:
+            c *= 2
+        return min(c, self._emb.shape[0])
 
     def find(self, query: np.ndarray) -> list[SearchHit]:
         hits, _ = self.find_with_distances(query)
@@ -238,14 +423,37 @@ class DenseIndex:
         if q_pad != q:
             queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
         k = min(self.limit, self.n_rows)
-        vals, idx = _find_batch_kernel(
-            self._emb,
-            jnp.asarray(queries),
-            jnp.int32(self.n_rows),
-            metric=self.metric,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+        if self._emb_f32 is not None:
+            ok, vals, idx = _find_two_pass_batch_kernel(
+                self._emb,
+                self._emb_f32,
+                jnp.asarray(queries),
+                jnp.int32(self.n_rows),
+                *self._err,
+                metric=self.metric,
+                k=k,
+                c=self._two_pass_c(k),
+            )
+            if not bool(jnp.all(ok)):
+                # >c near-tied rows for some query: full f32 scan keeps
+                # the exactness guarantee (rare; adversarial tie corpora)
+                vals, idx = _find_batch_kernel(
+                    self._emb_f32,
+                    jnp.asarray(queries),
+                    jnp.int32(self.n_rows),
+                    metric=self.metric,
+                    k=k,
+                    use_sort=k > _ARGMIN_MAX_K,
+                )
+        else:
+            vals, idx = _find_batch_kernel(
+                self._emb,
+                jnp.asarray(queries),
+                jnp.int32(self.n_rows),
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         vals = np.asarray(vals)[:q]
         idx = np.asarray(idx)[:q]
         return [
@@ -265,14 +473,35 @@ class DenseIndex:
             return [], []
         query = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(-1))
         k = min(self.limit, self.n_rows)
-        vals, idx = _find_kernel(
-            self._emb,
-            query,
-            jnp.int32(self.n_rows),
-            metric=self.metric,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+        if self._emb_f32 is not None:
+            ok, vals, idx = _find_two_pass_kernel(
+                self._emb,
+                self._emb_f32,
+                query,
+                jnp.int32(self.n_rows),
+                *self._err,
+                metric=self.metric,
+                k=k,
+                c=self._two_pass_c(k),
+            )
+            if not bool(ok):
+                vals, idx = _find_kernel(
+                    self._emb_f32,
+                    query,
+                    jnp.int32(self.n_rows),
+                    metric=self.metric,
+                    k=k,
+                    use_sort=k > _ARGMIN_MAX_K,
+                )
+        else:
+            vals, idx = _find_kernel(
+                self._emb,
+                query,
+                jnp.int32(self.n_rows),
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         return hits_from_topk(
             np.asarray(vals),
             np.asarray(idx),

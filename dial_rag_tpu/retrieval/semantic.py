@@ -58,7 +58,15 @@ class SemanticRetriever:
                     mesh,
                     metric=metric,
                     limit=k,
-                    storage_dtype=storage_dtype,
+                    # "two_pass" is a single-chip layout (bf16 prefilter
+                    # + f32 rescore); the sharded scan already splits
+                    # HBM traffic across chips, so it serves the exact
+                    # f32 path instead
+                    storage_dtype=(
+                        "float32"
+                        if storage_dtype == "two_pass"
+                        else storage_dtype
+                    ),
                 )
             return DenseIndex(
                 RetrievalType.TEXT,

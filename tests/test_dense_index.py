@@ -145,3 +145,157 @@ def test_bfloat16_storage_ranking():
     _, d32 = f32.find_with_distances(q)
     _, d16 = bf16.find_with_distances(q)
     np.testing.assert_allclose(d16, d32, atol=0.5, rtol=0.05)
+
+
+_TWO_PASS_METRICS = [
+    Metric.SQEUCLIDEAN_DIST,
+    Metric.EUCLIDEAN_DIST,
+    Metric.INNER_PRODUCT,
+]
+
+
+def _assert_identical(f32_index, tp_index, queries):
+    """two_pass must return the IDENTICAL stable hit sequence as the
+    f32 path (including tie order — exact ties are bitwise-equal in
+    both computations, so stability transfers), with distances equal up
+    to XLA fusion-order rounding (a few ulp — the same ambiguity the
+    f32 kernel itself has vs a numpy scan on non-integer data)."""
+    for q in queries:
+        h32, d32 = f32_index.find_with_distances(q)
+        htp, dtp = tp_index.find_with_distances(q)
+        assert htp == h32
+        np.testing.assert_allclose(
+            np.asarray(dtp, dtype=np.float32),
+            np.asarray(d32, dtype=np.float32),
+            rtol=4e-6,
+            atol=1e-6,
+        )
+    b32 = f32_index.find_batch(np.stack(queries))
+    btp = tp_index.find_batch(np.stack(queries))
+    assert btp == b32
+
+
+@pytest.mark.parametrize("metric", _TWO_PASS_METRICS)
+def test_two_pass_exactness_random(metric):
+    """Random corpora: the bf16-prefilter + f32-rescore path returns
+    the identical (values, stable indices) result as the exact scan."""
+    rng = np.random.default_rng(7)
+    n, d = 3000, 48
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=7)
+    tp = DenseIndex(
+        RetrievalType.TEXT, docs, metric=metric, limit=7,
+        storage_dtype="two_pass",
+    )
+    queries = [
+        (emb[i] + 0.05 * rng.standard_normal(d)).astype(np.float32)
+        for i in range(0, 40, 5)
+    ] + [rng.standard_normal(d).astype(np.float32) for _ in range(8)]
+    _assert_identical(f32, tp, queries)
+
+
+@pytest.mark.parametrize("metric", _TWO_PASS_METRICS)
+def test_two_pass_exactness_adversarial_ties(metric):
+    """Tie-stress corpora where the bf16 prefilter CANNOT separate
+    candidates: hundreds of exactly-duplicated rows (exact ties — the
+    stable earliest-row order is the whole answer) and wide bands of
+    rows whose differences vanish at bf16 resolution (the f32 order is
+    invisible to pass 1). The window check must detect both and fall
+    back to the exact scan."""
+    rng = np.random.default_rng(13)
+    d = 48
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    # 300 exact duplicates + 300 rows perturbed below bf16 resolution
+    # (~2^-9 relative) + noise rows
+    dup = np.tile(base, (300, 1))
+    near = base + 1e-7 * rng.standard_normal((300, d)).astype(np.float32)
+    noise = rng.standard_normal((400, d)).astype(np.float32)
+    emb = np.concatenate([noise[:200], dup, near, noise[200:]]).astype(
+        np.float32
+    )
+    n = emb.shape[0]
+    # shuffle so ties are scattered across row order
+    perm = rng.permutation(n)
+    emb = emb[perm]
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=7)
+    tp = DenseIndex(
+        RetrievalType.TEXT, docs, metric=metric, limit=7,
+        storage_dtype="two_pass",
+    )
+    queries = [
+        base,  # lands in the middle of 600 near-tied rows
+        (base + 1e-8).astype(np.float32),
+        rng.standard_normal(d).astype(np.float32),
+    ]
+    _assert_identical(f32, tp, queries)
+
+
+def test_two_pass_fast_path_engages_on_separated_data():
+    """On well-separated data the certified window must be contained in
+    the candidate budget (ok=True) — otherwise every query would pay
+    the fallback scan and the mode would be pointless."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.index.dense_index import _find_two_pass_kernel
+
+    rng = np.random.default_rng(3)
+    n, d = 3000, 48
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    tp = DenseIndex(
+        RetrievalType.TEXT, docs, limit=7, storage_dtype="two_pass"
+    )
+    q = rng.standard_normal(d).astype(np.float32)
+    ok, _, _ = _find_two_pass_kernel(
+        tp._emb,
+        tp._emb_f32,
+        jnp.asarray(q),
+        jnp.int32(tp.n_rows),
+        *tp._err,
+        metric=tp.metric,
+        k=7,
+        c=tp._two_pass_c(7),
+    )
+    assert bool(ok)
+
+
+def test_two_pass_small_corpus_and_padding():
+    """n_valid <= candidate budget: every row is a candidate, results
+    exact, padding rows never surface."""
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((10, 16)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(10), embeddings=emb)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, limit=7)
+    tp = DenseIndex(
+        RetrievalType.TEXT, docs, limit=7, storage_dtype="two_pass"
+    )
+    _assert_identical(
+        f32, tp, [rng.standard_normal(16).astype(np.float32)]
+    )
+    assert len(tp.find(rng.standard_normal(16).astype(np.float32))) == 7
+
+
+def test_two_pass_rejects_cosine():
+    with pytest.raises(ValueError, match="two_pass"):
+        DenseIndex(
+            RetrievalType.TEXT,
+            [DOC1],
+            metric=Metric.COSINE_SIM,
+            storage_dtype="two_pass",
+        )
+
+
+def test_two_pass_nbytes_accounts_both_matrices():
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((600, 32)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(600), embeddings=emb)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, limit=5)
+    tp = DenseIndex(
+        RetrievalType.TEXT, docs, limit=5, storage_dtype="two_pass"
+    )
+    assert tp.nbytes == f32.nbytes * 3 // 2
