@@ -92,6 +92,12 @@ ENV DIAL_RAG__EMBEDDER__MODEL_PATH=/embeddings_model/bge-small-en
 # compile every encoder bucket + the index kernels during startup so the
 # first request does not pay jit latency on a fresh TPU VM
 ENV DIAL_RAG__EMBEDDER__WARMUP_ON_STARTUP=true
+# persistent XLA compile cache: warmup programs compile once per image/
+# chip generation; later boots load them from this volume-mountable dir
+# instead of paying 20-250s per program through the remote TPU tunnel
+# (runtime/compile_cache.py)
+ENV JAX_COMPILATION_CACHE_DIR=/var/cache/jax
+RUN mkdir -p /var/cache/jax
 ENV PORT=5000
 
 EXPOSE 5000

@@ -222,15 +222,18 @@ def bench_encoder_mfu(params, config, reps=3, n_batches=64, s=256):
 
 
 def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
-    """Dense top-k at corpus scale (1M x 384), f32 and bf16 storage —
-    the north-star '2 ms' row measured where it is actually stressed
-    (round 2 evidenced it only at 100k rows). Same single-dispatch
-    lax.scan pattern as bench_query_device_time; the bf16 variant
-    stores the matrix half-size and upcasts at the registers exactly
-    like DenseIndex(storage_dtype='bfloat16') does."""
+    """Dense top-k at corpus scale (1M x 384): f32 storage, bf16
+    storage, and the two_pass f32-EXACT mode (bf16 prefilter + f32
+    candidate rescore, DenseIndex(storage_dtype='two_pass')) — the
+    north-star '<2 ms f32-exact' row measured where it is stressed.
+    Same single-dispatch lax.scan pattern as bench_query_device_time."""
     import jax
     import jax.numpy as jnp
 
+    from dial_rag_tpu.index.dense_index import (
+        _find_two_pass_kernel,
+        _two_pass_error_terms,
+    )
     from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
     from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
 
@@ -268,7 +271,226 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
             if rep > 0:
                 best = min(best, time.perf_counter() - t0)
         out[storage] = best / m * 1e3
-    return out["float32"], out["bfloat16"]
+
+    # two_pass: the f32-exact serving path (one fused dispatch per query:
+    # bf16 scan + top-64 window + f32 gather/rescore + containment check)
+    @jax.jit
+    def gen_tp(seed):
+        kq, ke = jax.random.split(jax.random.PRNGKey(seed))
+        emb32 = jax.random.normal(ke, (n_rows, d), jnp.float32)
+        queries = jax.random.normal(kq, (m, d), jnp.float32)
+        return emb32, emb32.astype(jnp.bfloat16), queries
+
+    @jax.jit
+    def scan_find_tp(emb16, emb32, err, queries):
+        def step(carry, q):
+            ok, vals, idx = _find_two_pass_kernel(
+                emb16,
+                emb32,
+                q,
+                jnp.int32(n_rows),
+                *err,
+                metric=Metric.SQEUCLIDEAN_DIST,
+                k=k,
+                c=64,
+            )
+            return (
+                carry
+                + jnp.sum(vals)
+                + jnp.sum(idx.astype(jnp.float32))
+                + ok.astype(jnp.float32),
+                None,
+            )
+
+        return jax.lax.scan(step, jnp.float32(0), queries)[0]
+
+    best = float("inf")
+    for rep in range(reps + 1):
+        emb32, emb16, queries = jax.block_until_ready(gen_tp(rep))
+        err = jax.block_until_ready(_two_pass_error_terms(emb32))
+        t0 = time.perf_counter()
+        float(scan_find_tp(emb16, emb32, err, queries))
+        if rep > 0:
+            best = min(best, time.perf_counter() - t0)
+    out["two_pass"] = best / m * 1e3
+    return out["float32"], out["bfloat16"], out["two_pass"]
+
+
+def bench_scale_10m(reps=2):
+    """Single-chip order-of-magnitude scale proof (SURVEY §5 corpus
+    scaling; index/bm25.py's '>10M-chunk layout' claim):
+
+    - dense bf16 10M x 384 (7.4 GiB in HBM), per-query top-7 ms;
+    - sparse BM25 at 10M items: dense band [10M, 128] + ~27M-posting
+      CSC tail with a Zipf term profile. The arrays are synthesized ON
+      DEVICE with the exact layout Bm25Index.build produces (term-major
+      postings, item-ascending rows per term — the sorted-scatter
+      contract): shipping a real 10M-item host build through the
+      ~MB/s tunnel would add many minutes and measure nothing extra —
+      query latency touches only the band matvec + tail windows;
+    - late-interaction MaxSim at 1M chunks x 16 tokens bf16 (11.4 GiB).
+
+    Runs sequentially, freeing each index before the next (together
+    they exceed the 16 GiB chip). Returns a dict of bench keys + the
+    HBM high-water mark if the backend exposes memory_stats."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
+    from dial_rag_tpu.ops.stable_topk import stable_topk_argmin
+
+    out = {}
+    hbm_peaks = []
+
+    def note_hbm():
+        try:
+            stats = jax.devices()[0].memory_stats()
+            hbm_peaks.append(stats.get("peak_bytes_in_use", 0))
+        except Exception:
+            pass
+
+    # ---- dense bf16 @ 10M ------------------------------------------------
+    n_rows, d, m, k = 10_000_000, 384, 16, 7
+
+    @jax.jit
+    def gen_dense10(seed):
+        kq, ke = jax.random.split(jax.random.PRNGKey(seed))
+        emb = jax.random.normal(ke, (n_rows, d), jnp.bfloat16)
+        queries = jax.random.normal(kq, (m, d), jnp.float32)
+        return emb, queries
+
+    @jax.jit
+    def scan_find10(emb, queries):
+        def step(carry, q):
+            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST)
+            vals, idx = stable_topk_argmin(dists, k)
+            return (
+                carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)),
+                None,
+            )
+
+        return jax.lax.scan(step, jnp.float32(0), queries)[0]
+
+    best = float("inf")
+    for rep in range(reps + 1):
+        emb, queries = jax.block_until_ready(gen_dense10(rep))
+        t0 = time.perf_counter()
+        float(scan_find10(emb, queries))
+        if rep > 0:
+            best = min(best, time.perf_counter() - t0)
+    out["query_10m_bf16_ms"] = best / m * 1e3
+    note_hbm()
+    del emb, queries
+    gc.collect()
+
+    # ---- sparse BM25 @ 10M -----------------------------------------------
+    from dial_rag_tpu.index.bm25 import _VSLICE, Bm25Index
+
+    n, v, q_terms, n_queries = 10_000_000, 512, 4, 128
+    rng = np.random.default_rng(17)
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    df = (n * (1.0 - (1.0 - p) ** 12)).astype(np.int64)
+    heavy_mask = df >= max(n // 64, 64)
+    heavy = np.nonzero(heavy_mask)[0]
+    k_band = -(-len(heavy) // 128) * 128
+    tail_df = np.where(heavy_mask, 0, df)
+    nnz = int(tail_df.sum())
+
+    @jax.jit
+    def gen_band(seed):
+        return jax.random.uniform(
+            jax.random.PRNGKey(seed), (n, k_band), jnp.float32
+        ) * 8.0
+
+    cum = np.zeros(v + 1, dtype=np.int64)
+    np.cumsum(tail_df, out=cum[1:])
+
+    @jax.jit
+    def gen_postings(seed):
+        # term-major postings with item-ascending rows per term, built
+        # without any host transfer: term_of[j] from the df cumsum, then
+        # one global sort of (term * n + random_row) groups by term and
+        # sorts rows within each term
+        term_of = jnp.searchsorted(
+            jnp.asarray(cum[1:].astype(np.int32)),
+            jnp.arange(nnz, dtype=jnp.int32),
+            "right",
+        )
+        row = jax.random.randint(
+            jax.random.PRNGKey(seed), (nnz,), 0, n, dtype=jnp.int32
+        )
+        # lexicographic (term, row) sort: term-major, item-ascending
+        # within each term (term * n + row would overflow int32)
+        _, rows = jax.lax.sort((term_of, row), num_keys=2)
+        vals = jax.random.uniform(
+            jax.random.PRNGKey(seed + 1), (nnz,), jnp.float32
+        )
+        return (
+            jnp.pad(rows, (0, _VSLICE)),
+            jnp.pad(vals, (0, _VSLICE)),
+        )
+
+    index = Bm25Index(
+        vocab={f"t{i}": i for i in range(v)},
+        idf=np.ones(v, dtype=np.float64),
+        n_items=n,
+    )
+    index._band_cols = {int(t): c for c, t in enumerate(heavy)}
+    index._band_dev = gen_band(0)
+    index._postings = (cum, *gen_postings(1))
+    jax.block_until_ready((index._band_dev, index._postings[1]))
+
+    best = float("inf")
+    for rep in range(reps + 1):
+        qs = [
+            [f"t{t}" for t in rng.integers(0, v, size=q_terms)]
+            for _ in range(n_queries)
+        ]
+        t0 = time.perf_counter()
+        res = index.top_n_batch(qs, 7)
+        assert len(res) == n_queries
+        if rep > 0:
+            best = min(best, (time.perf_counter() - t0) / n_queries * 1e3)
+    out["bm25_sparse_10m_ms"] = best
+    note_hbm()
+    del index
+    gc.collect()
+
+    # ---- MaxSim @ 1M chunks ----------------------------------------------
+    from dial_rag_tpu.index.late_interaction import _maxsim_find_batch_kernel
+
+    li_rows, t, nq, qp = 1_000_000, 16, 4, 8
+
+    @jax.jit
+    def gen_li(seed):
+        kx, kq = jax.random.split(jax.random.PRNGKey(seed))
+        x = jax.random.normal(kx, (li_rows, t, d), jnp.bfloat16)
+        counts = jnp.full((li_rows,), t, jnp.int32)
+        q = jax.random.normal(kq, (nq, qp, d), jnp.float32)
+        q_counts = jnp.full((nq,), qp, jnp.int32)
+        return x, counts, q, q_counts
+
+    best = float("inf")
+    for rep in range(reps + 1):
+        x, counts, q, q_counts = jax.block_until_ready(gen_li(rep))
+        t0 = time.perf_counter()
+        _, idx = _maxsim_find_batch_kernel(
+            x, counts, jnp.int32(li_rows), q, q_counts, k=7, use_sort=False
+        )
+        np.asarray(idx)
+        if rep > 0:
+            best = min(best, (time.perf_counter() - t0) / nq * 1e3)
+    out["maxsim_1m_ms"] = best
+    note_hbm()
+    del x, counts, q, q_counts
+    gc.collect()
+
+    if hbm_peaks:
+        out["hbm_peak_gib"] = max(hbm_peaks) / 2**30
+    return out
 
 
 def _bm25_corpus(rng, n_items, vocab_size, tokens_per_item=12):
@@ -529,9 +751,10 @@ def main():
     tpu_rate, dt, timed_texts = bench_tpu(texts, tok, params, config)
     mfu, device_tokens_per_sec = bench_encoder_mfu(params, config)
     query_ms = bench_query_device_time()
-    dense_1m_f32_ms, dense_1m_bf16_ms = bench_dense_scale()
+    dense_1m_f32_ms, dense_1m_bf16_ms, dense_1m_exact_ms = bench_dense_scale()
     bm25_dense_1m_ms, bm25_sparse_1m_ms, bm25_sparse_sharded_1m_ms = bench_bm25_scale()
     maxsim_100k_ms = bench_maxsim_scale()
+    scale_10m = bench_scale_10m()
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
     real_tokens = count_real_tokens(timed_texts, tok)
@@ -560,12 +783,21 @@ def main():
                 # bench_maxsim_scale)
                 "query_1m_f32_ms": round(dense_1m_f32_ms, 4),
                 "query_1m_bf16_ms": round(dense_1m_bf16_ms, 4),
+                # f32-EXACT two-pass (bf16 prefilter + f32 rescore,
+                # storage_dtype='two_pass') — the north-star <2 ms row
+                # with full f32 semantics
+                "query_1m_f32_exact_ms": round(dense_1m_exact_ms, 4),
                 "bm25_dense_1m_ms": round(bm25_dense_1m_ms, 4),
                 "bm25_sparse_1m_ms": round(bm25_sparse_1m_ms, 4),
                 "bm25_sparse_sharded_1m_ms": round(
                     bm25_sparse_sharded_1m_ms, 4
                 ),
                 "maxsim_100k_ms": round(maxsim_100k_ms, 4),
+                # 10M-item single-chip scale proofs (bench_scale_10m)
+                **{
+                    key: round(value, 4)
+                    for key, value in scale_10m.items()
+                },
             }
         )
     )

@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache for the serving image.
+
+Boot-time warmup (service/app.py::_warmup_device) compiles the encoder
+at every sequence bucket plus the dense scan — through a remote-attached
+TPU each fresh compile can take 20-250 s, so a cold boot costs minutes.
+JAX's persistent compilation cache keys compiled executables by (HLO,
+compile options, backend version) and serves them from disk, making the
+SECOND and later boots hit serving speed immediately.
+
+The cache directory comes from the standard ``JAX_COMPILATION_CACHE_DIR``
+env (the Dockerfile bakes ``/var/cache/jax``); no directory -> no-op.
+``jax_persistent_cache_min_compile_time_secs`` is dropped to 0 so every
+warmup program persists — the serving image cares about boot latency,
+not cache-dir size (a full warmup set is tens of MB).
+
+The reference has no equivalent concern (its OpenVINO model compiles in
+milliseconds on CPU); this is TPU-serving infrastructure.
+"""
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def init_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable the persistent compile cache. Returns the directory in
+    use, or None when disabled (no dir configured / not writable)."""
+    path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not path:
+        return None
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:
+        logger.warning(f"compile cache dir {path!r} not usable: {e}")
+        return None
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # persist everything the warmup compiles, not just slow programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    logger.info(f"persistent XLA compilation cache at {path}")
+    return path
