@@ -273,11 +273,14 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
         out[storage] = best / m * 1e3
 
     # two_pass: the f32-exact serving path (one fused dispatch per query:
-    # bf16 scan + top-64 window + f32 gather/rescore + containment check)
+    # bf16 scan + block-min candidate window + f32 rescore + check).
+    # Rows pad to the same bucket DenseIndex uses (a _TP_BLK multiple).
+    n_pad = 1 << (n_rows - 1).bit_length()
+
     @jax.jit
     def gen_tp(seed):
         kq, ke = jax.random.split(jax.random.PRNGKey(seed))
-        emb32 = jax.random.normal(ke, (n_rows, d), jnp.float32)
+        emb32 = jax.random.normal(ke, (n_pad, d), jnp.float32)
         queries = jax.random.normal(kq, (m, d), jnp.float32)
         return emb32, emb32.astype(jnp.bfloat16), queries
 
@@ -292,7 +295,6 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
                 *err,
                 metric=Metric.SQEUCLIDEAN_DIST,
                 k=k,
-                c=64,
             )
             return (
                 carry
@@ -388,7 +390,10 @@ def bench_scale_10m(reps=2):
     # ---- sparse BM25 @ 10M -----------------------------------------------
     from dial_rag_tpu.index.bm25 import _VSLICE, Bm25Index
 
-    n, v, q_terms, n_queries = 10_000_000, 512, 4, 128
+    # 16 queries/dispatch: the sparse batch kernel materializes
+    # [q_pad, n_pad] f32 scores — 128 queries at 10M rows would be
+    # 5.1 GB of scores on top of the 5.1 GB band (measured OOM)
+    n, v, q_terms, n_queries = 10_000_000, 512, 4, 16
     rng = np.random.default_rng(17)
     ranks = np.arange(1, v + 1, dtype=np.float64)
     p = (1.0 / ranks) / (1.0 / ranks).sum()
@@ -466,8 +471,22 @@ def bench_scale_10m(reps=2):
 
     @jax.jit
     def gen_li(seed):
+        # generate the 11.4 GiB bf16 tensor in chunks: a single
+        # jax.random.normal materializes its f32 draw (22.9 GiB) before
+        # the bf16 cast — measured OOM
         kx, kq = jax.random.split(jax.random.PRNGKey(seed))
-        x = jax.random.normal(kx, (li_rows, t, d), jnp.bfloat16)
+        n_chunks_gen = 8
+        rows_per = li_rows // n_chunks_gen
+
+        def gen_chunk(_, key):
+            return None, jax.random.normal(
+                key, (rows_per, t, d), jnp.float32
+            ).astype(jnp.bfloat16)
+
+        _, x = jax.lax.scan(
+            gen_chunk, None, jax.random.split(kx, n_chunks_gen)
+        )
+        x = x.reshape(li_rows, t, d)
         counts = jnp.full((li_rows,), t, jnp.int32)
         q = jax.random.normal(kq, (nq, qp, d), jnp.float32)
         q_counts = jnp.full((nq,), qp, jnp.int32)
@@ -688,6 +707,25 @@ def bench_query_device_time(k=7, n_rows=100_000, d=384, m=256, reps=3):
     return best / m * 1e3  # ms per query
 
 
+def bench_service_level():
+    """End-to-end service latency (tools/bench_service.py): the real
+    aiohttp app + fake Dial core, retrieval-type requests over
+    pre-persisted 100k- and 1M-chunk indexes. NOTE: through the remote
+    TPU tunnel each device dispatch pays ~60-100 ms RTT that a
+    locally-attached chip does not — see the module docstring."""
+    import asyncio
+
+    from tools.bench_service import run_service_bench
+
+    out = {}
+    for n, reps in ((100_000, 15), (1_000_000, 8)):
+        r = asyncio.run(run_service_bench(n, reps=reps))
+        tag = "100k" if n == 100_000 else "1m"
+        out[f"service_retrieval_p50_ms_{tag}"] = round(r["p50_ms"], 2)
+        out[f"service_retrieval_p95_ms_{tag}"] = round(r["p95_ms"], 2)
+    return out
+
+
 def bench_cpu_reference(texts, tok, config):
     """Reference compute path: the same encoder architecture on CPU torch."""
     import torch
@@ -755,6 +793,7 @@ def main():
     bm25_dense_1m_ms, bm25_sparse_1m_ms, bm25_sparse_sharded_1m_ms = bench_bm25_scale()
     maxsim_100k_ms = bench_maxsim_scale()
     scale_10m = bench_scale_10m()
+    service = bench_service_level()
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
     real_tokens = count_real_tokens(timed_texts, tok)
@@ -798,6 +837,10 @@ def main():
                     key: round(value, 4)
                     for key, value in scale_10m.items()
                 },
+                # end-to-end service latency (remote-tunnel RTT floor
+                # applies: ~60-100 ms per device dispatch — see
+                # tools/bench_service.py)
+                **service,
             }
         )
     )

@@ -82,9 +82,14 @@ class DocEmbeddings:
         return self.embeddings.shape[0]
 
 
-# Two-pass exact query: candidate budget of the bf16 prefilter. Must be
-# lane-friendly; raised automatically to 4k for large k.
-_TWO_PASS_C = 64
+# Two-pass exact query: the bf16 prefilter selects candidate BLOCKS of
+# _TP_BLK rows by block-minimum score, then the top _TP_CBLK blocks
+# rescore in f32. Block selection replaces a global lax.top_k over N
+# rows (measured 1.3 ms extra at 1M rows on the v5e — more than the
+# bf16 scan itself) with a [N/BLK] block-min reduce + a 128x smaller
+# top_k; the containment proof transfers (see _find_two_pass_kernel).
+_TP_BLK = 128
+_TP_CBLK = 64
 
 
 @jax.jit
@@ -139,30 +144,66 @@ def _two_pass_bound(query, err_a, err_b, norm_max, d, sel_metric):
     return 2.0 * e
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "c"))
+def _two_pass_select(emb_f32, s1, query, n_valid, e_bound, *, metric, k):
+    """Shared pass-2: block-min candidate selection + f32 rescore.
+
+    Selection: s1 reshapes to [NB, BLK] blocks; the _TP_CBLK blocks
+    with the smallest block-minimum are the candidate set (CBLK*BLK
+    rows). Containment proof: every row r in the true stable top-k has
+    s_r <= V (k-th smallest f32 score) and V <= s1_(k) + E, so
+    s1_r <= s1_(k) + 2E. Each of the k globally-smallest s1 rows lives
+    in a block whose min is <= that row's s1, so those blocks are
+    among the CBLK selected (CBLK >= k). ``ok`` asserts the WORST
+    selected block-min is STRICTLY above s1_(k) + 2E: any row outside
+    the selection has s1 >= its block min >= that cut, hence cannot be
+    in the true top-k (including boundary ties). ``ok`` False -> the
+    caller falls back to the full f32 scan, so exactness never depends
+    on the error bound being tight.
+
+    The check intentionally has NO full-coverage shortcut: even when
+    every block is selected, rows separated by less than the fusion
+    rounding noise could order differently in the blocked rescore than
+    in the full scan — and exactly those corpora (mass near-ties within
+    2E) are the ones the check routes to the fallback."""
+    n_pad = s1.shape[0]
+    nb = n_pad // _TP_BLK
+    cb = min(_TP_CBLK, nb)
+    s1b = s1.reshape(nb, _TP_BLK)
+    mins = jnp.min(s1b, axis=1)  # [NB]
+    neg_vals, blk_idx = jax.lax.top_k(-mins, cb)
+    cut = -neg_vals[cb - 1]  # worst selected block-min
+    blk_sorted = jnp.sort(blk_idx)  # ascending -> stable row order
+    cand_s1 = s1b[blk_sorted].reshape(cb * _TP_BLK)
+    kth = stable_topk_argmin(cand_s1, min(k, cb * _TP_BLK))[0][-1]
+    ok = cut > kth + 2.0 * e_bound
+    rows = emb_f32.reshape(nb, _TP_BLK, emb_f32.shape[1])[
+        blk_sorted
+    ].reshape(cb * _TP_BLK, emb_f32.shape[1])
+    orig = (
+        blk_sorted[:, None] * _TP_BLK
+        + jax.lax.broadcasted_iota(jnp.int32, (1, _TP_BLK), 1)
+    ).reshape(cb * _TP_BLK)
+    s2 = pairwise_distances(query, rows, metric)
+    s2 = jnp.where(orig < n_valid, s2, jnp.inf)
+    topk = stable_topk_sort if k > _ARGMIN_MAX_K else stable_topk_argmin
+    vals, pos = topk(s2, min(k, cb * _TP_BLK))
+    return ok, vals, orig[pos]
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
 def _find_two_pass_kernel(
     emb_bf16, emb_f32, query, n_valid, err_a, err_b, norm_max,
-    *, metric: Metric, k: int, c: int,
+    *, metric: Metric, k: int,
 ):
     """f32-EXACT top-k at near-bf16 scan cost, one dispatch.
 
-    Pass 1 scans the half-size bf16 matrix and selects the ``c`` best
-    candidates. Pass 2 gathers those rows from the f32 matrix (sorted
-    ascending so the stable tie-break stays 'earliest row wins') and
-    re-scores them exactly. The result provably selects the same stable
-    top-k as the full f32 scan whenever ``ok`` is true (values agree up
-    to XLA fusion-order rounding, a few ulp — the same ambiguity the
-    full kernel itself carries vs a numpy scan; exact ties are
-    bitwise-equal rows and keep their earliest-row order in both paths):
-
-    every row r in the true stable top-k has s_r <= V (the k-th smallest
-    f32 score), and V <= s1_(k) + E (the k best prefilter rows each have
-    true score within E), so s1_r <= s_r + E <= s1_(k) + 2E. ``ok``
-    asserts the candidate cut s1_(c) is STRICTLY above s1_(k) + 2E, so
-    every such row — including all boundary ties — was selected. When
-    ``ok`` is false (more than c near-tied rows) the caller falls back
-    to the full f32 scan; exactness never depends on the bound being
-    tight, only on E being an upper bound."""
+    Pass 1 scans the half-size bf16 matrix; pass 2 rescores a certified
+    candidate window against the f32 rows (see _two_pass_select). The
+    result selects the same stable top-k as the full f32 scan whenever
+    ``ok`` is true (values agree up to XLA fusion-order rounding, a few
+    ulp — the same ambiguity the full kernel itself carries vs a numpy
+    scan; exact ties are bitwise-equal rows and keep their earliest-row
+    order in both paths)."""
     sel_metric = (
         Metric.SQEUCLIDEAN_DIST
         if metric == Metric.EUCLIDEAN_DIST
@@ -173,30 +214,21 @@ def _find_two_pass_kernel(
         jnp.int32, (emb_bf16.shape[0], 1), 0
     ).reshape(-1)
     s1 = jnp.where(row < n_valid, s1, jnp.inf)
-    neg_vals, cand_idx = jax.lax.top_k(-s1, c)
-    cand_s1 = -neg_vals  # ascending: c smallest prefilter scores
     e_bound = _two_pass_bound(
         query, err_a, err_b, norm_max, emb_bf16.shape[1], sel_metric
     )
-    ok = (cand_s1[c - 1] > cand_s1[min(k, c) - 1] + 2.0 * e_bound) | (
-        n_valid <= c
+    return _two_pass_select(
+        emb_f32, s1, query, n_valid, e_bound, metric=metric, k=k
     )
-    cand_sorted = jnp.sort(cand_idx)
-    rows = emb_f32[cand_sorted]
-    s2 = pairwise_distances(query, rows, metric)
-    s2 = jnp.where(cand_sorted < n_valid, s2, jnp.inf)
-    topk = stable_topk_sort if k > _ARGMIN_MAX_K else stable_topk_argmin
-    vals, pos = topk(s2, min(k, c))
-    return ok, vals, cand_sorted[pos]
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "c"))
+@partial(jax.jit, static_argnames=("metric", "k"))
 def _find_two_pass_batch_kernel(
     emb_bf16, emb_f32, queries, n_valid, err_a, err_b, norm_max,
-    *, metric: Metric, k: int, c: int,
+    *, metric: Metric, k: int,
 ):
     """Batched two-pass: one bf16 MXU matmul + per-query candidate
-    gather/rescore (vmapped). Returns (ok[Q], vals[Q,k], idx[Q,k])."""
+    selection/rescore (vmapped). Returns (ok[Q], vals[Q,k], idx[Q,k])."""
     sel_metric = (
         Metric.SQEUCLIDEAN_DIST
         if metric == Metric.EUCLIDEAN_DIST
@@ -207,25 +239,16 @@ def _find_two_pass_batch_kernel(
         jnp.int32, (emb_bf16.shape[0], 1), 0
     ).reshape(-1)
     s1 = jnp.where(row[None, :] < n_valid, s1, jnp.inf)
-    neg_vals, cand_idx = jax.lax.top_k(-s1, c)  # [Q, c]
-    cand_s1 = -neg_vals
 
-    def per_query(query, cs1, cidx):
+    def per_query(query, s1_q):
         e_bound = _two_pass_bound(
             query, err_a, err_b, norm_max, emb_bf16.shape[1], sel_metric
         )
-        ok = (cs1[c - 1] > cs1[min(k, c) - 1] + 2.0 * e_bound) | (
-            n_valid <= c
+        return _two_pass_select(
+            emb_f32, s1_q, query, n_valid, e_bound, metric=metric, k=k
         )
-        cand_sorted = jnp.sort(cidx)
-        rows = emb_f32[cand_sorted]
-        s2 = pairwise_distances(query, rows, metric)
-        s2 = jnp.where(cand_sorted < n_valid, s2, jnp.inf)
-        topk = stable_topk_sort if k > _ARGMIN_MAX_K else stable_topk_argmin
-        vals, pos = topk(s2, min(k, c))
-        return ok, vals, cand_sorted[pos]
 
-    return jax.vmap(per_query)(queries, cand_s1, cand_idx)
+    return jax.vmap(per_query)(queries, s1)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "use_sort"))
@@ -396,14 +419,6 @@ class DenseIndex:
             total += self._emb_f32.size * self._emb_f32.dtype.itemsize
         return total
 
-    def _two_pass_c(self, k: int) -> int:
-        """Candidate budget: >= 4k so the window check rarely binds,
-        never above the padded row count."""
-        c = _TWO_PASS_C
-        while c < 4 * k:
-            c *= 2
-        return min(c, self._emb.shape[0])
-
     def find(self, query: np.ndarray) -> list[SearchHit]:
         hits, _ = self.find_with_distances(query)
         return hits
@@ -432,7 +447,6 @@ class DenseIndex:
                 *self._err,
                 metric=self.metric,
                 k=k,
-                c=self._two_pass_c(k),
             )
             if not bool(jnp.all(ok)):
                 # >c near-tied rows for some query: full f32 scan keeps
@@ -482,7 +496,6 @@ class DenseIndex:
                 *self._err,
                 metric=self.metric,
                 k=k,
-                c=self._two_pass_c(k),
             )
             if not bool(ok):
                 vals, idx = _find_kernel(

@@ -155,11 +155,56 @@ def _sha256(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+class RecordMemo:
+    """Deserialized-record LRU shared across requests.
+
+    At corpus scale the per-request cost is NOT the byte cache but
+    deserialize_record (msgpack decode of a multi-hundred-MB record)
+    plus the sha256 over its bytes — ~1 s/request at 1M chunks, which
+    would dominate service latency. Keyed by (index_url, content sha),
+    so a re-minted index at the same URL misses. The memo'd record is
+    SHARED across concurrent requests: DocumentRecord is treated as
+    read-only everywhere after construction (retrievers only read), and
+    cache_token is re-stamped with an identical value.
+
+    sha256 itself is memoized by bytes-object identity per URL: the
+    byte LRU returns the same object while cached, so repeat requests
+    skip the hash too."""
+
+    def __init__(self, max_records: int = 4):
+        self._cap = max_records
+        self._records: OrderedDict[tuple, DocumentRecord] = OrderedDict()
+        self._sha_by_url: dict[str, tuple[int, str]] = {}
+
+    def sha(self, url: str, data: bytes) -> str:
+        memo = self._sha_by_url.get(url)
+        if memo is not None and memo[0] == id(data):
+            return memo[1]
+        digest = _sha256(data)
+        self._sha_by_url[url] = (id(data), digest)
+        return digest
+
+    def get(self, token: tuple) -> DocumentRecord | None:
+        record = self._records.get(token)
+        if record is not None:
+            self._records.move_to_end(token)
+        return record
+
+    def put(self, token: tuple, record: DocumentRecord) -> None:
+        self._records[token] = record
+        self._records.move_to_end(token)
+        while len(self._records) > self._cap:
+            self._records.popitem(last=False)
+
+
 class IndexStorage:
     """Typed record load/store with version + settings invalidation."""
 
-    def __init__(self, backend: IndexStorageBackend):
+    def __init__(
+        self, backend: IndexStorageBackend, memo: RecordMemo | None = None
+    ):
         self._backend = backend
+        self._memo = memo
 
     async def load(
         self, index_url: str, index_settings: IndexSettings
@@ -167,11 +212,23 @@ class IndexStorage:
         data = await self._backend.load(index_url)
         if data is None:
             return None
-        try:
-            record = deserialize_record(data)
-        except Exception as e:
-            logger.warning(f"Failed to deserialize index {index_url}: {e}")
-            return None
+        token = (
+            (index_url, self._memo.sha(index_url, data))
+            if self._memo is not None
+            else (index_url, _sha256(data))
+        )
+        record = self._memo.get(token) if self._memo is not None else None
+        if record is None:
+            try:
+                record = deserialize_record(data)
+            except Exception as e:
+                logger.warning(
+                    f"Failed to deserialize index {index_url}: {e}"
+                )
+                return None
+        # version/settings checks run on memo hits too: the memo skips
+        # decode cost, never invalidation (e.g. an embedder change makes
+        # the expected settings differ from the memo'd record's)
         if record.format_version != FORMAT_VERSION:
             logger.warning(
                 f"Index format version mismatch for {index_url}: "
@@ -181,7 +238,9 @@ class IndexStorage:
         if record.index_settings != index_settings:
             logger.warning(f"Index settings mismatch for {index_url}")
             return None
-        record.cache_token = (index_url, _sha256(data))
+        record.cache_token = token
+        if self._memo is not None:
+            self._memo.put(token, record)
         return record
 
     async def store(self, index_url: str, record: DocumentRecord) -> dict:
@@ -199,10 +258,13 @@ class IndexStorageHolder:
 
     def __init__(self, capacity: int = DEFAULT_CACHE_CAPACITY):
         self._cache = LRUCacheStorage(capacity)
+        self._records = RecordMemo()
 
     def get_storage(
         self, remote_backend: IndexStorageBackend | None = None
     ) -> IndexStorage:
         if remote_backend is None:
-            return IndexStorage(self._cache)
-        return IndexStorage(CachedStorage(remote_backend, self._cache))
+            return IndexStorage(self._cache, memo=self._records)
+        return IndexStorage(
+            CachedStorage(remote_backend, self._cache), memo=self._records
+        )

@@ -283,6 +283,87 @@ def test_idf_pooling_artifact_serves_semantic_arm():
     assert s_food[1] > s_food[0], s_food
 
 
+def test_bootstrap_and_paired_delta_cis():
+    """CI machinery: degenerate all-ones data has a point CI; a clear
+    paired improvement excludes zero; a noisy tie does not."""
+    from eval.eval_alps import bootstrap_ci, paired_delta_ci
+
+    lo, hi = bootstrap_ci([1.0] * 30)
+    assert lo == hi == 1.0
+    a = [1.0] * 25 + [0.0] * 5
+    b = [0.0] * 25 + [1.0] * 5
+    d = paired_delta_ci(a, b)
+    assert d["mean"] == pytest.approx(20 / 30)
+    assert d["excludes_zero"] is True
+    tie = paired_delta_ci([1, 0] * 15, [0, 1] * 15)
+    assert tie["excludes_zero"] is False
+
+
+def test_pseudo_queries_expand_ground_truth():
+    """Word-dropout fact variants: every pseudo row keeps its source
+    fact as the relevance label, queries differ from the fact, and the
+    expansion reaches n>=150 combined with the 39 real questions."""
+    from eval.eval_alps import make_pseudo_queries
+
+    rows = [
+        {
+            "question": f"q{i}",
+            "facts": [
+                f"fact {i} about the alps with many words number "
+                f"{i} trailing detail clause for dropout room"
+            ],
+        }
+        for i in range(39)
+    ]
+    pseudo = make_pseudo_queries(rows)
+    assert len(pseudo) + len(rows) >= 150
+    for p in pseudo[:20]:
+        assert p["facts"][0] != p["question"]
+        assert set(p["question"].split()) <= set(p["facts"][0].split())
+
+
+def test_answer_citation_eval_through_real_rewriter():
+    """The --answers mode drives the REAL streaming citation rewriter:
+    a doc covering the answer is cited and scored precise (it contains
+    the fact); uncovered facts lower citation_recall; a question whose
+    retrieval surfaces no overlapping doc stays unanswered."""
+    from types import SimpleNamespace
+
+    from eval.eval_alps import eval_answers
+
+    chunks = [
+        SimpleNamespace(
+            text="the southern boundary of the alps is colle di cadibona "
+            "which marks the edge"
+        ),
+        SimpleNamespace(text="completely unrelated text about glaciers"),
+        SimpleNamespace(text="another unrelated chunk entirely"),
+    ]
+    hit = lambda c: SimpleNamespace(chunk_id=c)  # noqa: E731
+    rows = [
+        {
+            "question": "what is the southern boundary of the alps",
+            "answer": "the southern boundary of the alps is colle di cadibona",
+            "facts": [
+                "the southern boundary of the alps is colle di cadibona "
+                "which marks the edge"
+            ],
+        },
+        {
+            "question": "what color is the sky on mars exactly",
+            "answer": "butterscotch at noon on mars generally speaking",
+            "facts": ["the martian sky is butterscotch"],
+        },
+    ]
+    truth = [{0}, set()]
+    all_hits = [[hit(0), hit(1)], [hit(1), hit(2)]]
+    out = asyncio.run(eval_answers(all_hits, rows, chunks, truth))
+    assert out["answered_rate"] == 0.5  # q2 cites nothing
+    assert out["citation_precision"] == 1.0  # the one citation is exact
+    assert out["citation_recall"] == 0.5  # q2's fact uncovered
+    assert out["faithfulness"] == 1.0
+
+
 def test_published_quality_artifact_is_real_and_meets_floors():
     """eval/out/alps_metrics.json is the quality artifact a reader will
     quote; it must carry trained-model provenance (round-2 review: no

@@ -53,6 +53,9 @@ def test_warmup_hits_persistent_cache_on_second_boot(cache_dir):
     embedder = BgeEmbedder.from_random(batch_size=8)
     application = types.SimpleNamespace(embedder=embedder)
 
+    # drop executables other tests may have compiled: the first boot
+    # must genuinely compile so it persists the full program set
+    jax.clear_caches()
     _warmup_device(application)  # first boot: compile + persist
     files = sorted(p.name for p in cache_dir.iterdir())
     assert files, "warmup persisted nothing"

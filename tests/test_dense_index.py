@@ -259,7 +259,6 @@ def test_two_pass_fast_path_engages_on_separated_data():
         *tp._err,
         metric=tp.metric,
         k=7,
-        c=tp._two_pass_c(7),
     )
     assert bool(ok)
 

@@ -169,6 +169,63 @@ def test_local_storage_rejects_path_traversal(tmp_path):
     assert asyncio.run(storage.load("files/b/ok/index.bin")) == b"data"
 
 
+async def test_record_memo_skips_decode_but_not_invalidation(
+    tmp_path, monkeypatch
+):
+    """The holder-level RecordMemo serves repeat loads without
+    re-deserializing (the dominant per-request cost at corpus scale),
+    while version/settings invalidation still runs on memo hits and a
+    re-minted index at the same URL misses the memo."""
+    import dial_rag_tpu.storage.storage as storage_mod
+
+    holder = IndexStorageHolder()
+    remote = LocalFileStorage(str(tmp_path))
+    settings = IndexSettings(indexes={"parser": {"chunk_size": 1000}})
+    rec = make_record(index_settings=settings)
+
+    s1 = holder.get_storage(remote)
+    await s1.store("files/b/m/index.bin", rec)
+
+    calls = []
+    real = storage_mod.deserialize_record
+    monkeypatch.setattr(
+        storage_mod,
+        "deserialize_record",
+        lambda data: calls.append(1) or real(data),
+    )
+
+    s2 = holder.get_storage(remote)
+    first = await s2.load("files/b/m/index.bin", settings)
+    assert first is not None and len(calls) == 1
+    second = await holder.get_storage(remote).load(
+        "files/b/m/index.bin", settings
+    )
+    assert second is first  # the memo'd object, no second decode
+    assert len(calls) == 1
+    assert second.cache_token == first.cache_token
+
+    # memo hit must NOT bypass settings invalidation (embedder change)
+    other = IndexSettings(indexes={"embedder": {"model_id": "other"}})
+    assert (
+        await holder.get_storage(remote).load("files/b/m/index.bin", other)
+        is None
+    )
+
+    # re-minted bytes at the same URL: memo key includes the content
+    # sha, so the stale record is not served
+    rec2 = make_record(
+        index_settings=settings,
+        chunks=[
+            Chunk(text="reminted", metadata={"chunk_id": 0, "page_number": 1})
+        ],
+    )
+    await holder.get_storage(remote).store("files/b/m/index.bin", rec2)
+    reloaded = await holder.get_storage(remote).load(
+        "files/b/m/index.bin", settings
+    )
+    assert reloaded.chunks[0].text == "reminted"
+
+
 def test_dial_client_rejects_absolute_urls():
     import asyncio
 

@@ -1,0 +1,257 @@
+"""Service-level latency bench: the REAL aiohttp app end to end.
+
+Measures p50/p95 of a ``retrieval``-type chat-completion request —
+HTTP -> config merge -> index load -> query tokenize -> encode dispatch
+-> dense scan -> BM25 -> RRF -> RetrievalResponse — against a fake Dial
+core, with a pre-persisted synthetic index at corpus scale (the
+documents are index-cache hits, as in steady-state serving; the
+reference path being timed is reference app.py:247 ->
+retrieval_chain.py:273-279).
+
+Context for reading the numbers: every device dispatch through the
+remote ``axon`` TPU tunnel costs ~60-100 ms of round-trip latency that
+a locally-attached chip does not pay. A retrieval request makes 2-3
+dispatches (query encode, dense scan; BM25 may batch in), so the tunnel
+sets a floor of roughly 150-300 ms on p50 here, with single-digit ms of
+actual device time inside it (see bench.py's device-honest rows). The
+measurement is still end-to-end honest for THIS environment and pins
+the host-side pipeline cost (config merge, record memo, retriever
+construction, RRF, response serialization).
+
+Run standalone:  python -m tools.bench_service [--n-chunks 100000]
+"""
+
+import argparse
+import asyncio
+import json
+import time
+
+import numpy as np
+
+
+def _make_chunks(n: int, rng) -> list:
+    from dial_rag_tpu.documents.model import Chunk
+
+    words = np.array(
+        (
+            "alps mountain range europe climate glacier peak valley river "
+            "snow pass tourism geology flora fauna history culture village"
+        ).split()
+    )
+    draws = words[rng.integers(0, len(words), size=(n, 8))]
+    texts = [" ".join(row) for row in draws]
+    chunks = []
+    for i, text in enumerate(texts):
+        chunks.append(
+            Chunk(
+                text=f"{text} c{i}",
+                metadata={
+                    "chunk_id": i,
+                    "page_number": (i % 50) + 1,
+                    "source": "files/user-bucket/corpus.pdf",
+                    "source_display_name": "corpus.pdf",
+                },
+            )
+        )
+    return chunks
+
+
+def _doc_pdf() -> bytes:
+    """A real 50-page PDF: the retrieval response rasterizes retrieved
+    pages from document_bytes, so that path must run for real."""
+    from tests.utils.pdf_builder import build_pdf
+
+    return build_pdf(
+        [[(72, 720, 12, f"corpus page {p + 1}")] for p in range(50)],
+        compress=True,
+    )
+
+
+async def _build_record(chunks, embedder, settings, doc_bytes):
+    """Synthetic DocumentRecord: real BM25 token index + random unit
+    embeddings (the scan cost is content-independent)."""
+    from dial_rag_tpu.documents.model import (
+        FORMAT_VERSION,
+        DocumentRecord,
+        pack_simple_embeddings,
+    )
+    from dial_rag_tpu.retrieval import Bm25Retriever
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((len(chunks), embedder.dim)).astype(
+        np.float32
+    )
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    text_index = await Bm25Retriever.build_index(chunks)
+    return DocumentRecord(
+        format_version=FORMAT_VERSION,
+        index_settings=settings,
+        chunks=chunks,
+        text_index=text_index,
+        embeddings_index=pack_simple_embeddings(emb),
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        late_interaction_index=None,
+        mime_type="application/pdf",
+        document_bytes=doc_bytes,
+    )
+
+
+async def run_service_bench(
+    n_chunks: int = 100_000, reps: int = 20, embedder=None
+) -> dict:
+    import tempfile
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.service.app import create_app
+    from dial_rag_tpu.service.config import AppConfig
+    from dial_rag_tpu.storage.storage import (
+        IndexStorage,
+        LocalFileStorage,
+        link_to_index_url,
+    )
+    from tests.utils.fake_dial import FakeDialCore
+
+    fake = FakeDialCore()
+    dial_url = await fake.start()
+    doc_url = "files/user-bucket/corpus.pdf"
+    doc_bytes = _doc_pdf()
+    fake.add_file(doc_url, doc_bytes, "application/pdf")
+
+    if embedder is None:
+        from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+        vocab = build_test_vocab(
+            sorted(
+                set(
+                    "alps mountain range europe climate glacier peak "
+                    "valley river snow pass tourism geology flora fauna "
+                    "history culture village what is the in of "
+                    "represent this question for searching relevant "
+                    "passages".split()
+                )
+            ),
+            size=4096,
+        )
+        embedder = BgeEmbedder.from_random(vocab=vocab, batch_size=128)
+
+    storage_dir = tempfile.mkdtemp(prefix="dial_rag_bench_idx_")
+    app_config = AppConfig.model_validate(
+        {
+            "dial_url": dial_url,
+            "index_storage": {"local_storage_path": storage_dir},
+        }
+    )
+
+    # disable the remote-LLM indexes per request (app-level None is
+    # dropped by exclude_none — reference behavior; the e2e tests do
+    # the same via custom_fields)
+    custom_configuration = {
+        "indexing": {
+            "description_index": None,
+            "multimodal_index": None,
+            "late_interaction_index": None,
+        },
+        "request": {"type": "retrieval"},
+    }
+
+    # persist the corpus record exactly where the request will look for
+    # it: compute the index settings through the SAME merge the app
+    # applies to this request
+    from dial_rag_tpu.service.config import Configuration, merge_config
+
+    configuration = merge_config(
+        Configuration(), app_config.request.model_dump(exclude_none=True)
+    )
+    configuration = merge_config(configuration, custom_configuration)
+    settings = configuration.indexing.collect_fields_that_rebuild_index()
+    settings.indexes["embedder"] = {"model_id": embedder.model_id}
+    rng = np.random.default_rng(3)
+    t0 = time.perf_counter()
+    record = await _build_record(
+        _make_chunks(n_chunks, rng), embedder, settings, doc_bytes
+    )
+    build_s = time.perf_counter() - t0
+    index_url = link_to_index_url(doc_url, "test-bucket")
+    await IndexStorage(LocalFileStorage(storage_dir)).store(
+        index_url, record
+    )
+
+    app = create_app(app_config, embedder=embedder)
+    server = TestServer(app)
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        payload = {
+            "stream": False,
+            "custom_fields": {"configuration": custom_configuration},
+            "messages": [
+                {
+                    "role": "user",
+                    "content": "what bounds the southern alps climate",
+                    "custom_content": {
+                        "attachments": [{"url": doc_url}]
+                    },
+                }
+            ],
+        }
+
+        async def one_request(query: str) -> float:
+            body = json.loads(json.dumps(payload))
+            body["messages"][0]["content"] = query
+            t0 = time.perf_counter()
+            resp = await client.post(
+                "/openai/deployments/dial-rag/chat/completions",
+                json=body,
+                headers={"api-key": "bench-key"},
+            )
+            data = await resp.json()
+            dt = time.perf_counter() - t0
+            assert resp.status == 200, data
+            att = data["choices"][0]["message"]["custom_content"][
+                "attachments"
+            ]
+            assert any(
+                a.get("title") == "Retrieval response" for a in att
+            ), att
+            return dt
+
+        # warmup: compiles the query-encode bucket + the scan shapes
+        await one_request("warmup glacier river query")
+        words = (
+            "alps climate glacier peak river snow tourism geology "
+            "valley culture"
+        ).split()
+        times = []
+        for i in range(reps):
+            q = " ".join(rng.choice(words, size=4)) + f" q{i}"
+            times.append(await one_request(q))
+        times_ms = sorted(t * 1e3 for t in times)
+        p50 = times_ms[len(times_ms) // 2]
+        p95 = times_ms[min(len(times_ms) - 1, int(len(times_ms) * 0.95))]
+        return {
+            "n_chunks": n_chunks,
+            "p50_ms": p50,
+            "p95_ms": p95,
+            "reps": reps,
+            "index_build_s": round(build_s, 2),
+        }
+    finally:
+        await client.close()
+        await fake.stop()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--n-chunks", type=int, default=100_000)
+    parser.add_argument("--reps", type=int, default=20)
+    args = parser.parse_args(argv)
+    out = asyncio.run(run_service_bench(args.n_chunks, args.reps))
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
