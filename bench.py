@@ -376,7 +376,10 @@ def bench_scale_10m(reps=2):
         return jax.lax.scan(step, jnp.float32(0), queries)[0]
 
     best = float("inf")
+    emb = queries = None
     for rep in range(reps + 1):
+        del emb, queries  # free the previous rep's 7.4 GiB first
+        emb = queries = None
         emb, queries = jax.block_until_ready(gen_dense10(rep))
         t0 = time.perf_counter()
         float(scan_find10(emb, queries))
@@ -493,7 +496,10 @@ def bench_scale_10m(reps=2):
         return x, counts, q, q_counts
 
     best = float("inf")
+    x = counts = q = q_counts = None
     for rep in range(reps + 1):
+        del x, counts, q, q_counts  # free the previous 11.4 GiB tensor
+        x = counts = q = q_counts = None
         x, counts, q, q_counts = jax.block_until_ready(gen_li(rep))
         t0 = time.perf_counter()
         _, idx = _maxsim_find_batch_kernel(
