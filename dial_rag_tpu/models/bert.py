@@ -13,11 +13,15 @@ implementation designed for the TPU:
 - QKV is one fused [H, 3H] GEMM per layer; all matmuls carry
   ``preferred_element_type=float32`` so the MXU accumulates in f32 even
   when activations are bf16 (``compute_dtype``);
-- attention is pluggable: "auto" (default; fused Pallas kernel on TPU,
-  jnp path elsewhere), "xla" (jnp reference path) or "pallas" (fused
-  kernel in dial_rag_tpu/ops/flash_attention.py — keeps the [S, S]
-  score tile in VMEM instead of round-tripping it through HBM between
-  the two attention matmuls);
+- attention is pluggable: "auto" (default; fused layer blocks on TPU,
+  jnp path elsewhere), "xla" (jnp reference path), "pallas" (fused
+  attention kernel in dial_rag_tpu/ops/flash_attention.py — keeps the
+  [S, S] score tile in VMEM instead of round-tripping it through HBM
+  between the two attention matmuls) or "fused" (whole-layer Pallas
+  blocks in dial_rag_tpu/ops/fused_encoder.py — qkv/scores/ctx/FFN
+  intermediate all VMEM-resident; the round-4 per-op breakdown showed
+  the unfused encoder is HBM-bandwidth-bound, so this is the serving
+  default under bf16 at single-tile sequence lengths);
 - pooling follows bge: CLS token + L2 normalization
   (sentence-transformers ``pooling_mode_cls_token`` + the reference's
   ``normalize_embeddings=True`` — embeddings.py:60-62).
@@ -448,14 +452,22 @@ def bert_forward(
     v5e (it is pure VPU transcendental work on the [B, S, 4H] FFN
     activations).
     """
-    if attention_impl == "auto":
-        # the fused kernel is Mosaic-TPU-only; every other backend
-        # (cpu test mesh, gpu) takes the jnp path
-        attention_impl = (
-            "pallas" if jax.default_backend() == "tpu" else "xla"
-        )
     if gelu == "auto":
         gelu = "exact" if compute_dtype == jnp.float32 else "tanh"
+    if attention_impl == "auto":
+        # the fused kernels are Mosaic-TPU-only; every other backend
+        # (cpu test mesh, gpu) takes the jnp path. On TPU prefer the
+        # whole-layer fused blocks (bandwidth-bound fix) when the shape
+        # fits the single-tile design and the layer algebra matches the
+        # kernels' tanh-GELU contract (the bf16 serving path).
+        from dial_rag_tpu.ops.fused_encoder import supports_fused_block
+
+        if jax.default_backend() != "tpu":
+            attention_impl = "xla"
+        elif supports_fused_block(input_ids.shape[1]) and gelu == "tanh":
+            attention_impl = "fused"
+        else:
+            attention_impl = "pallas"
     emb = params["embeddings"]
     b, s = input_ids.shape
     h = emb["word"].shape[1]
@@ -476,7 +488,46 @@ def bert_forward(
     ).min
     mask_bias = mask_bias[:, None, None, :]  # [B, 1, 1, S]
 
+    if attention_impl == "fused":
+        from dial_rag_tpu.ops.fused_encoder import (
+            fused_attention_block,
+            fused_ffn_block,
+            supports_fused_block,
+        )
+
+        if not supports_fused_block(s):
+            raise ValueError(
+                f"attention_impl='fused' requires a single-tile sequence "
+                f"length (S <= 512); got S={s} — use 'pallas'"
+            )
+        if gelu != "tanh":
+            raise ValueError(
+                "attention_impl='fused' implements tanh GELU (the bf16 "
+                "serving contract); use 'pallas' for exact-erf GELU"
+            )
+
     def layer_fn(x, layer):
+        if attention_impl == "fused":
+            x = fused_attention_block(
+                x,
+                attention_mask,
+                layer["qkv"]["kernel"],
+                layer["qkv"]["bias"],
+                layer["attn_out"]["kernel"],
+                layer["attn_out"]["bias"],
+                layer["attn_ln"]["scale"],
+                layer["attn_ln"]["bias"],
+                num_heads,
+            )
+            return fused_ffn_block(
+                x,
+                layer["ffn_in"]["kernel"],
+                layer["ffn_in"]["bias"],
+                layer["ffn_out"]["kernel"],
+                layer["ffn_out"]["bias"],
+                layer["ffn_ln"]["scale"],
+                layer["ffn_ln"]["bias"],
+            )
         qkv = _dense(x, layer["qkv"])  # [B, S, 3H]
         if attention_impl == "pallas":
             from dial_rag_tpu.ops.flash_attention import (
