@@ -396,76 +396,90 @@ def bench_scale_10m(reps=2):
     # 16 queries/dispatch: the sparse batch kernel materializes
     # [q_pad, n_pad] f32 scores — 128 queries at 10M rows would be
     # 5.1 GB of scores on top of the 5.1 GB band (measured OOM)
-    n, v, q_terms, n_queries = 10_000_000, 512, 4, 16
+    #
+    # Two term profiles, same 10M items / ~12 tokens per item:
+    # - stress (v=512): every non-band query term still carries ~67k
+    #   postings — an upper bound on tail-scatter work per query;
+    # - realistic (v=64k): an English-scale vocabulary, so uniform
+    #   query draws land on genuinely rare terms (median df ~300) and
+    #   the high-df head rides the dense band — the serving-shaped row.
+    n, q_terms, n_queries = 10_000_000, 4, 16
     rng = np.random.default_rng(17)
-    ranks = np.arange(1, v + 1, dtype=np.float64)
-    p = (1.0 / ranks) / (1.0 / ranks).sum()
-    df = (n * (1.0 - (1.0 - p) ** 12)).astype(np.int64)
-    heavy_mask = df >= max(n // 64, 64)
-    heavy = np.nonzero(heavy_mask)[0]
-    k_band = -(-len(heavy) // 128) * 128
-    tail_df = np.where(heavy_mask, 0, df)
-    nnz = int(tail_df.sum())
 
-    @jax.jit
-    def gen_band(seed):
-        return jax.random.uniform(
-            jax.random.PRNGKey(seed), (n, k_band), jnp.float32
-        ) * 8.0
+    def bm25_profile(v, key):
+        ranks = np.arange(1, v + 1, dtype=np.float64)
+        p = (1.0 / ranks) / (1.0 / ranks).sum()
+        df = (n * (1.0 - (1.0 - p) ** 12)).astype(np.int64)
+        heavy_mask = df >= max(n // 64, 64)
+        heavy = np.nonzero(heavy_mask)[0]
+        k_band = -(-len(heavy) // 128) * 128
+        tail_df = np.where(heavy_mask, 0, df)
+        nnz = int(tail_df.sum())
 
-    cum = np.zeros(v + 1, dtype=np.int64)
-    np.cumsum(tail_df, out=cum[1:])
+        @jax.jit
+        def gen_band(seed):
+            return jax.random.uniform(
+                jax.random.PRNGKey(seed), (n, k_band), jnp.float32
+            ) * 8.0
 
-    @jax.jit
-    def gen_postings(seed):
-        # term-major postings with item-ascending rows per term, built
-        # without any host transfer: term_of[j] from the df cumsum, then
-        # one global sort of (term * n + random_row) groups by term and
-        # sorts rows within each term
-        term_of = jnp.searchsorted(
-            jnp.asarray(cum[1:].astype(np.int32)),
-            jnp.arange(nnz, dtype=jnp.int32),
-            "right",
+        cum = np.zeros(v + 1, dtype=np.int64)
+        np.cumsum(tail_df, out=cum[1:])
+
+        @jax.jit
+        def gen_postings(seed):
+            # term-major postings with item-ascending rows per term,
+            # built without any host transfer: term_of[j] from the df
+            # cumsum, then one 2-key lexicographic sort groups by term
+            # and sorts rows within each term
+            # nnz stays well under 2^31 for both profiles (~27M / ~71M
+            # postings), so int32 positions are exact
+            term_of = jnp.searchsorted(
+                jnp.asarray(cum[1:].astype(np.int32)),
+                jnp.arange(nnz, dtype=jnp.int32),
+                "right",
+            )
+            row = jax.random.randint(
+                jax.random.PRNGKey(seed), (nnz,), 0, n, dtype=jnp.int32
+            )
+            _, rows = jax.lax.sort((term_of, row), num_keys=2)
+            vals = jax.random.uniform(
+                jax.random.PRNGKey(seed + 1), (nnz,), jnp.float32
+            )
+            return (
+                jnp.pad(rows, (0, _VSLICE)),
+                jnp.pad(vals, (0, _VSLICE)),
+            )
+
+        index = Bm25Index(
+            vocab={f"t{i}": i for i in range(v)},
+            idf=np.ones(v, dtype=np.float64),
+            n_items=n,
         )
-        row = jax.random.randint(
-            jax.random.PRNGKey(seed), (nnz,), 0, n, dtype=jnp.int32
-        )
-        # lexicographic (term, row) sort: term-major, item-ascending
-        # within each term (term * n + row would overflow int32)
-        _, rows = jax.lax.sort((term_of, row), num_keys=2)
-        vals = jax.random.uniform(
-            jax.random.PRNGKey(seed + 1), (nnz,), jnp.float32
-        )
-        return (
-            jnp.pad(rows, (0, _VSLICE)),
-            jnp.pad(vals, (0, _VSLICE)),
-        )
+        index._band_cols = {int(t): c for c, t in enumerate(heavy)}
+        index._band_dev = gen_band(0)
+        index._postings = (cum, *gen_postings(1))
+        jax.block_until_ready((index._band_dev, index._postings[1]))
 
-    index = Bm25Index(
-        vocab={f"t{i}": i for i in range(v)},
-        idf=np.ones(v, dtype=np.float64),
-        n_items=n,
-    )
-    index._band_cols = {int(t): c for c, t in enumerate(heavy)}
-    index._band_dev = gen_band(0)
-    index._postings = (cum, *gen_postings(1))
-    jax.block_until_ready((index._band_dev, index._postings[1]))
+        best = float("inf")
+        for rep in range(reps + 1):
+            qs = [
+                [f"t{t}" for t in rng.integers(0, v, size=q_terms)]
+                for _ in range(n_queries)
+            ]
+            t0 = time.perf_counter()
+            res = index.top_n_batch(qs, 7)
+            assert len(res) == n_queries
+            if rep > 0:
+                best = min(
+                    best, (time.perf_counter() - t0) / n_queries * 1e3
+                )
+        out[key] = best
+        note_hbm()
+        del index
+        gc.collect()
 
-    best = float("inf")
-    for rep in range(reps + 1):
-        qs = [
-            [f"t{t}" for t in rng.integers(0, v, size=q_terms)]
-            for _ in range(n_queries)
-        ]
-        t0 = time.perf_counter()
-        res = index.top_n_batch(qs, 7)
-        assert len(res) == n_queries
-        if rep > 0:
-            best = min(best, (time.perf_counter() - t0) / n_queries * 1e3)
-    out["bm25_sparse_10m_ms"] = best
-    note_hbm()
-    del index
-    gc.collect()
+    bm25_profile(512, "bm25_sparse_10m_ms")
+    bm25_profile(65536, "bm25_sparse_10m_64kv_ms")
 
     # ---- MaxSim @ 1M chunks ----------------------------------------------
     from dial_rag_tpu.index.late_interaction import _maxsim_find_batch_kernel

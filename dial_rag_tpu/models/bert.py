@@ -488,25 +488,51 @@ def bert_forward(
     ).min
     mask_bias = mask_bias[:, None, None, :]  # [B, 1, 1, S]
 
-    if attention_impl == "fused":
+    if attention_impl in ("fused", "fused_layer"):
         from dial_rag_tpu.ops.fused_encoder import (
             fused_attention_block,
             fused_ffn_block,
+            fused_layer_block,
             supports_fused_block,
         )
 
         if not supports_fused_block(s):
             raise ValueError(
-                f"attention_impl='fused' requires a single-tile sequence "
-                f"length (S <= 512); got S={s} — use 'pallas'"
+                f"attention_impl={attention_impl!r} requires a single-tile "
+                f"sequence length (S <= 512); got S={s} — use 'pallas'"
             )
         if gelu != "tanh":
             raise ValueError(
-                "attention_impl='fused' implements tanh GELU (the bf16 "
-                "serving contract); use 'pallas' for exact-erf GELU"
+                f"attention_impl={attention_impl!r} implements tanh GELU "
+                "(the bf16 serving contract); use 'pallas' for exact-erf "
+                "GELU"
             )
 
     def layer_fn(x, layer):
+        if attention_impl == "fused_layer":
+            # whole-layer megakernel: saves the inter-block [B, S, H]
+            # HBM round-trip on top of 'fused'; measured equal to
+            # 'fused' within tunnel noise so far — kept selectable,
+            # not routed by 'auto' (see docs/mfu_dh32.md)
+            return fused_layer_block(
+                x,
+                attention_mask,
+                (
+                    layer["qkv"]["kernel"],
+                    layer["qkv"]["bias"],
+                    layer["attn_out"]["kernel"],
+                    layer["attn_out"]["bias"],
+                    layer["attn_ln"]["scale"],
+                    layer["attn_ln"]["bias"],
+                    layer["ffn_in"]["kernel"],
+                    layer["ffn_in"]["bias"],
+                    layer["ffn_out"]["kernel"],
+                    layer["ffn_out"]["bias"],
+                    layer["ffn_ln"]["scale"],
+                    layer["ffn_ln"]["bias"],
+                ),
+                num_heads,
+            )
         if attention_impl == "fused":
             x = fused_attention_block(
                 x,

@@ -355,3 +355,189 @@ def supports_fused_block(s: int) -> bool:
     a full [S, S] f32 score tile per head must fit VMEM next to the
     layer's weight panels."""
     return s <= 512
+
+
+# --------------------------------------------------------------------------
+# fused whole-layer megakernel (attention block + FFN block in ONE program)
+# --------------------------------------------------------------------------
+
+
+def _layer_kernel(
+    bias_ref,
+    x_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wout_ref,
+    bout_ref,
+    g1_ref,
+    beta1_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    g2_ref,
+    beta2_ref,
+    o_ref,
+    *,
+    num_heads,
+    scale,
+):
+    x = x_ref[0]  # [S, H]
+    hid = x.shape[1]
+    dh = hid // num_heads
+    qkv = (
+        jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[0][None, :]
+    ).astype(x.dtype)
+    bias = bias_ref[0, 0][None, :]
+    outs = []
+    for j in range(num_heads):
+        q = qkv[:, j * dh : (j + 1) * dh]
+        k = qkv[:, hid + j * dh : hid + (j + 1) * dh]
+        v = qkv[:, 2 * hid + j * dh : 2 * hid + (j + 1) * dh]
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * scale + bias
+        mx = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - mx)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(
+                probs.astype(x.dtype), v, preferred_element_type=jnp.float32
+            )
+        )
+    ctx = jnp.concatenate(outs, axis=1).astype(x.dtype)
+    attn_out = (
+        jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
+        + bout_ref[0][None, :]
+    )
+    a = _layernorm_f32(
+        x.astype(jnp.float32) + attn_out,
+        g1_ref[0][None, :],
+        beta1_ref[0][None, :],
+    ).astype(x.dtype)  # post-attention hidden, stays in VMEM
+    h = (
+        jnp.dot(a, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    )
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    y = (
+        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0][None, :]
+    )
+    o_ref[0] = _layernorm_f32(
+        a.astype(jnp.float32) + y, g2_ref[0][None, :], beta2_ref[0][None, :]
+    ).astype(o_ref.dtype)
+
+
+def _layer_forward(x, attention_mask, weights, num_heads):
+    (wqkv, bqkv, wout, bout, g1, beta1, w1, b1, w2, b2, g2, beta2) = weights
+    b, s, hid = x.shape
+    inter = w1.shape[1]
+    scale = 1.0 / math.sqrt(hid // num_heads)
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * jnp.finfo(
+        jnp.float32
+    ).min
+    mask_bias = mask_bias[:, None, :]
+
+    def row2(a):
+        return a.reshape(1, -1).astype(jnp.float32)
+
+    x_spec = pl.BlockSpec(
+        (1, s, hid), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_layer_kernel, num_heads=num_heads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            x_spec,
+            full((hid, 3 * hid)),
+            full((1, 3 * hid)),
+            full((hid, hid)),
+            full((1, hid)),
+            full((1, hid)),
+            full((1, hid)),
+            full((hid, inter)),
+            full((1, inter)),
+            full((inter, hid)),
+            full((1, hid)),
+            full((1, hid)),
+            full((1, hid)),
+        ],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hid), x.dtype),
+        interpret=_interpret(),
+    )(
+        mask_bias,
+        x,
+        wqkv.astype(x.dtype),
+        row2(bqkv),
+        wout.astype(x.dtype),
+        row2(bout),
+        row2(g1),
+        row2(beta1),
+        w1.astype(x.dtype),
+        row2(b1),
+        w2.astype(x.dtype),
+        row2(b2),
+        row2(g2),
+        row2(beta2),
+    )
+
+
+def _layer_reference(x, attention_mask, weights, num_heads):
+    (wqkv, bqkv, wout, bout, g1, beta1, w1, b1, w2, b2, g2, beta2) = weights
+    a = _attn_block_reference(
+        x, attention_mask, wqkv, bqkv, wout, bout, g1, beta1, num_heads
+    )
+    return _ffn_reference(a, w1, b1, w2, b2, g2, beta2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_layer_block(x, attention_mask, weights, num_heads):
+    """One FULL encoder layer — LN(a + FFN(a)) where
+    a = LN(x + Attention(x)) — in a single Pallas program per batch
+    row; the post-attention hidden state ``a`` never touches HBM
+    (saves the 2x[B, S, H] inter-block round-trip the two-kernel
+    composition pays, a ~5% traffic bound at serving shapes).
+    ``weights`` is the 12-tuple
+    (wqkv, bqkv, wout, bout, attn_ln_scale, attn_ln_bias,
+    w1, b1, w2, b2, ffn_ln_scale, ffn_ln_bias).
+
+    Status: measured EQUAL to the two-block composition within
+    measurement noise (docs/mfu_dh32.md, round-4 megakernel section),
+    so bert_forward's "auto" keeps routing to the two-block path;
+    select explicitly with attention_impl="fused_layer"."""
+    return _layer_forward(x, attention_mask, weights, num_heads)
+
+
+def _layer_fwd(x, attention_mask, weights, num_heads):
+    return _layer_forward(x, attention_mask, weights, num_heads), (
+        x,
+        attention_mask,
+        weights,
+    )
+
+
+def _layer_bwd(num_heads, residuals, dout):
+    x, attention_mask, weights = residuals
+    _, vjp = jax.vjp(
+        lambda x, w: _layer_reference(x, attention_mask, w, num_heads),
+        x,
+        weights,
+    )
+    dx, dw = vjp(dout)
+    return dx, None, dw
+
+
+fused_layer_block.defvjp(_layer_fwd, _layer_bwd)

@@ -16,8 +16,10 @@ from dial_rag_tpu.models.bert import BertConfig, BertEncoder, bert_forward, init
 from dial_rag_tpu.ops.fused_encoder import (
     _attn_block_reference,
     _ffn_reference,
+    _layer_reference,
     fused_attention_block,
     fused_ffn_block,
+    fused_layer_block,
     supports_fused_block,
 )
 
@@ -129,13 +131,62 @@ def test_attention_block_gradients_match_reference():
         )
 
 
-def test_bert_forward_fused_matches_xla():
+def _layer_weights(rng, hid, inter, dtype=jnp.float32):
+    a = _attn_weights(rng, hid, dtype)
+    f = _ffn_weights(jax.random.fold_in(rng, 1), hid, inter, dtype)
+    return a + f
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 3e-5), (jnp.bfloat16, 4e-2)])
+def test_layer_block_matches_reference(dtype, atol):
+    hid, inter, heads, b, s = 64, 128, 4, 2, 24
+    x = jax.random.normal(jax.random.PRNGKey(20), (b, s, hid)).astype(dtype)
+    w = _layer_weights(jax.random.PRNGKey(21), hid, inter)
+    mask = jnp.ones((b, s), jnp.int32).at[1, s // 2 :].set(0)
+    out = fused_layer_block(x, mask, w, heads)
+    ref = _layer_reference(x, mask, w, heads)
+    assert out.dtype == x.dtype and out.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float32), np.asarray(ref[0], np.float32), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1, : s // 2], np.float32),
+        np.asarray(ref[1, : s // 2], np.float32),
+        atol=atol,
+    )
+
+
+def test_layer_block_gradients_match_reference():
+    hid, inter, heads, b, s = 64, 128, 4, 2, 8
+    x = jax.random.normal(jax.random.PRNGKey(22), (b, s, hid))
+    w = _layer_weights(jax.random.PRNGKey(23), hid, inter)
+    mask = jnp.ones((b, s), jnp.int32)
+
+    def loss_fused(x, w):
+        return jnp.sum(jnp.sin(fused_layer_block(x, mask, w, heads)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.sin(_layer_reference(x, mask, w, heads)))
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), atol=1e-4, rtol=1e-3
+    )
+    for a, b_ in zip(gw_f, gw_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3
+        )
+
+
+@pytest.mark.parametrize("impl", ["fused", "fused_layer"])
+def test_bert_forward_fused_matches_xla(impl):
     config = BertConfig.tiny()
     params = init_params(jax.random.PRNGKey(10), config)
     ids = jax.random.randint(jax.random.PRNGKey(11), (2, 32), 5, config.vocab_size)
     mask = jnp.ones_like(ids).at[1, 20:].set(0)
     kw = dict(num_heads=config.num_heads, compute_dtype=jnp.bfloat16, gelu="tanh")
-    out_fused = bert_forward(params, ids, mask, attention_impl="fused", **kw)
+    out_fused = bert_forward(params, ids, mask, attention_impl=impl, **kw)
     out_xla = bert_forward(params, ids, mask, attention_impl="xla", **kw)
     np.testing.assert_allclose(
         np.asarray(out_fused[0], np.float32),
