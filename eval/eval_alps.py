@@ -238,6 +238,29 @@ def make_pseudo_queries(rows, n_seeds: int = 4, drop: float = 0.45):
     return pseudo
 
 
+HANDMADE_PATH = Path(__file__).parent / "data" / "alps_handmade_questions.json"
+
+
+def load_handmade_questions(path=HANDMADE_PATH) -> list[dict]:
+    """155 hand-authored natural-language questions over the quality
+    corpus (eval/data/alps_handmade_questions.json): questions are
+    deliberately PARAPHRASED information requests (mean question-fact
+    lexical overlap 0.44 vs the dropout pseudo-queries' 1.0 by
+    construction), facts are near-verbatim corpus spans so
+    fact_relevance labels them exactly like the reference parquet's 39
+    mixtral rows (reference eval surface:
+    /root/reference/eval/eval_retriever.py:109-146). Returns [] when
+    the fixture is absent."""
+    p = Path(path)
+    if not p.is_file():
+        return []
+    data = json.loads(p.read_text())
+    return [
+        {"question": q["question"], "facts": list(q["facts"]), "answer": ""}
+        for q in data["questions"]
+    ]
+
+
 def _answer_citation_stream(text: str):
     """Split an answer into small pieces, deliberately cutting inside
     citation tags, to exercise the streaming holdback exactly like a
@@ -378,6 +401,7 @@ async def run_eval(
     li_model_dir: str | None = None,
     answers: bool = False,
     pseudo_queries: bool = True,
+    handmade: bool = True,
 ) -> dict:
     pdf_bytes, rows = load_alps(data_dir)
     t0 = time.perf_counter()
@@ -492,6 +516,67 @@ async def run_eval(
             hits_by_arm["bm25"], rows, chunks, truth
         )
 
+    hm_rows = load_handmade_questions() if handmade else []
+    if hm_rows:
+        hm_truth = fact_relevance(chunks, hm_rows)
+        hm_metrics: dict = {
+            "n_questions": len(hm_rows),
+            "unmapped_questions": sum(1 for t in hm_truth if not t),
+            "note": "hand-authored paraphrased questions with verbatim "
+            "corpus facts (eval/data/alps_handmade_questions.json) — "
+            "human-grade ground truth at n>=150 next to the parquet's "
+            "39 LLM-generated rows",
+        }
+        hm_per_q: dict[str, dict] = {}
+        for name, retriever in retrievers.items():
+            all_hits = [
+                await retriever.aretrieve(r["question"]) for r in hm_rows
+            ]
+            hm_per_q[name] = score_per_question(all_hits, hm_truth, chunks)
+            n = max(len(hm_rows), 1)
+            hm_metrics[name] = {
+                "recall@1": sum(hm_per_q[name]["recall@1"]) / n,
+                "recall@7": sum(hm_per_q[name]["recall@7"]) / n,
+                "mrr": sum(hm_per_q[name]["mrr"]) / n,
+                "recall@7_ci95": list(
+                    bootstrap_ci(hm_per_q[name]["recall@7"])
+                ),
+            }
+        if "ensemble" in hm_per_q:
+            hm_metrics["ensemble_vs_bm25"] = {
+                key: paired_delta_ci(
+                    hm_per_q["ensemble"][key], hm_per_q["bm25"][key]
+                )
+                for key in ("recall@7", "mrr")
+            }
+        metrics["handmade"] = hm_metrics
+
+        # combined: parquet 39 + handmade — the n>=190 statistical claim
+        comb_metrics: dict = {"n_questions": len(rows) + len(hm_rows)}
+        comb_per_q = {
+            name: {
+                key: per_q[name][key] + hm_per_q[name][key]
+                for key in ("recall@1", "recall@7", "mrr")
+            }
+            for name in retrievers
+        }
+        for name, vals in comb_per_q.items():
+            n = max(len(rows) + len(hm_rows), 1)
+            comb_metrics[name] = {
+                key: sum(v) / n for key, v in vals.items()
+            }
+            comb_metrics[name]["recall@7_ci95"] = list(
+                bootstrap_ci(vals["recall@7"])
+            )
+        if "ensemble" in comb_per_q:
+            comb_metrics["ensemble_vs_bm25"] = {
+                key: paired_delta_ci(
+                    comb_per_q["ensemble"][key], comb_per_q["bm25"][key]
+                )
+                for key in ("recall@7", "mrr")
+            }
+        metrics["combined"] = comb_metrics
+
     if pseudo_queries:
         pseudo_rows = make_pseudo_queries(rows)
         pseudo_truth = fact_relevance(chunks, pseudo_rows)
@@ -550,6 +635,12 @@ def main(argv=None) -> dict:
         action="store_true",
         help="skip the expanded pseudo-query block (3x faster)",
     )
+    parser.add_argument(
+        "--no-handmade",
+        action="store_true",
+        help="skip the 155 hand-authored questions and the combined "
+        "n>=190 block",
+    )
     args = parser.parse_args(argv)
 
     if not alps_data_available(args.data_dir):
@@ -561,6 +652,7 @@ def main(argv=None) -> dict:
             args.li_model_dir,
             answers=args.answers,
             pseudo_queries=not args.no_pseudo,
+            handmade=not args.no_handmade,
         )
     )
 
@@ -586,6 +678,24 @@ def main(argv=None) -> dict:
                 f"ensemble-bm25 {key}: {d['mean']:+.3f} "
                 f"[{lo:+.3f},{hi:+.3f}]{tie}"
             )
+    for block in ("handmade", "combined"):
+        if block not in metrics:
+            continue
+        b = metrics[block]
+        line = f"{block} (n={b['n_questions']}):"
+        for name in ("bm25", "semantic", "ensemble"):
+            if name in b:
+                line += f" {name}@7={b[name]['recall@7']:.3f}"
+        print(line)
+        if "ensemble_vs_bm25" in b:
+            for key in ("recall@7", "mrr"):
+                d = b["ensemble_vs_bm25"][key]
+                lo, hi = d["ci95"]
+                tie = "" if d["excludes_zero"] else " (statistical tie)"
+                print(
+                    f"{block} ensemble-bm25 {key}: {d['mean']:+.3f} "
+                    f"[{lo:+.3f},{hi:+.3f}]{tie}"
+                )
     if "pseudo" in metrics:
         p = metrics["pseudo"]
         line = f"pseudo (n={p['n_questions']}):"

@@ -322,6 +322,36 @@ def test_pseudo_queries_expand_ground_truth():
         assert set(p["question"].split()) <= set(p["facts"][0].split())
 
 
+def test_handmade_questions_fixture_integrity(alps):
+    """The 155 hand-authored questions: every verbatim fact attaches to
+    at least one chunk under the production labeler (so the rows carry
+    real ground truth), no fact is over-broad (>3 relevant chunks would
+    mean it stopped discriminating), and the questions are PARAPHRASES
+    — mean question-fact lexical overlap well below the dropout
+    pseudo-queries' 1.0 — so the block measures open-domain phrasing,
+    not verbatim lookup."""
+    import re as _re
+
+    from eval.eval_alps import fact_relevance, load_handmade_questions
+
+    _, _, chunks, _ = alps
+    hm_rows = load_handmade_questions()
+    assert len(hm_rows) >= 150
+    truth = fact_relevance(chunks, hm_rows)
+    assert sum(1 for t in truth if not t) == 0
+    assert all(len(t) <= 3 for t in truth)
+
+    def norm(s):
+        return set(_re.findall(r"[a-z0-9]+", s.lower()))
+
+    overlaps = []
+    for row in hm_rows:
+        qt = norm(row["question"])
+        ft = set().union(*(norm(f) for f in row["facts"]))
+        overlaps.append(len(qt & ft) / max(len(qt), 1))
+    assert sum(overlaps) / len(overlaps) < 0.6
+
+
 def test_answer_citation_eval_through_real_rewriter():
     """The --answers mode drives the REAL streaming citation rewriter:
     a doc covering the answer is cited and scored precise (it contains
