@@ -281,6 +281,7 @@ class DialRagApplication:
                 device_cache=self.device_index_cache,
                 index_dtype=self.app_config.parallel.index_dtype,
                 li_embedder=self._get_li_embedder(request_config),
+                ensemble_weights=request_config.retrieval.ensemble_weights,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

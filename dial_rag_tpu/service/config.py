@@ -17,7 +17,13 @@ from enum import Enum
 from typing import Annotated, Any, TypeVar
 
 import yaml
-from pydantic import BaseModel, ConfigDict, Field, ValidationError
+from pydantic import (
+    BaseModel,
+    ConfigDict,
+    Field,
+    ValidationError,
+    field_validator,
+)
 
 from dial_rag_tpu.errors import InvalidConfigurationError
 
@@ -284,6 +290,47 @@ class QAChainConfig(BaseConfig):
     query_chain: QueryChainConfig = Field(default=QueryChainConfig())
 
 
+ENSEMBLE_ARMS = (
+    "semantic",
+    "late_interaction",
+    "bm25",
+    "multimodal",
+    "description",
+)
+
+
+class RetrievalConfig(BaseConfig):
+    """Fusion tunables for the retriever ensemble."""
+
+    ensemble_weights: dict[str, float] = Field(
+        default={},
+        description="Per-arm RRF weights keyed by arm name "
+        f"({', '.join(ENSEMBLE_ARMS)}); missing arms default to the "
+        "reference-parity 1.0, weight 0 disables an arm entirely (it is "
+        "not built or queried). The measured recommendation for the "
+        "shipped zero-egress checkpoints is {'semantic': 0} — BM25 + "
+        "late-interaction fusion dominates the all-arm default on every "
+        "eval split (eval/tune_ensemble.py protocol; BASELINE.md).",
+    )
+
+    @field_validator("ensemble_weights")
+    @classmethod
+    def _check_arms(cls, v: dict[str, float]) -> dict[str, float]:
+        unknown = set(v) - set(ENSEMBLE_ARMS)
+        if unknown:
+            raise ValueError(
+                f"unknown ensemble arm(s) {sorted(unknown)}; "
+                f"valid arms: {list(ENSEMBLE_ARMS)}"
+            )
+        if any(w < 0 for w in v.values()):
+            raise ValueError("ensemble weights must be >= 0")
+        if v and all(
+            v.get(arm, 1.0) == 0 for arm in ENSEMBLE_ARMS
+        ):
+            raise ValueError("at least one ensemble arm must have weight > 0")
+        return v
+
+
 class RequestType(str, Enum):
     RAG = "rag"
     RETRIEVAL = "retrieval"
@@ -316,6 +363,7 @@ class RequestConfig(BaseConfig):
     download: HttpClientConfig = Field(default=HttpClientConfig())
     check_access: HttpClientConfig = Field(default=HttpClientConfig())
     indexing: IndexingConfig = Field(default=IndexingConfig())
+    retrieval: RetrievalConfig = Field(default=RetrievalConfig())
     qa_chain: QAChainConfig = Field(
         default=QAChainConfig(
             chat_chain=ChatChainConfig(llm=LlmConfig(max_prompt_tokens=16000)),

@@ -104,37 +104,54 @@ def create_retriever(
     device_cache=None,
     index_dtype: str = "float32",
     li_embedder: BgeEmbedder | None = None,
+    ensemble_weights: dict[str, float] | None = None,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
     semantic index rows are sharded over its devices; with
-    ``device_cache`` HBM-resident indexes are reused across requests."""
+    ``device_cache`` HBM-resident indexes are reused across requests.
+
+    ``ensemble_weights`` maps arm name -> RRF weight (config
+    RetrievalConfig.ensemble_weights); missing arms weigh the
+    reference-parity 1.0, and an arm weighted 0 is neither built nor
+    queried (the measured zero-egress recommendation is
+    {'semantic': 0} — see eval/tune_ensemble.py and BASELINE.md)."""
     if AllDocumentsRetriever.is_within_limit(document_records):
         return make_retrieval_stage(
             AllDocumentsRetriever.from_doc_records(document_records),
             "All documents",
         )
 
-    retrievers = [
-        make_retrieval_stage(
-            SemanticRetriever.from_doc_records(
-                embedder,
-                document_records,
-                RETRIEVER_K,
-                mesh=mesh,
-                device_cache=device_cache,
-                storage_dtype=index_dtype,
-            ),
-            "Embeddings search",
+    arm_weights = ensemble_weights or {}
+
+    def w(arm: str) -> float:
+        return arm_weights.get(arm, 1.0)
+
+    retrievers = []
+    weights = []
+    if w("semantic") > 0:
+        retrievers.append(
+            make_retrieval_stage(
+                SemanticRetriever.from_doc_records(
+                    embedder,
+                    document_records,
+                    RETRIEVER_K,
+                    mesh=mesh,
+                    device_cache=device_cache,
+                    storage_dtype=index_dtype,
+                ),
+                "Embeddings search",
+            )
         )
-    ]
-    weights = [1.0]
+        weights.append(w("semantic"))
 
     from dial_rag_tpu.retrieval.late_interaction import (
         LateInteractionRetriever,
     )
 
-    if LateInteractionRetriever.has_index(document_records):
+    if w("late_interaction") > 0 and LateInteractionRetriever.has_index(
+        document_records
+    ):
         li_config = indexing_config.late_interaction_index
         retrievers.append(
             make_retrieval_stage(
@@ -154,9 +171,9 @@ def create_retriever(
                 "Late interaction search",
             )
         )
-        weights.append(1.0)
+        weights.append(w("late_interaction"))
 
-    if Bm25Retriever.has_index(document_records):
+    if w("bm25") > 0 and Bm25Retriever.has_index(document_records):
         retrievers.append(
             make_retrieval_stage(
                 Bm25Retriever.from_doc_records(
@@ -168,9 +185,11 @@ def create_retriever(
                 "Keywords search",
             )
         )
-        weights.append(1.0)
+        weights.append(w("bm25"))
 
-    if MultimodalRetriever.has_index(document_records):
+    if w("multimodal") > 0 and MultimodalRetriever.has_index(
+        document_records
+    ):
         assert indexing_config.multimodal_index
         retrievers.append(
             make_retrieval_stage(
@@ -185,9 +204,11 @@ def create_retriever(
                 "Multimodal search",
             )
         )
-        weights.append(1.0)
+        weights.append(w("multimodal"))
 
-    if DescriptionRetriever.has_index(document_records):
+    if w("description") > 0 and DescriptionRetriever.has_index(
+        document_records
+    ):
         retrievers.append(
             make_retrieval_stage(
                 DescriptionRetriever.from_doc_records(
@@ -199,7 +220,16 @@ def create_retriever(
                 "Page image search",
             )
         )
-        weights.append(1.0)
+        weights.append(w("description"))
+
+    if not retrievers:
+        from dial_rag_tpu.errors import InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            "retrieval.ensemble_weights disabled every retriever arm "
+            "that has an index for these documents; leave at least one "
+            "indexed arm with weight > 0"
+        )
 
     return make_retrieval_stage(
         EnsembleRetriever(retrievers=retrievers, weights=weights),

@@ -160,3 +160,112 @@ def test_all_documents_limit(records):
         document_bytes=b"",
     )
     assert not AllDocumentsRetriever.is_within_limit([big])
+
+
+# --- weighted ensemble wiring (service create_retriever) ------------------
+
+
+class _Stage:
+    def __init__(self, retriever, name):
+        self.retriever = retriever
+        self.name = name
+
+    async def aretrieve(self, query):
+        return await self.retriever.aretrieve(query)
+
+
+@pytest.fixture(scope="module")
+def big_records(embedder):
+    """Records past the AllDocuments 12000-byte short-circuit, with
+    BM25 + embeddings indexes (the two arms the unit fixtures build)."""
+    import asyncio
+
+    async def build():
+        texts = DOC1_TEXTS + ["padding words " * 1200]
+        chunks = build_chunks_list([(t, {"source": "s"}) for t in texts])
+        return [
+            DocumentRecord(
+                format_version=FORMAT_VERSION,
+                index_settings=IndexSettings(),
+                chunks=chunks,
+                text_index=await Bm25Retriever.build_index(chunks),
+                embeddings_index=await SemanticRetriever.build_index(
+                    embedder, chunks
+                ),
+                multimodal_embeddings_index=None,
+                description_embeddings_index=None,
+                mime_type="text/plain",
+                document_bytes=b"",
+            )
+        ]
+
+    return asyncio.run(build())
+
+
+def _build_ensemble(embedder, big_records, weights=None):
+    from dial_rag_tpu.service.config import IndexingConfig
+    from dial_rag_tpu.service.retrieval_chain import create_retriever
+
+    return create_retriever(
+        embedder,
+        "http://dial.example",
+        "key",
+        big_records,
+        IndexingConfig(),
+        make_retrieval_stage=_Stage,
+        ensemble_weights=weights,
+    )
+
+
+def test_create_retriever_parity_weights(embedder, big_records):
+    stage = _build_ensemble(embedder, big_records)
+    assert stage.name == "Combined search"
+    names = [s.name for s in stage.retriever.retrievers]
+    assert names == ["Embeddings search", "Keywords search"]
+    assert stage.retriever.weights == [1.0, 1.0]
+
+
+def test_create_retriever_weighted_and_disabled_arm(embedder, big_records):
+    stage = _build_ensemble(
+        embedder, big_records, {"semantic": 0.0, "bm25": 2.0}
+    )
+    names = [s.name for s in stage.retriever.retrievers]
+    assert names == ["Keywords search"]
+    assert stage.retriever.weights == [2.0]
+
+
+def test_create_retriever_all_arms_disabled_is_a_config_error(
+    embedder, big_records
+):
+    from dial_rag_tpu.errors import InvalidConfigurationError
+
+    with pytest.raises(InvalidConfigurationError, match="ensemble_weights"):
+        _build_ensemble(
+            embedder, big_records, {"semantic": 0.0, "bm25": 0.0}
+        )
+
+
+def test_retrieval_config_validates_arms():
+    from pydantic import ValidationError
+
+    from dial_rag_tpu.service.config import RequestConfig, RetrievalConfig
+
+    assert RequestConfig().retrieval.ensemble_weights == {}
+    RetrievalConfig(ensemble_weights={"semantic": 0.0, "bm25": 2.0})
+    with pytest.raises(ValidationError, match="unknown ensemble arm"):
+        RetrievalConfig(ensemble_weights={"sematic": 1.0})
+    with pytest.raises(ValidationError, match=">= 0"):
+        RetrievalConfig(ensemble_weights={"bm25": -1.0})
+    with pytest.raises(ValidationError, match="at least one"):
+        RetrievalConfig(
+            ensemble_weights={
+                a: 0.0
+                for a in (
+                    "semantic",
+                    "late_interaction",
+                    "bm25",
+                    "multimodal",
+                    "description",
+                )
+            }
+        )
