@@ -387,21 +387,32 @@ class Bm25Index:
                 index._postings_host = (term_ptr, rows_flat, vals_flat)
         return index
 
-    def _query_vector(self, query_tokens: list[str], v_pad: int) -> np.ndarray:
+    @staticmethod
+    def _iter_term_weights(query_tokens):
+        """Queries are either token lists (weight 1 per occurrence —
+        rank-bm25 semantics) or term->weight mappings (weighted queries,
+        e.g. RM3 pseudo-relevance feedback: every scoring path is linear
+        in the query vector, so fractional weights rank exactly like
+        fractional term counts)."""
+        if isinstance(query_tokens, dict):
+            return query_tokens.items()
+        return ((t, 1.0) for t in query_tokens)
+
+    def _query_vector(self, query_tokens, v_pad: int) -> np.ndarray:
         q = np.zeros(v_pad, dtype=np.float32)
-        for t in query_tokens:
+        for t, w in self._iter_term_weights(query_tokens):
             tid = self.vocab.get(t)
             if tid is not None:
-                q[tid] += 1.0
+                q[tid] += w
         return q
 
-    def _query_counts(self, query_tokens: list[str]):
-        """(tail term counts, band count vector [K] or None)."""
-        counts: dict[int, int] = {}
-        for t in query_tokens:
+    def _query_counts(self, query_tokens):
+        """(tail term weights, band weight vector [K] or None)."""
+        counts: dict[int, float] = {}
+        for t, w in self._iter_term_weights(query_tokens):
             tid = self.vocab.get(t)
             if tid is not None:
-                counts[tid] = counts.get(tid, 0) + 1
+                counts[tid] = counts.get(tid, 0.0) + w
         band_q = None
         if self._band_cols:
             band_q = np.zeros(
@@ -438,7 +449,7 @@ class Bm25Index:
             cnt[j] = c
         return starts, lens, cnt
 
-    def _sparse_total_scores(self, query_tokens: list[str]):
+    def _sparse_total_scores(self, query_tokens):
         """Device [n_pad] scores in ONE dispatch: dense-band matvec +
         dynamic-slice scatter over the tail's virtual slices."""
         _, rows_dev, vals_dev = self._postings
@@ -462,7 +473,8 @@ class Bm25Index:
     def _n_pad(self) -> int:
         return _pad_to(max(self.n_items, 8), 8)
 
-    def get_scores(self, query_tokens: list[str]) -> np.ndarray:
+    def get_scores(self, query_tokens) -> np.ndarray:
+        """``query_tokens``: token list or term->weight mapping."""
         if self._weights_dev is None and self._weights_host is not None:
             # host-only build (device=False): numpy matvec keeps the API
             # usable without re-uploading weights
@@ -473,11 +485,11 @@ class Bm25Index:
             # for the sharded wrapper; scores must still be queryable)
             term_ptr, rows_flat, vals_flat = self._postings_host
             scores = np.zeros(self.n_items, dtype=np.float32)
-            counts: dict[int, int] = {}
-            for t in query_tokens:
+            counts: dict[int, float] = {}
+            for t, w in self._iter_term_weights(query_tokens):
                 tid = self.vocab.get(t)
                 if tid is not None:
-                    counts[tid] = counts.get(tid, 0) + 1
+                    counts[tid] = counts.get(tid, 0.0) + w
             for tid, c in counts.items():
                 seg = slice(term_ptr[tid], term_ptr[tid + 1])
                 np.add.at(scores, rows_flat[seg], vals_flat[seg] * c)
@@ -571,8 +583,11 @@ class Bm25Index:
         idx = np.asarray(idx)
         return [idx[i] for i in range(q)]
 
-    def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
-        """Reference-exact top-n item indices (later index wins ties)."""
+    def top_n(self, query_tokens, n: int) -> np.ndarray:
+        """Reference-exact top-n item indices (later index wins ties).
+
+        ``query_tokens``: token list or term->weight mapping (weighted
+        queries rank by the same linear score)."""
         k = min(n, self.n_items)
         if self._weights_dev is None and (
             self._weights_host is not None or self._postings_host is not None

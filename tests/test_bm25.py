@@ -358,3 +358,46 @@ def test_virtual_slice_split_over_long_posting_lists():
     for q, g in zip([["common", "w1"], ["w2"]], got):
         want = np.argsort(host.get_scores(q), kind="stable")[::-1][:6]
         np.testing.assert_array_equal(g, want)
+
+
+def test_weighted_query_mapping_matches_counted_list():
+    """A term->weight mapping ranks exactly like the equivalent token
+    list (integer weights = repeated tokens), fractional weights scale
+    scores linearly, and the dense / CSC paths agree on mappings —
+    every scoring path is linear in the query vector."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(11)
+    words = ["alps", "climate", "glacier", "peak", "valley", "snow",
+             "river", "pass", "summit", "trail"]
+    items = [
+        list(rng.choice(words, size=int(rng.integers(3, 12))))
+        for _ in range(64)
+    ]
+    dense = Bm25Index.build(items)
+    sparse = Bm25Index.build(items, max_dense_bytes=0)
+
+    as_list = ["climate", "glacier", "glacier", "peak", "not-in-vocab"]
+    as_map = {"climate": 1.0, "glacier": 2.0, "peak": 1.0, "not-in-vocab": 3.0}
+    np.testing.assert_allclose(
+        dense.get_scores(as_map), dense.get_scores(as_list),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        dense.top_n(as_map, 7), dense.top_n(as_list, 7)
+    )
+    np.testing.assert_allclose(
+        sparse.get_scores(as_map), dense.get_scores(as_map),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        sparse.top_n(as_map, 7), dense.top_n(as_map, 7)
+    )
+    # fractional weights scale the linear score exactly
+    np.testing.assert_allclose(
+        dense.get_scores({"climate": 0.25}),
+        0.25 * dense.get_scores(["climate"]),
+        rtol=1e-6, atol=1e-6,
+    )
