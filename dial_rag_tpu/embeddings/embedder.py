@@ -13,6 +13,7 @@ at dispatch granularity. The default batch size stays 128 (reference's
 OpenVINO-tuned value; on TPU larger is better and configurable).
 """
 
+import hashlib
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -151,13 +152,16 @@ class BgeEmbedder:
         if vocab is None:
             vocab = build_test_vocab([chr(c) for c in range(97, 123)])
         # identity must distinguish random embedders with different
-        # seeds/configs, or index invalidation is silently defeated in
-        # test/benchmark paths (a persisted index built by one seed
-        # would be served by another)
+        # seeds/configs/vocabs, or index invalidation is silently
+        # defeated in test/benchmark paths (a persisted index built by
+        # one tokenization would be served by another)
+        vocab_tag = hashlib.sha256(
+            "\x00".join(sorted(vocab)).encode("utf-8")
+        ).hexdigest()[:8]
         kw.setdefault(
             "model_id",
             f"random-{seed}-{config.hidden_size}x{config.num_layers}"
-            f"v{config.vocab_size}",
+            f"v{config.vocab_size}-{vocab_tag}",
         )
         return cls(
             tokenizer=WordPieceTokenizer(vocab=vocab),
@@ -273,20 +277,19 @@ class BgeEmbedder:
             os.path.join(transformer_dir, "vocab.txt"),
             lowercase=hf.get("do_lower_case", True),
         )
-        # identity = basename @ CONTENT hash: the documented `make
-        # checkpoint` flow re-mints weights (and the idf table) in
-        # place, so a path-only identity would serve persisted indexes
-        # built by the OLD weights in a mismatched embedding space.
-        # The digest covers everything that changes the embedding of a
-        # text: weights, the idf pooling table, the tokenizer vocab,
-        # and the transformer config (pooling-relevant fields live
-        # there). The path part is the NORMALIZED BASENAME only — the
-        # identical checkpoint mounted at a different path (docker vs
-        # local) must keep its identity, or every persisted index is
-        # invalidated once per mount-point spelling.
+        # identity = CONTENT hash only: the documented `make checkpoint`
+        # flow re-mints weights (and the idf table) in place, so a
+        # path-derived identity would serve persisted indexes built by
+        # the OLD weights in a mismatched embedding space. The digest
+        # covers everything that changes the embedding of a text:
+        # weights, the idf pooling table, the tokenizer vocab, and the
+        # transformer config (pooling-relevant fields live there). No
+        # path component at all — even the basename differs between
+        # mounts of the identical checkpoint (docker_compose_local
+        # mounts checkpoints/alps-semantic as bge-small-en), and any
+        # path part would invalidate every persisted index once per
+        # mount spelling.
         if "model_id" not in kw:
-            import hashlib
-
             digest = hashlib.sha256()
             for part in (
                 weights_path,
@@ -298,8 +301,7 @@ class BgeEmbedder:
                     with open(part, "rb") as f:
                         for block in iter(lambda: f.read(1 << 20), b""):
                             digest.update(block)
-            base = os.path.basename(os.path.normpath(model_dir))
-            kw["model_id"] = f"{base}@{digest.hexdigest()[:16]}"
+            kw["model_id"] = f"sha256:{digest.hexdigest()[:16]}"
         return cls(
             tokenizer=tokenizer,
             encoder=BertEncoder(

@@ -448,7 +448,12 @@ class DenseIndex:
                 metric=self.metric,
                 k=k,
             )
-            if not bool(jnp.all(ok)):
+            # only the q REAL queries gate the fallback: the zero-vector
+            # padding rows see an all-tied corpus (every score ~ ||d||^2
+            # on normalized embeddings) and would fail the containment
+            # check on essentially every batch, silently forcing the
+            # full f32 scan on top of the two-pass dispatch
+            if not bool(jnp.all(ok[:q])):
                 # >c near-tied rows for some query: full f32 scan keeps
                 # the exactness guarantee (rare; adversarial tie corpora)
                 vals, idx = _find_batch_kernel(

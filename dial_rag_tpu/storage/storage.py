@@ -169,19 +169,29 @@ class RecordMemo:
 
     sha256 itself is memoized by bytes-object identity per URL: the
     byte LRU returns the same object while cached, so repeat requests
-    skip the hash too."""
+    skip the hash too. The memo entry holds a reference to the bytes it
+    hashed — identity comparison is only sound while that object is
+    alive (CPython recycles id() after free, which could otherwise
+    return a stale digest for different bytes at a reused address).
+    The dict is LRU-capped alongside the record memo so it cannot grow
+    (or pin byte buffers) without bound across many distinct URLs."""
 
-    def __init__(self, max_records: int = 4):
+    def __init__(self, max_records: int = 4, max_sha_entries: int = 64):
         self._cap = max_records
+        self._sha_cap = max_sha_entries
         self._records: OrderedDict[tuple, DocumentRecord] = OrderedDict()
-        self._sha_by_url: dict[str, tuple[int, str]] = {}
+        self._sha_by_url: OrderedDict[str, tuple[bytes, str]] = OrderedDict()
 
     def sha(self, url: str, data: bytes) -> str:
         memo = self._sha_by_url.get(url)
-        if memo is not None and memo[0] == id(data):
+        if memo is not None and memo[0] is data:
+            self._sha_by_url.move_to_end(url)
             return memo[1]
         digest = _sha256(data)
-        self._sha_by_url[url] = (id(data), digest)
+        self._sha_by_url[url] = (data, digest)
+        self._sha_by_url.move_to_end(url)
+        while len(self._sha_by_url) > self._sha_cap:
+            self._sha_by_url.popitem(last=False)
         return digest
 
     def get(self, token: tuple) -> DocumentRecord | None:

@@ -364,6 +364,7 @@ class OtlpJsonHttpExporter(SpanExporter):
         self._buffer: list[dict] = []
         self._lock = threading.Lock()
         self._max_buffer = max_buffer
+        self._dropped = 0
         self._warned = False
         self._flush_interval = flush_interval
         self._thread = threading.Thread(
@@ -373,9 +374,21 @@ class OtlpJsonHttpExporter(SpanExporter):
         atexit.register(self.force_flush)
 
     def export(self, span: _Span) -> None:
+        log_drop = False
         with self._lock:
             if len(self._buffer) < self._max_buffer:
                 self._buffer.append(span_to_otlp(span))
+            else:
+                # overflow between flushes must not be silent: count it
+                # (flush logs the episode total) so trace gaps have a
+                # diagnostic instead of vanishing
+                log_drop = self._dropped == 0
+                self._dropped += 1
+        if log_drop:
+            logger.warning(
+                f"OTLP span buffer full ({self._max_buffer}); dropping "
+                "spans until the next flush"
+            )
 
     def _resource(self) -> dict:
         return {
@@ -392,6 +405,10 @@ class OtlpJsonHttpExporter(SpanExporter):
         )
         try:
             urllib.request.urlopen(req, timeout=5).read()
+            # a success re-arms the failure log: a LATER outage (e.g. a
+            # permanent collector failure after one transient blip) must
+            # be logged, not suppressed forever by the first warning
+            self._warned = False
         except Exception as e:
             if not self._warned:
                 self._warned = True
@@ -405,6 +422,12 @@ class OtlpJsonHttpExporter(SpanExporter):
     def force_flush(self) -> None:
         with self._lock:
             spans, self._buffer = self._buffer, []
+            dropped, self._dropped = self._dropped, 0
+        if dropped:
+            logger.warning(
+                f"OTLP export dropped {dropped} spans (buffer overflow "
+                "between flushes)"
+            )
         if spans:
             self._post(
                 "/v1/traces",

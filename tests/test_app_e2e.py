@@ -1042,10 +1042,11 @@ async def test_semantic_idf_checkpoint_e2e(harness):
         custom = body["choices"][0]["message"]["custom_content"]
         app_obj = h.client.app["dial_rag"]
         assert app_obj.embedder.encoder.pooling == "idf"
-        # identity = normalized basename @ content hash (re-minting
-        # weights in place must invalidate persisted indexes; the same
-        # checkpoint at a different mount path must NOT)
-        assert app_obj.embedder.model_id.startswith(ckpt.name + "@")
+        # identity = content hash only (re-minting weights in place must
+        # invalidate persisted indexes; the same checkpoint at ANY other
+        # mount path — even a different basename, as in
+        # docker_compose_local — must NOT)
+        assert app_obj.embedder.model_id.startswith("sha256:")
         emb_stage = next(
             s for s in custom["stages"] if "Embeddings search" in s["name"]
         )

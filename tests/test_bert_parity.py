@@ -477,12 +477,15 @@ def test_model_identity_contract(tmp_path):
     from dial_rag_tpu.models.bert import BertConfig
 
     _write_checkpoint(tmp_path / "mount_a" / "ckpt")
-    _write_checkpoint(tmp_path / "mount_b" / "ckpt")
+    # a DIFFERENT basename too: docker_compose_local mounts
+    # checkpoints/alps-semantic as /embeddings_model/bge-small-en, so
+    # even the directory name must not enter the identity
+    _write_checkpoint(tmp_path / "mount_b" / "bge-small-en")
     id_a = BgeEmbedder.from_hf_checkpoint(
         str(tmp_path / "mount_a" / "ckpt"), compute_dtype=jnp.float32
     ).model_id
     id_b = BgeEmbedder.from_hf_checkpoint(
-        str(tmp_path / "mount_b" / "ckpt"), compute_dtype=jnp.float32
+        str(tmp_path / "mount_b" / "bge-small-en"), compute_dtype=jnp.float32
     ).model_id
     assert id_a == id_b  # identical content, different mount paths
 
@@ -497,6 +500,18 @@ def test_model_identity_contract(tmp_path):
     assert (
         BgeEmbedder.from_random(seed=0).model_id
         != BgeEmbedder.from_random(seed=1).model_id
+    )
+    # different vocab CONTENTS (same size) change the token space and
+    # must change the identity
+    from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+    assert (
+        BgeEmbedder.from_random(
+            seed=0, vocab=build_test_vocab(["alpha", "beta"])
+        ).model_id
+        != BgeEmbedder.from_random(
+            seed=0, vocab=build_test_vocab(["gamma", "delta"])
+        ).model_id
     )
     assert (
         BgeEmbedder.from_random(seed=0).model_id
