@@ -1,0 +1,354 @@
+"""Score-aware fusion experiment: CombSUM/CombMNZ vs rank-only RRF.
+
+Motivation (round-4 failure analysis): on the 155-question handmade
+paraphrase set, equal-weight RRF DEMOTES ~11 BM25 rank-1 hits out of
+the fused top-7 because the two BM25-distilled trained arms are
+correlated — they double-vote their agreed (wrong) chunks above BM25's
+exact-match hit. Rank-only RRF (reference retrieval_chain.py:207-242)
+discards score magnitudes, but BM25 scores carry real confidence: an
+exact rare-term match wins by a large margin. This experiment asks
+whether score-aware fusion (normalized-score CombSUM / CombMNZ,
+Fox & Shaw 1994) preserves those high-confidence BM25 wins without
+giving up the ensemble's wins on the 39 LLM-generated rows.
+
+Protocol (identical to eval/tune_ensemble.py — no training, no
+contamination): per-arm FULL score vectors are computed once per
+query; the 155 hand-authored questions split even-index→DEV /
+odd-index→TEST; a (method × norm × arm-weight) grid is scored on DEV
+by recall@7 (tie-break MRR); the single winner is then reported on
+TEST, the 39 parquet rows, and pseudo-queries — none of which
+influenced selection.
+
+Run: JAX_PLATFORMS=cpu python -m eval.tune_score_fusion \
+       --model-dir checkpoints/alps-semantic \
+       --li-model-dir checkpoints/alps-maxsim
+Writes eval/out/score_fusion.json.
+"""
+
+import argparse
+import asyncio
+import itertools
+import json
+from pathlib import Path
+
+import numpy as np
+
+from eval._platform import honor_jax_platforms_env
+from eval.eval_alps import (
+    DEFAULT_DATA_DIR,
+    alps_data_available,
+    build_record,
+    fact_relevance,
+    load_alps,
+    load_handmade_questions,
+    make_pseudo_queries,
+    parse_alps,
+    score_per_question,
+)
+
+from dial_rag_tpu.index.records import RetrievalType, SearchHit
+from dial_rag_tpu.retrieval.ensemble import weighted_reciprocal_rank
+from dial_rag_tpu.text.keywords import keywords_preprocess
+
+ARMS = ("semantic", "bm25", "late_interaction")
+# bm25 weight fixed at 1.0 (the parity floor arm); trained arms swept
+WEIGHT_GRID = (0.0, 0.25, 0.5, 1.0, 1.5)
+NORMS = ("minmax", "zscore")
+METHODS = ("combsum", "combmnz")
+LIST_DEPTHS = (7, 15, 30)  # deployable form: per-arm top-d list norm
+K = 7
+
+
+def arm_score_matrix(arm, queries, *, bm25_index, embedder, li_embedder,
+                     emb_matrix, li_token_lists):
+    """[n_queries, n_chunks] raw score matrix for one arm."""
+    if arm == "bm25":
+        return np.stack(
+            [bm25_index.get_scores(keywords_preprocess(q)) for q in queries]
+        )
+    if arm == "semantic":
+        q_embs = np.stack([embedder.embed_query(q) for q in queries])
+        return q_embs @ emb_matrix.T  # normalized embs: dot == cosine sim
+    if arm == "late_interaction":
+        rows = []
+        for q in queries:
+            q_tok = li_embedder.embed_query_tokens(q)  # [t_q, D]
+            rows.append(
+                np.array(
+                    [
+                        float((q_tok @ ct.T).max(axis=1).sum())
+                        for ct in li_token_lists
+                    ],
+                    dtype=np.float32,
+                )
+            )
+        return np.stack(rows)
+    raise ValueError(arm)
+
+
+def normalize(scores, how):
+    """Per-query score normalization over the full corpus vector."""
+    if how == "minmax":
+        lo, hi = scores.min(), scores.max()
+        return (scores - lo) / (hi - lo) if hi > lo else np.zeros_like(scores)
+    if how == "zscore":
+        mu, sd = scores.mean(), scores.std()
+        return (scores - mu) / sd if sd > 0 else np.zeros_like(scores)
+    raise ValueError(how)
+
+
+def fuse_scores(per_arm_scores, weights, method, norm, depth=None):
+    """One query: per-arm [N] raw scores -> fused top-K chunk ids.
+
+    ``depth=None`` normalizes over the FULL corpus score vector (the
+    oracle form); ``depth=d`` is the DEPLOYABLE form — each arm
+    contributes only its top-d list, min-max/z normalized within that
+    list, absent docs scoring 0 (what serving can compute from
+    score-carrying hit lists without a full corpus scan)."""
+    n = next(iter(per_arm_scores.values())).shape[0]
+    fused = np.zeros(n, dtype=np.float64)
+    support = np.zeros(n, dtype=np.float64)  # arms retrieving doc in top-K
+    for arm, w in zip(ARMS, weights):
+        if w == 0.0:
+            continue
+        raw = per_arm_scores[arm]
+        if depth is None:
+            s = normalize(raw, norm)
+        else:
+            top = np.argsort(-raw, kind="stable")[:depth]
+            s = np.zeros(n, dtype=np.float64)
+            s[top] = normalize(raw[top], norm)
+        fused += w * s
+        topk = np.argsort(-raw, kind="stable")[:K]
+        support[topk] += 1.0
+    if method == "combmnz":
+        fused *= np.maximum(support, 1.0)
+    order = np.argsort(-fused, kind="stable")[:K]
+    return [
+        SearchHit(doc_id=0, chunk_id=int(c), retrieval_type=RetrievalType.TEXT)
+        for c in order
+    ]
+
+
+def fused_metrics(
+    score_mats, weights, method, norm, truth, chunks, idx=None, depth=None
+):
+    rows = range(len(truth)) if idx is None else idx
+    all_hits = [
+        fuse_scores(
+            {a: score_mats[a][i] for a in ARMS}, weights, method, norm, depth
+        )
+        for i in rows
+    ]
+    sub_truth = [truth[i] for i in rows] if idx is not None else truth
+    per_q = score_per_question(all_hits, sub_truth, chunks)
+    m = max(len(sub_truth), 1)
+    return {k: sum(v) / m for k, v in per_q.items()}
+
+
+def rrf_metrics(score_mats, weights, truth, chunks, idx=None):
+    """Rank-only RRF baseline computed from the same score matrices
+    (top-K per arm -> production weighted_reciprocal_rank)."""
+    rows = range(len(truth)) if idx is None else idx
+    all_hits = []
+    for i in rows:
+        per_arm_hits = []
+        for a in ARMS:
+            topk = np.argsort(-score_mats[a][i], kind="stable")[:K]
+            per_arm_hits.append(
+                [
+                    SearchHit(
+                        doc_id=0,
+                        chunk_id=int(c),
+                        retrieval_type=RetrievalType.TEXT,
+                    )
+                    for c in topk
+                ]
+            )
+        all_hits.append(
+            weighted_reciprocal_rank(per_arm_hits, list(weights))[:K]
+        )
+    sub_truth = [truth[i] for i in rows] if idx is not None else truth
+    per_q = score_per_question(all_hits, sub_truth, chunks)
+    m = max(len(sub_truth), 1)
+    return {k: sum(v) / m for k, v in per_q.items()}
+
+
+async def run(data_dir, model_dir, li_model_dir):
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    pdf_bytes, rows = load_alps(data_dir)
+    chunks = parse_alps(pdf_bytes)
+    embedder = BgeEmbedder.from_hf_checkpoint(model_dir)
+    li_embedder = BgeEmbedder.from_hf_checkpoint(li_model_dir)
+    record = await build_record(pdf_bytes, chunks, embedder, li_embedder)
+
+    bm25_index = Bm25Index.build(record.text_index)
+    emb_matrix = np.concatenate(record.embeddings_index, axis=0)
+    li_token_lists = [
+        np.asarray(t, dtype=np.float32) for t in record.late_interaction_index
+    ]
+
+    hm_rows = load_handmade_questions()
+    hm_truth = fact_relevance(chunks, hm_rows)
+    dev_idx = list(range(0, len(hm_rows), 2))
+    test_idx = list(range(1, len(hm_rows), 2))
+    real_truth = fact_relevance(chunks, rows)
+    pseudo_rows = make_pseudo_queries(rows)
+    pseudo_truth = fact_relevance(chunks, pseudo_rows)
+
+    kw = dict(
+        bm25_index=bm25_index,
+        embedder=embedder,
+        li_embedder=li_embedder,
+        emb_matrix=emb_matrix,
+        li_token_lists=li_token_lists,
+    )
+    mats = {}
+    for split, qrows in (
+        ("handmade", hm_rows),
+        ("real", rows),
+        ("pseudo", pseudo_rows),
+    ):
+        qs = [r["question"] for r in qrows]
+        mats[split] = {a: arm_score_matrix(a, qs, **kw) for a in ARMS}
+
+    # --- grid selection on handmade DEV only ---
+    # two independent selections: oracle (full-vector norm) and
+    # deployable (top-d list norm, the form serving can compute)
+    results = []
+    results_list = []
+    for method, norm, ws, wl in itertools.product(
+        METHODS, NORMS, WEIGHT_GRID, WEIGHT_GRID
+    ):
+        w = (ws, 1.0, wl)  # (semantic, bm25, late_interaction)
+        dev = fused_metrics(
+            mats["handmade"], w, method, norm, hm_truth, chunks, dev_idx
+        )
+        results.append((dev["recall@7"], dev["mrr"], method, norm, w))
+        for depth in LIST_DEPTHS:
+            dev = fused_metrics(
+                mats["handmade"], w, method, norm, hm_truth, chunks,
+                dev_idx, depth,
+            )
+            results_list.append(
+                (dev["recall@7"], dev["mrr"], method, norm, w, depth)
+            )
+    results.sort(key=lambda r: (r[0], r[1]), reverse=True)
+    results_list.sort(key=lambda r: (r[0], r[1]), reverse=True)
+    r7, mrr, method, norm, w_best = results[0]
+    _, _, l_method, l_norm, l_w, l_depth = results_list[0]
+
+    def report_fused(method, norm, weights, depth=None):
+        return {
+            "method": method,
+            "norm": norm,
+            "depth": depth,
+            "weights": dict(zip(ARMS, weights)),
+            "handmade_dev": fused_metrics(
+                mats["handmade"], weights, method, norm, hm_truth, chunks,
+                dev_idx, depth,
+            ),
+            "handmade_test": fused_metrics(
+                mats["handmade"], weights, method, norm, hm_truth, chunks,
+                test_idx, depth,
+            ),
+            "real_39": fused_metrics(
+                mats["real"], weights, method, norm, real_truth, chunks,
+                None, depth,
+            ),
+            "pseudo": fused_metrics(
+                mats["pseudo"], weights, method, norm, pseudo_truth, chunks,
+                None, depth,
+            ),
+        }
+
+    def report_rrf(weights):
+        return {
+            "weights": dict(zip(ARMS, weights)),
+            "handmade_dev": rrf_metrics(
+                mats["handmade"], weights, hm_truth, chunks, dev_idx
+            ),
+            "handmade_test": rrf_metrics(
+                mats["handmade"], weights, hm_truth, chunks, test_idx
+            ),
+            "real_39": rrf_metrics(mats["real"], weights, real_truth, chunks),
+            "pseudo": rrf_metrics(
+                mats["pseudo"], weights, pseudo_truth, chunks
+            ),
+        }
+
+    out = {
+        "protocol": (
+            "methods %s x norms %s x trained-arm weights %s (bm25 fixed "
+            "1.0); selected on handmade DEV (even indices) recall@7 then "
+            "MRR; TEST (odd), 39 parquet rows and pseudo never influenced "
+            "selection" % (METHODS, NORMS, WEIGHT_GRID)
+        ),
+        "rrf_equal_weights": report_rrf((1.0, 1.0, 1.0)),
+        "rrf_tuned_no_semantic": report_rrf((0.0, 1.0, 1.0)),
+        "bm25_only": report_rrf((0.0, 1.0, 0.0)),
+        "score_fusion_tuned": report_fused(method, norm, w_best),
+        "score_fusion_list_tuned": report_fused(
+            l_method, l_norm, l_w, l_depth
+        ),
+        "score_fusion_equal_combsum_minmax": report_fused(
+            "combsum", "minmax", (1.0, 1.0, 1.0)
+        ),
+        "grid_top5": [
+            {
+                "method": m,
+                "norm": n,
+                "weights": dict(zip(ARMS, w)),
+                "dev_recall@7": r,
+                "dev_mrr": q,
+            }
+            for r, q, m, n, w in results[:5]
+        ],
+    }
+    return out
+
+
+def main(argv=None):
+    honor_jax_platforms_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default=DEFAULT_DATA_DIR)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--li-model-dir", required=True)
+    p.add_argument("--out", default=str(Path(__file__).parent / "out"))
+    args = p.parse_args(argv)
+    if not alps_data_available(args.data_dir):
+        raise SystemExit(f"alps data not found under {args.data_dir}")
+    out = asyncio.run(run(args.data_dir, args.model_dir, args.li_model_dir))
+    Path(args.out).mkdir(parents=True, exist_ok=True)
+    with open(Path(args.out) / "score_fusion.json", "w") as f:
+        json.dump(out, f, indent=2)
+    for name in (
+        "bm25_only",
+        "rrf_equal_weights",
+        "rrf_tuned_no_semantic",
+        "score_fusion_equal_combsum_minmax",
+        "score_fusion_tuned",
+        "score_fusion_list_tuned",
+    ):
+        r = out[name]
+        tag = (
+            f"{r['method']}/{r['norm']}/d={r['depth']} "
+            f"w={tuple(r['weights'].values())}"
+            if "method" in r
+            else f"rrf w={tuple(r['weights'].values())}"
+        )
+        print(
+            f"{name:36s} {tag:42s} "
+            f"dev@7={r['handmade_dev']['recall@7']:.3f} "
+            f"TEST@7={r['handmade_test']['recall@7']:.3f} "
+            f"test_mrr={r['handmade_test']['mrr']:.3f} "
+            f"real39@7={r['real_39']['recall@7']:.3f} "
+            f"pseudo@7={r['pseudo']['recall@7']:.3f}"
+        )
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -641,3 +641,63 @@ def test_corpus_kd_live_columns_scatter_exact():
     grads = jax.grad(loss_of)(params)
     leaf = jax.tree_util.tree_leaves(grads)[0]
     assert float(np.abs(np.asarray(leaf)).max()) > 0
+
+
+def test_morph_groups_and_perturb_are_stem_invariant():
+    """morph_perturb swaps only corpus-attested surface forms sharing
+    the serving stemmer's stem — every swap is BM25-invariant by
+    construction (keywords_preprocess maps both forms to one term)."""
+    from dial_rag_tpu.text.keywords import _stemmer
+    from tools.make_checkpoint import morph_groups, morph_perturb
+
+    stem = _stemmer()
+    texts = [
+        "The glaciers formed the valleys. Glacier ice forms slowly.",
+        "Forming ranges takes time; the range rose as plates collided.",
+        "Plate tectonics collide with mountains and mountain ranges.",
+    ]
+    groups = morph_groups(texts, stem)
+    # only stems with >=2 attested forms become groups
+    assert all(len(v) > 1 for v in groups.values())
+    for s, forms in groups.items():
+        assert all(stem(f) == s for f in forms)
+        assert all(f == f.lower() and f.isalpha() for f in forms)
+
+    rng = np.random.default_rng(0)
+    sent = "The glaciers formed the valleys as plates collided."
+    seen = set()
+    for _ in range(20):
+        mv = morph_perturb(sent, rng, stem, groups, p=0.9)
+        if mv is None:
+            continue
+        seen.add(mv)
+        assert mv != sent
+        # stem sequence of content words is preserved word-for-word
+        orig = [w.strip(".,;:!?") for w in sent.split()]
+        pert = [w.strip(".,;:!?") for w in mv.split()]
+        assert len(orig) == len(pert)
+        for a, b in zip(orig, pert):
+            assert stem(a.lower()) == stem(b.lower())
+    assert seen  # the perturbation actually fires on this input
+
+
+def test_ict_pairs_morph_aug_adds_views_only():
+    """morph_aug=True must be additive: every baseline pair is still
+    present, new pairs map to the same source chunks, and the flag off
+    reproduces the byte-identical baseline (shipped-recipe safety)."""
+    from tools.make_checkpoint import ict_pairs
+
+    texts = [
+        "The glaciers formed the valleys. Glacier ice forms slowly "
+        "over centuries of snowfall and compaction in the mountains.",
+        "Forming ranges takes geological time; the range rose as the "
+        "African and European plates collided during the orogeny.",
+    ]
+    base, base_key = ict_pairs(texts, "q: ", seed=3)
+    again, _ = ict_pairs(texts, "q: ", seed=3, morph_aug=False)
+    assert base == again
+    aug, aug_key = ict_pairs(texts, "q: ", seed=3, morph_aug=True)
+    assert set(base) <= set(aug)
+    assert len(aug) > len(base)
+    for q, p in set(aug) - set(base):
+        assert aug_key(p) in (0, 1)

@@ -95,8 +95,57 @@ _STOPWORDS = frozenset(
 )
 
 
+def morph_groups(texts: list[str], stem) -> dict[str, list[str]]:
+    """stem -> sorted list of corpus-attested surface forms. Only real
+    corpus word forms enter (rule-generated candidates produce junk
+    like "mountaining"); a stem with >=2 attested forms is a genuine
+    inflection group ("formed"/"forming"/"forms")."""
+    groups: dict[str, set[str]] = {}
+    for text in texts:
+        for w in re.findall(r"[A-Za-z]{4,}", text):
+            wl = w.lower()
+            if wl in _STOPWORDS:
+                continue
+            groups.setdefault(stem(wl), set()).add(wl)
+    return {s: sorted(forms) for s, forms in groups.items() if len(forms) > 1}
+
+
+def morph_perturb(
+    sentence: str, rng, stem, groups: dict[str, list[str]], p: float = 0.35
+) -> str | None:
+    """Replace ~p of the eligible words with a different corpus-attested
+    surface form sharing the Porter2 stem ("variant" means exactly what
+    the BM25 teacher already treats as equivalent via stemming); None if
+    nothing changed. Targets the measured paraphrase-regime inflection
+    failures ("romanticised" query vs "romanticising" corpus) that BM25
+    wins for free while the WordPiece-level trained arms miss."""
+    words = sentence.split()
+    out = []
+    changed = False
+    for w in words:
+        # keep leading/trailing punctuation attached to the word
+        core = w.strip(".,;:!?()[]\"'")
+        cl = core.lower()
+        if (
+            len(cl) >= 4
+            and cl.isalpha()
+            and cl not in _STOPWORDS
+            and rng.random() < p
+        ):
+            vs = [f for f in groups.get(stem(cl), ()) if f != cl]
+            if vs:
+                v = vs[int(rng.integers(len(vs)))]
+                if core[0].isupper():
+                    v = v.capitalize()
+                out.append(w.replace(core, v, 1))
+                changed = True
+                continue
+        out.append(w)
+    return " ".join(out) if changed else None
+
+
 def ict_pairs(
-    texts: list[str], prefix: str, seed: int = 0
+    texts: list[str], prefix: str, seed: int = 0, morph_aug: bool = False
 ):
     """Self-supervised (query, chunk) pairs; returns (pairs, pos_key)
     where pos_key maps each passage view back to its source chunk so
@@ -109,8 +158,21 @@ def ict_pairs(
     - ICT: each sentence as a pseudo-query for its chunk;
     - word dropout: the sentence with ~30% of words removed;
     - keyword subsets: 3-7 shuffled content words sampled from the
-      whole chunk (soft-BM25 supervision).
+      whole chunk (soft-BM25 supervision);
+    - (``morph_aug``) morphological variants: ~35% of the sentence's
+      content words swapped for a different surface form sharing the
+      Porter2 stem — teaches the WordPiece-level arms the inflection
+      invariance the BM25 teacher gets for free from stemming.
     """
+    stem = groups = mrng = None
+    if morph_aug:
+        from dial_rag_tpu.text.keywords import _stemmer
+
+        stem = _stemmer()
+        groups = morph_groups(texts, stem)
+        # dedicated stream: the baseline views must stay byte-identical
+        # with the flag on (additive augmentation, not a reshuffle)
+        mrng = np.random.default_rng(seed + 104729)
     rng = np.random.default_rng(seed)
     pairs = []
     view_src: dict[str, int] = {}
@@ -135,6 +197,10 @@ def ict_pairs(
             dropped = [w for w, k in zip(words, keep) if k]
             if len(dropped) >= 3:
                 add(prefix + " ".join(dropped), text, src)
+            if morph_aug:
+                mv = morph_perturb(sent, mrng, stem, groups)
+                if mv is not None:
+                    add(prefix + mv, text, src)
             # passage-side dropout: pair the sentence against a 15%%-
             # word-dropped view of the chunk (blocks chunk-identity
             # memorization — measured embedding collapse without it)
@@ -294,6 +360,14 @@ def main() -> None:
         "--bank-refresh-every steps; 0 disables",
     )
     parser.add_argument("--bank-refresh-every", type=int, default=100)
+    parser.add_argument(
+        "--morph-aug",
+        action="store_true",
+        help="add morphological-variant query views to the ICT pairs "
+        "(stem-sharing surface-form swaps; targets the measured "
+        "paraphrase-regime inflection failures). Off by default so the "
+        "shipped staged recipe stays byte-reproducible.",
+    )
     args = parser.parse_args()
     if args.corpus_kd_weight > 0 and args.objective != "cls":
         # fail in milliseconds, not after minutes of teacher precompute:
@@ -333,7 +407,9 @@ def main() -> None:
     print(f"vocab: {len(tokenizer.vocab)} tokens", flush=True)
 
     prefix = DEFAULT_QUERY_INSTRUCTION if args.objective == "cls" else ""
-    pairs, pos_key = ict_pairs(texts, prefix, seed=args.seed)
+    pairs, pos_key = ict_pairs(
+        texts, prefix, seed=args.seed, morph_aug=args.morph_aug
+    )
     print(f"ICT pairs: {len(pairs)}", flush=True)
     n_sources = len({pos_key(p) for _, p in pairs})
     if args.batch_size > n_sources:
