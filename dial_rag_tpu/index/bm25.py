@@ -512,13 +512,23 @@ class Bm25Index:
     ) -> list[np.ndarray]:
         """top_n for many queries; the dense path scores them with ONE
         MXU matmul (the sparse path loops)."""
+        return [idx for idx, _ in self.top_n_batch_with_scores(queries_tokens, n)]
+
+    def top_n_batch_with_scores(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """``top_n_batch`` returning (indices, scores) per query —
+        identical dispatch structure, the kernels already compute the
+        score values the index-only API discards."""
         k = min(n, self.n_items)
         if not queries_tokens:
             return []
         if self._weights_dev is None and (
             self._weights_host is not None or self._postings_host is not None
         ):
-            return [self.top_n(q, n) for q in queries_tokens]
+            return [
+                self.top_n_with_scores(q, n) for q in queries_tokens
+            ]
         if self._weights_dev is not None:
             v_pad = self._weights_dev.shape[1]
             qmat = np.stack(
@@ -529,7 +539,7 @@ class Bm25Index:
             q_pad = 1 << max(2, (q - 1).bit_length())
             if q_pad != q:
                 qmat = np.pad(qmat, ((0, 0), (0, q_pad - q)))
-            _, idx = _bm25_topk_batch_kernel(
+            vals, idx = _bm25_topk_batch_kernel(
                 self._weights_dev,
                 jnp.asarray(qmat),
                 jnp.int32(self.n_items),
@@ -537,7 +547,8 @@ class Bm25Index:
                 use_sort=k > _ARGMIN_MAX_K,
             )
             idx = np.asarray(idx)
-            return [idx[i] for i in range(q)]
+            vals = np.asarray(vals)
+            return [(idx[i], vals[i]) for i in range(q)]
         # device CSC postings: all queries in one vmapped dispatch over
         # common [q_pad, t_pad] virtual-slice tables (l_pad is the
         # constant _VSLICE); band terms ride one extra MXU matmul
@@ -566,7 +577,7 @@ class Bm25Index:
             starts[qi, : st.shape[0]] = st
             lens[qi, : ln.shape[0]] = ln
             cnts[qi, : cn.shape[0]] = cn
-        _, idx = _bm25_sparse_topk_batch_kernel(
+        vals, idx = _bm25_sparse_topk_batch_kernel(
             self._postings[1],
             self._postings[2],
             jnp.asarray(starts),
@@ -581,34 +592,44 @@ class Bm25Index:
             use_sort=k > _ARGMIN_MAX_K,
         )
         idx = np.asarray(idx)
-        return [idx[i] for i in range(q)]
+        vals = np.asarray(vals)
+        return [(idx[i], vals[i]) for i in range(q)]
 
     def top_n(self, query_tokens, n: int) -> np.ndarray:
         """Reference-exact top-n item indices (later index wins ties).
 
         ``query_tokens``: token list or term->weight mapping (weighted
         queries rank by the same linear score)."""
+        return self.top_n_with_scores(query_tokens, n)[0]
+
+    def top_n_with_scores(
+        self, query_tokens, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(indices, scores): the reference-exact top-n plus each item's
+        Okapi score (score-aware ensemble fusion consumes the scores;
+        ranking is identical to ``top_n``)."""
         k = min(n, self.n_items)
         if self._weights_dev is None and (
             self._weights_host is not None or self._postings_host is not None
         ):
             scores = self.get_scores(query_tokens)
-            return np.argsort(scores, kind="stable")[::-1][:k]
+            idx = np.argsort(scores, kind="stable")[::-1][:k]
+            return idx, scores[idx]
         if self._weights_dev is not None:
             q = self._query_vector(query_tokens, self._weights_dev.shape[1])
-            _, idx = _bm25_topk_kernel(
+            vals, idx = _bm25_topk_kernel(
                 self._weights_dev,
                 jnp.asarray(q),
                 jnp.int32(self.n_items),
                 k=k,
                 use_sort=k > _ARGMIN_MAX_K,
             )
-            return np.asarray(idx)
+            return np.asarray(idx), np.asarray(vals)
         scores = self._sparse_total_scores(query_tokens)
-        _, idx = _bm25_topk_from_scores_kernel(
+        vals, idx = _bm25_topk_from_scores_kernel(
             scores,
             jnp.int32(self.n_items),
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        return np.asarray(idx)
+        return np.asarray(idx), np.asarray(vals)

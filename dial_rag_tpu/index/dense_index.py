@@ -277,7 +277,10 @@ def hits_from_topk(
     vals, idx, n_rows, doc_ids, chunk_ids, retrieval_type
 ) -> tuple[list[SearchHit], list[float]]:
     """(values, indices) from a top-k kernel -> SearchHits + distances,
-    stopping at padding rows (shared by the dense and sharded indexes)."""
+    stopping at padding rows (shared by the dense and sharded indexes).
+    ``vals`` are distance-like (lower is better; the MaxSim indexes
+    negate their similarities before top-k), so each hit carries
+    ``score=-v`` — the higher-is-better form score-aware fusion uses."""
     hits: list[SearchHit] = []
     dists: list[float] = []
     for v, i in zip(vals, idx):
@@ -287,14 +290,16 @@ def hits_from_topk(
             # padding. The index alone is the honest predicate — a
             # non-finite *score* at a real index must stay a hit.
             break
+        v = float(v)
         hits.append(
             SearchHit(
                 doc_id=int(doc_ids[i]),
                 chunk_id=int(chunk_ids[i]),
                 retrieval_type=retrieval_type,
+                score=-v if np.isfinite(v) else None,
             )
         )
-        dists.append(float(v))
+        dists.append(v)
     return hits, dists
 
 

@@ -6,7 +6,7 @@ Mirrors the reference's index_record.py: a retrieval hit carries only
 encodes it in langchain Document.page_content — index_record.py:29-38).
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from enum import Enum
 
 
@@ -20,6 +20,12 @@ class SearchHit:
     doc_id: int
     chunk_id: int
     retrieval_type: RetrievalType
+    # retriever-native relevance, HIGHER is better (dense: -distance,
+    # BM25: Okapi score, late-interaction: MaxSim). Optional: rank-only
+    # producers leave it None and score-aware fusion falls back to a
+    # rank proxy. compare=False keeps hit equality/hash = identity
+    # (doc, chunk, type), the reference's fusion contract.
+    score: float | None = field(default=None, compare=False)
 
     @property
     def key(self) -> str:

@@ -895,13 +895,19 @@ class ShardedBm25SparseIndex:
         return np.asarray(scores).reshape(-1)[: self.n_items]
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
+        return self.top_n_with_scores(query_tokens, n)[0]
+
+    def top_n_with_scores(
+        self, query_tokens: list[str], n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(indices, Okapi scores) — same dispatch as ``top_n``."""
         if n > self.limit:
             raise ValueError(f"n={n} exceeds the index limit {self.limit}")
         k = min(n, self.n_items)
         starts, lens, cnt, l_pad, band_q = self._query_slices(
             query_tokens
         )
-        _, idx = _sharded_bm25_sparse_topk_kernel(
+        vals, idx = _sharded_bm25_sparse_topk_kernel(
             self._rows_sh,
             self._vals_sh,
             jnp.asarray(starts),
@@ -916,11 +922,19 @@ class ShardedBm25SparseIndex:
             rows_per_shard=self._rows_per_shard,
             use_sort=k > _ARGMIN_MAX_K,
         )
-        return np.asarray(idx).astype(np.int64)
+        return np.asarray(idx).astype(np.int64), np.asarray(vals)
 
     def top_n_batch(
         self, queries_tokens: list[list[str]], n: int
     ) -> list[np.ndarray]:
+        return [
+            idx
+            for idx, _ in self.top_n_batch_with_scores(queries_tokens, n)
+        ]
+
+    def top_n_batch_with_scores(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
         """All queries in ONE sharded dispatch (vmapped local scoring +
         per-query two-key merge). Query count and slice-table shapes are
         padded to powers of two to bound the jit cache."""
@@ -952,7 +966,7 @@ class ShardedBm25SparseIndex:
             counts[:, qi, :t] = cn
             if bq is not None:
                 band_mat[qi] = bq
-        _, idx = _sharded_bm25_sparse_topk_batch_kernel(
+        vals, idx = _sharded_bm25_sparse_topk_batch_kernel(
             self._rows_sh,
             self._vals_sh,
             jnp.asarray(starts),
@@ -968,7 +982,8 @@ class ShardedBm25SparseIndex:
             use_sort=k > _ARGMIN_MAX_K,
         )
         idx = np.asarray(idx).astype(np.int64)
-        return [idx[qi] for qi in range(q)]
+        vals = np.asarray(vals)
+        return [(idx[qi], vals[qi]) for qi in range(q)]
 
 
 class ShardedBm25Index:
@@ -1021,16 +1036,35 @@ class ShardedBm25Index:
         return self._dense.nbytes
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
+        return self.top_n_with_scores(query_tokens, n)[0]
+
+    def top_n_with_scores(
+        self, query_tokens: list[str], n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(indices, Okapi scores): the inner-product "distance" of the
+        flipped-layout dense scan is the negated BM25 score, so each
+        hit's ``score`` field is already the Okapi value."""
         if n > self.limit:
             raise ValueError(f"n={n} exceeds the index limit {self.limit}")
         v_pad = self._dense._emb.shape[1]
         q = self._base._query_vector(query_tokens, v_pad)
-        hits = self._dense.find(q)
-        return np.array([h.chunk_id for h in hits[:n]], dtype=np.int64)
+        hits = self._dense.find(q)[:n]
+        return (
+            np.array([h.chunk_id for h in hits], dtype=np.int64),
+            np.array([h.score for h in hits], dtype=np.float32),
+        )
 
     def top_n_batch(
         self, queries_tokens: list[list[str]], n: int
     ) -> list[np.ndarray]:
+        return [
+            idx
+            for idx, _ in self.top_n_batch_with_scores(queries_tokens, n)
+        ]
+
+    def top_n_batch_with_scores(
+        self, queries_tokens: list[list[str]], n: int
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
         if n > self.limit:
             raise ValueError(f"n={n} exceeds the index limit {self.limit}")
         if not queries_tokens:
@@ -1044,6 +1078,11 @@ class ShardedBm25Index:
         )  # [Q, V]
         results = self._dense.find_batch(qmat)
         return [
-            np.array([h.chunk_id for h in hits[:n]], dtype=np.int64)
+            (
+                np.array([h.chunk_id for h in hits[:n]], dtype=np.int64),
+                np.array(
+                    [h.score for h in hits[:n]], dtype=np.float32
+                ),
+            )
             for hits in results
         ]

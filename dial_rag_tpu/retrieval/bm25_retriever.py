@@ -74,19 +74,22 @@ class Bm25Retriever:
         return cls(items=items, index=index, k=k)
 
     def retrieve(self, query: str) -> list[SearchHit]:
-        top = self._index.top_n(keywords_preprocess(query), self.k)
+        top, scores = self._index.top_n_with_scores(
+            keywords_preprocess(query), self.k
+        )
         return [
             SearchHit(
                 doc_id=self._items[i][0],
                 chunk_id=self._items[i][1],
                 retrieval_type=RetrievalType.TEXT,
+                score=float(s),
             )
-            for i in top
+            for i, s in zip(top, scores)
         ]
 
     def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
         """Many queries in one device matmul (dense weights path)."""
-        tops = self._index.top_n_batch(
+        tops = self._index.top_n_batch_with_scores(
             [keywords_preprocess(q) for q in queries], self.k
         )
         return [
@@ -95,10 +98,11 @@ class Bm25Retriever:
                     doc_id=self._items[i][0],
                     chunk_id=self._items[i][1],
                     retrieval_type=RetrievalType.TEXT,
+                    score=float(s),
                 )
-                for i in top
+                for i, s in zip(top, scores)
             ]
-            for top in tops
+            for top, scores in tops
         ]
 
     async def aretrieve(self, query: str) -> list[SearchHit]:

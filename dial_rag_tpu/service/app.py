@@ -282,6 +282,9 @@ class DialRagApplication:
                 index_dtype=self.app_config.parallel.index_dtype,
                 li_embedder=self._get_li_embedder(request_config),
                 ensemble_weights=request_config.retrieval.ensemble_weights,
+                fusion_method=request_config.retrieval.fusion_method,
+                fusion_norm=request_config.retrieval.fusion_norm,
+                fusion_depth=request_config.retrieval.fusion_depth,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

@@ -14,7 +14,7 @@ delimiter, source order init > env > yaml)."""
 
 import os
 from enum import Enum
-from typing import Annotated, Any, TypeVar
+from typing import Annotated, Any, Literal, TypeVar
 
 import yaml
 from pydantic import (
@@ -311,6 +311,33 @@ class RetrievalConfig(BaseConfig):
         "shipped zero-egress checkpoints is {'semantic': 0} — BM25 + "
         "late-interaction fusion dominates the all-arm default on every "
         "eval split (eval/tune_ensemble.py protocol; BASELINE.md).",
+    )
+
+    fusion_method: Literal["rrf", "combsum", "combmnz"] = Field(
+        default="rrf",
+        description="How the arms' hit lists fuse: 'rrf' is the "
+        "reference-parity rank-only reciprocal-rank fusion; 'combsum' "
+        "and 'combmnz' are score-aware (per-arm list-normalized score "
+        "sums; CombMNZ multiplies by the count of arms ranking the doc "
+        "in their top-7). The measured zero-egress recommendation is "
+        "combmnz with ensemble_weights {'semantic': 0, "
+        "'late_interaction': 0.5}: paraphrase-set recall@7 rises to "
+        "BM25 parity (0.948 vs rrf's 0.935) while keeping the LLM-set "
+        "win (eval/tune_score_fusion.py; BASELINE.md).",
+    )
+    fusion_norm: Literal["minmax", "zscore"] = Field(
+        default="minmax",
+        description="Per-arm score normalization for the score-aware "
+        "fusion methods (ignored under rrf).",
+    )
+    fusion_depth: int = Field(
+        default=30,
+        ge=1,
+        le=1000,
+        description="Per-arm retrieval depth for the score-aware "
+        "fusion methods (ignored under rrf, which serves the "
+        "reference-parity k=7): deeper lists give the normalization "
+        "real score context; 30 is the measured optimum.",
     )
 
     @field_validator("ensemble_weights")

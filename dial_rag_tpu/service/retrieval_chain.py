@@ -105,17 +105,27 @@ def create_retriever(
     index_dtype: str = "float32",
     li_embedder: BgeEmbedder | None = None,
     ensemble_weights: dict[str, float] | None = None,
+    fusion_method: str = "rrf",
+    fusion_norm: str = "minmax",
+    fusion_depth: int = 30,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
     semantic index rows are sharded over its devices; with
     ``device_cache`` HBM-resident indexes are reused across requests.
 
-    ``ensemble_weights`` maps arm name -> RRF weight (config
+    ``ensemble_weights`` maps arm name -> fusion weight (config
     RetrievalConfig.ensemble_weights); missing arms weigh the
     reference-parity 1.0, and an arm weighted 0 is neither built nor
     queried (the measured zero-egress recommendation is
-    {'semantic': 0} — see eval/tune_ensemble.py and BASELINE.md)."""
+    {'semantic': 0} — see eval/tune_ensemble.py and BASELINE.md).
+
+    ``fusion_method``/``fusion_norm``/``fusion_depth`` select the
+    fusion rule (RetrievalConfig): "rrf" (default) serves the
+    reference-parity rank fusion at per-arm k=7; "combsum"/"combmnz"
+    fuse by list-normalized scores over per-arm depth
+    ``fusion_depth``, output-capped at k=7 x arm count (the RRF
+    union's worst-case volume)."""
     if AllDocumentsRetriever.is_within_limit(document_records):
         return make_retrieval_stage(
             AllDocumentsRetriever.from_doc_records(document_records),
@@ -123,6 +133,7 @@ def create_retriever(
         )
 
     arm_weights = ensemble_weights or {}
+    arm_k = RETRIEVER_K if fusion_method == "rrf" else fusion_depth
 
     def w(arm: str) -> float:
         return arm_weights.get(arm, 1.0)
@@ -135,7 +146,7 @@ def create_retriever(
                 SemanticRetriever.from_doc_records(
                     embedder,
                     document_records,
-                    RETRIEVER_K,
+                    arm_k,
                     mesh=mesh,
                     device_cache=device_cache,
                     storage_dtype=index_dtype,
@@ -158,7 +169,7 @@ def create_retriever(
                 LateInteractionRetriever.from_doc_records(
                     li_embedder or embedder,
                     document_records,
-                    RETRIEVER_K,
+                    arm_k,
                     max_chunk_tokens=(
                         li_config.max_chunk_tokens if li_config else 256
                     ),
@@ -178,7 +189,7 @@ def create_retriever(
             make_retrieval_stage(
                 Bm25Retriever.from_doc_records(
                     document_records,
-                    RETRIEVER_K,
+                    arm_k,
                     device_cache=device_cache,
                     mesh=mesh,
                 ),
@@ -198,7 +209,7 @@ def create_retriever(
                     api_key,
                     indexing_config.multimodal_index,
                     document_records,
-                    RETRIEVER_K,
+                    arm_k,
                     device_cache=device_cache,
                 ),
                 "Multimodal search",
@@ -214,7 +225,7 @@ def create_retriever(
                 DescriptionRetriever.from_doc_records(
                     embedder,
                     document_records,
-                    RETRIEVER_K,
+                    arm_k,
                     device_cache=device_cache,
                 ),
                 "Page image search",
@@ -232,7 +243,17 @@ def create_retriever(
         )
 
     return make_retrieval_stage(
-        EnsembleRetriever(retrievers=retrievers, weights=weights),
+        EnsembleRetriever(
+            retrievers=retrievers,
+            weights=weights,
+            fusion_method=fusion_method,
+            fusion_norm=fusion_norm,
+            output_limit=(
+                None
+                if fusion_method == "rrf"
+                else RETRIEVER_K * len(retrievers)
+            ),
+        ),
         "Combined search",
     )
 

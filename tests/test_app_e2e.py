@@ -1151,3 +1151,54 @@ async def test_li_embedder_change_invalidates_index(harness):
             for s in body["choices"][0]["message"]["custom_content"]["stages"]
         ]
         assert any("Processing document" in n for n in stage_names)
+
+
+async def test_retrieval_with_score_fusion_config(harness):
+    """retrieval.fusion_method=combmnz flows request-config -> ensemble:
+    the score-aware fusion path serves end to end (the measured
+    zero-egress profile, eval/tune_score_fusion.py)."""
+    async with harness() as h:
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("cadibona boundary")],
+                "custom_fields": {
+                    "configuration": {
+                        "request": {"type": "retrieval"},
+                        "retrieval": {
+                            "fusion_method": "combmnz",
+                            "fusion_depth": 15,
+                            "ensemble_weights": {"semantic": 0.0},
+                        },
+                    }
+                },
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        payload = json.loads(
+            next(
+                a
+                for a in custom["attachments"]
+                if a.get("type")
+                == "application/x.aidial-rag.retrieval-response+json"
+            )["data"]
+        )
+        assert payload["chunks"]
+        texts = " ".join(c["text"] or "" for c in payload["chunks"])
+        assert "Cadibona" in texts
+
+
+async def test_bad_fusion_method_is_a_400(harness):
+    async with harness() as h:
+        resp = await h.chat(
+            {
+                "messages": [_attach_message("q")],
+                "custom_fields": {
+                    "configuration": {
+                        "retrieval": {"fusion_method": "borda"}
+                    }
+                },
+            }
+        )
+        assert resp.status == 400

@@ -269,3 +269,171 @@ def test_retrieval_config_validates_arms():
                 )
             }
         )
+
+
+# --- score-aware fusion (CombSUM/CombMNZ) ---------------------------------
+
+
+def _hits_from_scores(scores, depth, doc_id=0):
+    """Top-``depth`` score-carrying hits from a full score vector (the
+    deployable serving form the eval experiment measured)."""
+    order = np.argsort(-scores, kind="stable")[:depth]
+    return [
+        SearchHit(
+            doc_id=doc_id,
+            chunk_id=int(i),
+            retrieval_type=RetrievalType.TEXT,
+            score=float(scores[i]),
+        )
+        for i in order
+    ]
+
+
+def test_weighted_score_fusion_matches_experiment_form():
+    """Serving weighted_score_fusion == the eval experiment's deployable
+    list-norm fusion (eval/tune_score_fusion.py fuse_scores with depth)
+    on random score matrices, for both methods and norms."""
+    from dial_rag_tpu.retrieval.ensemble import weighted_score_fusion
+
+    rng = np.random.default_rng(7)
+    n, depth, k = 50, 12, 7
+    weights = [0.5, 1.0, 1.5]
+    for method in ("combsum", "combmnz"):
+        for norm in ("minmax", "zscore"):
+            for trial in range(5):
+                mats = [rng.normal(size=n) for _ in range(3)]
+                hit_lists = [_hits_from_scores(m, depth) for m in mats]
+                got = [
+                    h.chunk_id
+                    for h in weighted_score_fusion(
+                        hit_lists, weights, method=method, norm=norm
+                    )[:k]
+                ]
+
+                # independent numpy reference (experiment semantics)
+                fused = np.zeros(n)
+                support = np.zeros(n)
+                for m, w in zip(mats, weights):
+                    top = np.argsort(-m, kind="stable")[:depth]
+                    s = np.zeros(n)
+                    sub = m[top]
+                    if norm == "minmax":
+                        s[top] = (sub - sub.min()) / (sub.max() - sub.min())
+                    else:
+                        s[top] = (sub - sub.mean()) / sub.std()
+                    fused += w * s
+                    support[np.argsort(-m, kind="stable")[:7]] += 1
+                if method == "combmnz":
+                    fused *= np.maximum(support, 1)
+                want_full = np.argsort(-fused, kind="stable")
+                # restrict to docs that appear in some list (fusion only
+                # ranks retrieved docs)
+                seen = {h.chunk_id for hl in hit_lists for h in hl}
+                want = [int(i) for i in want_full if int(i) in seen][:k]
+                assert got == want, (method, norm, trial)
+
+
+def test_score_fusion_rank_proxy_fallback():
+    """A list with any missing/non-finite score degrades to a rank
+    proxy: a single scoreless arm must preserve its own order."""
+    from dial_rag_tpu.retrieval.ensemble import weighted_score_fusion
+
+    hits = [
+        SearchHit(doc_id=0, chunk_id=c, retrieval_type=RetrievalType.TEXT)
+        for c in (4, 2, 9)
+    ]
+    fused = weighted_score_fusion([hits], [1.0])
+    assert [h.chunk_id for h in fused] == [4, 2, 9]
+
+
+def test_combmnz_multi_arm_support_wins():
+    """CombMNZ: a doc two arms agree on (in their top-7) outranks a doc
+    with comparable single-arm evidence."""
+    from dial_rag_tpu.retrieval.ensemble import weighted_score_fusion
+
+    a = np.zeros(10)
+    b = np.zeros(10)
+    a[3], a[5] = 1.0, 0.9  # arm A: doc3 best, doc5 close second
+    b[5], b[8] = 1.0, 0.2  # arm B: doc5 best
+    lists = [_hits_from_scores(a, 7), _hits_from_scores(b, 7)]
+    fused = weighted_score_fusion(lists, [1.0, 1.0], method="combmnz")
+    assert fused[0].chunk_id == 5  # support 2 beats doc3's single arm
+
+
+def test_search_hit_equality_and_key_ignore_score():
+    h1 = SearchHit(0, 3, RetrievalType.TEXT, score=1.5)
+    h2 = SearchHit(0, 3, RetrievalType.TEXT)
+    assert h1 == h2
+    assert hash(h1) == hash(h2)
+    assert h1.key == h2.key
+    assert "score" not in h1.to_metadata()
+
+
+def test_arm_hits_carry_descending_scores(records, embedder):
+    """BM25 / semantic retriever hits must carry their native scores
+    (BM25: Okapi == get_scores; dense: -distance), sorted descending."""
+    bm25 = Bm25Retriever.from_doc_records(records, k=4)
+    hits = bm25.retrieve("cadibona southern boundary")
+    assert hits and all(h.score is not None for h in hits)
+    assert [h.score for h in hits] == sorted(
+        (h.score for h in hits), reverse=True
+    )
+    flat_scores = bm25._index.get_scores(
+        __import__(
+            "dial_rag_tpu.text.keywords", fromlist=["keywords_preprocess"]
+        ).keywords_preprocess("cadibona southern boundary")
+    )
+    flat_idx = [
+        records_flat_index(records, h.doc_id, h.chunk_id) for h in hits
+    ]
+    np.testing.assert_allclose(
+        [h.score for h in hits], flat_scores[flat_idx], rtol=1e-6
+    )
+
+    sem = SemanticRetriever.from_doc_records(embedder, records, k=3)
+    shits = sem.retrieve("climate in the alps")
+    assert shits and all(h.score is not None for h in shits)
+    assert [h.score for h in shits] == sorted(
+        (h.score for h in shits), reverse=True
+    )
+
+
+def records_flat_index(records, doc_id, chunk_id):
+    flat = 0
+    for i, rec in enumerate(records):
+        if i == doc_id:
+            return flat + chunk_id
+        flat += len(rec.chunks)
+    raise AssertionError("doc_id out of range")
+
+
+def test_create_retriever_score_fusion_mode(embedder, big_records):
+    from dial_rag_tpu.service.config import IndexingConfig
+    from dial_rag_tpu.service.retrieval_chain import create_retriever
+
+    stage = create_retriever(
+        embedder,
+        "http://dial.example",
+        "key",
+        big_records,
+        IndexingConfig(),
+        make_retrieval_stage=_Stage,
+        ensemble_weights={"semantic": 0.0},
+        fusion_method="combmnz",
+        fusion_norm="minmax",
+        fusion_depth=30,
+    )
+    ens = stage.retriever
+    assert ens.fusion_method == "combmnz"
+    assert ens.output_limit == 7 * len(ens.retrievers)
+    # the bm25 arm retrieves at the fusion depth, not k=7
+    bm25_stage = next(
+        s for s in ens.retrievers if s.name == "Keywords search"
+    )
+    assert bm25_stage.retriever.k == 30
+
+    import asyncio
+
+    hits = asyncio.run(ens.aretrieve("cadibona southern boundary"))
+    assert hits and len(hits) <= ens.output_limit
+    assert hits[0].score is not None
