@@ -463,6 +463,23 @@ async def run_eval(
                 retrievers["late_interaction"],
             ]
         )
+        # the measured zero-egress serving profile (BASELINE.md
+        # "Score-aware fusion"): combmnz/minmax over per-arm depth-30
+        # score-carrying lists, weights {semantic: 0, li: 0.5} —
+        # selected on the handmade DEV half only
+        # (eval/tune_score_fusion.py)
+        retrievers["ensemble_combmnz"] = EnsembleRetriever(
+            [
+                Bm25Retriever.from_doc_records([record], k=30),
+                LateInteractionRetriever.from_doc_records(
+                    li_embedder, [record], k=30
+                ),
+            ],
+            weights=[1.0, 0.5],
+            fusion_method="combmnz",
+            fusion_norm="minmax",
+            output_limit=14,
+        )
 
     metrics: dict = {
         "corpus": PDF_NAME,
@@ -506,6 +523,13 @@ async def run_eval(
             )
             for key in ("recall@7", "mrr")
         }
+    if "ensemble_combmnz" in per_q:
+        metrics["ensemble_combmnz_vs_bm25"] = {
+            key: paired_delta_ci(
+                per_q["ensemble_combmnz"][key], per_q["bm25"][key]
+            )
+            for key in ("recall@7", "mrr")
+        }
 
     if answers and "ensemble" in hits_by_arm:
         metrics["answers"] = await eval_answers(
@@ -546,6 +570,13 @@ async def run_eval(
             hm_metrics["ensemble_vs_bm25"] = {
                 key: paired_delta_ci(
                     hm_per_q["ensemble"][key], hm_per_q["bm25"][key]
+                )
+                for key in ("recall@7", "mrr")
+            }
+        if "ensemble_combmnz" in hm_per_q:
+            hm_metrics["ensemble_combmnz_vs_bm25"] = {
+                key: paired_delta_ci(
+                    hm_per_q["ensemble_combmnz"][key], hm_per_q["bm25"][key]
                 )
                 for key in ("recall@7", "mrr")
             }
