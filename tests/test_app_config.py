@@ -99,11 +99,22 @@ def test_environment_presets_load_and_validate():
 
     preset_dir = pathlib.Path(__file__).parent.parent / "config"
     presets = sorted(preset_dir.glob("*.yaml"))
-    assert len(presets) == 7, [p.name for p in presets]
+    assert len(presets) == 8, [p.name for p in presets]
     for path in presets:
         config = load_app_config(
             environ={"DIAL_RAG__CONFIG_PATH": str(path)}
         )
+        if path.name == "zero_egress_tuned.yaml":
+            # retrieval-only profile (no image-index flavor choice):
+            # must carry the measured score-fusion settings
+            r = config.request.retrieval
+            assert r.fusion_method == "combmnz"
+            assert r.fusion_depth == 30
+            assert r.ensemble_weights == {
+                "semantic": 0.0,
+                "late_interaction": 0.5,
+            }
+            continue
         indexing = config.request.indexing
         flavors = [indexing.multimodal_index, indexing.description_index]
         assert sum(f is not None for f in flavors) == 1, path.name
