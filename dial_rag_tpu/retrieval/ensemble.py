@@ -100,7 +100,9 @@ def weighted_score_fusion(
     fused: dict[str, float] = defaultdict(float)
     support: dict[str, int] = defaultdict(int)
     for hits, weight in zip(hit_lists, weights, strict=True):
-        if not hits:
+        # weight-0 arms contribute NOTHING, including CombMNZ support
+        # (create_retriever never builds them; this guards direct use)
+        if not hits or weight == 0.0:
             continue
         normed = _list_norm_scores(hits, norm)
         for hit, s in zip(hits, normed):
@@ -113,7 +115,9 @@ def weighted_score_fusion(
 
     unique: list[SearchHit] = []
     seen: set[str] = set()
-    for hits in hit_lists:
+    for hits, weight in zip(hit_lists, weights, strict=True):
+        if weight == 0.0:
+            continue
         for hit in hits:
             if hit.key not in seen:
                 seen.add(hit.key)

@@ -437,3 +437,24 @@ def test_create_retriever_score_fusion_mode(embedder, big_records):
     hits = asyncio.run(ens.aretrieve("cadibona southern boundary"))
     assert hits and len(hits) <= ens.output_limit
     assert hits[0].score is not None
+
+
+def test_score_fusion_weight_zero_arm_is_inert():
+    """A weight-0 arm contributes nothing: no score, no CombMNZ
+    support, no union membership (parity with the eval experiment,
+    which skips w=0 arms entirely)."""
+    from dial_rag_tpu.retrieval.ensemble import weighted_score_fusion
+
+    a = np.zeros(10)
+    a[1], a[2] = 1.0, 0.5
+    b = np.zeros(10)
+    b[7], b[1] = 1.0, 0.9
+    with_zero = weighted_score_fusion(
+        [_hits_from_scores(a, 7), _hits_from_scores(b, 7)],
+        [1.0, 0.0],
+        method="combmnz",
+    )
+    alone = weighted_score_fusion(
+        [_hits_from_scores(a, 7)], [1.0], method="combmnz"
+    )
+    assert [h.chunk_id for h in with_zero] == [h.chunk_id for h in alone]
