@@ -580,6 +580,12 @@ async def run_eval(
                 )
                 for key in ("recall@7", "mrr")
             }
+            hm_metrics["ensemble_combmnz_note"] = (
+                "profile selected on this set's even-index DEV half "
+                "(eval/tune_score_fusion.py): full-set numbers carry "
+                "mild selection optimism; the untouched TEST-half "
+                "number is recall@7 0.948 = bm25-only"
+            )
         metrics["handmade"] = hm_metrics
 
         # combined: parquet 39 + handmade — the n>=190 statistical claim
