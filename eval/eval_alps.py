@@ -17,13 +17,14 @@ and scores it first-party:
   closest first-party analogue of the reference's fact-based scoring).
 
 Chunk-count note: this parser+chunker produces **173 chunks** on this
-25-page quality corpus where the reference's unstructured-based
-pipeline produces 177 (reference tests/test_retrievers.py:63 — on the
-26-page golden corpus the first-party pipeline matches the reference's
-177 EXACTLY; the residual 4-chunk divergence here is the page-7
-char-margin junctions quantified in docs/chunking_parity.md). Recall
-is scored against fact containment, not chunk ids, so the comparison
-is apples-to-apples.
+25-page quality corpus. The reference's recorded 177-chunk contract
+(tests/test_retrievers.py:63) is for the DIFFERENT 26-page golden
+corpus, where the first-party pipeline matches 177 EXACTLY; the
+reference pipeline's chunk count on this eval corpus is unrecorded
+anywhere (its unstructured stack is not installable in this image), so
+none is claimed (docs/chunking_parity.md). Recall is scored against
+fact containment, not chunk ids, so arm comparisons are
+apples-to-apples regardless.
 
 Semantic numbers are real retrieval quality only when --model-dir
 points at a real bge-small-en checkpoint; with the default
@@ -485,7 +486,17 @@ async def run_eval(
         "corpus": PDF_NAME,
         "n_questions": len(rows),
         "n_chunks": len(chunks),
-        "n_chunks_reference_pipeline": 177,
+        # the reference's recorded 177-chunk contract is for the 26-page
+        # GOLDEN corpus (tests/test_retrievers.py:63), where this parser
+        # matches it exactly; its unstructured pipeline's output on THIS
+        # 25-page eval corpus is unrecorded anywhere (the stack is not
+        # installable in this image), so no reference count is claimed
+        "n_chunks_reference_golden_corpus": 177,
+        "chunk_count_note": (
+            "reference chunk count on this eval corpus is unrecorded; "
+            "the 177 contract applies to the golden corpus, matched "
+            "exactly (see docs/chunking_parity.md)"
+        ),
         "unmapped_questions": sum(1 for t in truth if not t),
         "parse_s": round(t_parse, 3),
         "semantic_model": semantic_model
