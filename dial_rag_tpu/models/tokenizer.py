@@ -146,6 +146,20 @@ class WordPieceTokenizer:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int,
             ]
+            c_int_p = ctypes.POINTER(ctypes.c_int)
+            lib.wp_encode_batch.restype = None
+            lib.wp_encode_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                c_int_p,  # offsets [n+1]
+                ctypes.c_int,  # n
+                c_int_p,  # out_ids [n, stride]
+                ctypes.c_int,  # stride
+                ctypes.c_int,  # cls_id
+                ctypes.c_int,  # sep_id
+                ctypes.c_int,  # pad_id
+                c_int_p,  # out_lens [n]
+            ]
             inv = sorted(self.vocab, key=self.vocab.get)
             blob = "\n".join(inv).encode("utf-8")
             handle = lib.wp_create(blob, len(blob), self._ids["unk"])
@@ -228,6 +242,54 @@ class WordPieceTokenizer:
         ids = ids[: max_len - 2]
         return [self._ids["cls"]] + ids + [self._ids["sep"]]
 
+    def _encode_batch_native(self, texts: list[str], max_len: int):
+        """One-ctypes-call batch encode into numpy buffers.
+
+        The per-text path converts every token id through a Python int
+        (list(out[:n]) + per-row list assignment), which dominates
+        tokenization wall time on a single-core host. Here the C core
+        writes CLS/SEP-framed, pad-filled int32 rows directly into the
+        output matrix; only rows containing non-ASCII bytes (flagged -1)
+        re-encode through the exact Python path, preserving byte parity
+        with encode(). Returns None when the native core is unavailable.
+        """
+        native = self._get_native()
+        if native is None:
+            return None
+        import ctypes
+
+        lib, handle = native
+        n = len(texts)
+        raws = [t.encode("utf-8") for t in texts]
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum([len(r) for r in raws], out=offsets[1:])
+        blob = b"".join(raws)
+        ids = np.empty((n, max_len), dtype=np.int32)
+        lens = np.empty(n, dtype=np.int32)
+        c_int_p = ctypes.POINTER(ctypes.c_int)
+        lib.wp_encode_batch(
+            handle,
+            blob,
+            offsets.ctypes.data_as(c_int_p),
+            n,
+            ids.ctypes.data_as(c_int_p),
+            max_len,
+            self._ids["cls"],
+            self._ids["sep"],
+            self.pad_id,
+            lens.ctypes.data_as(c_int_p),
+        )
+        for i in np.nonzero(lens < 0)[0]:
+            e = self.encode(texts[i], max_len)
+            ids[i, : len(e)] = e  # row is already pad-filled past len(e)
+            lens[i] = len(e)
+        s = self._bucket(min(int(lens.max()), max_len))
+        out_ids = np.ascontiguousarray(ids[:, :s])
+        mask = (
+            np.arange(s, dtype=np.int32)[None, :] < lens[:, None]
+        ).astype(np.int32)
+        return out_ids, mask
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -238,6 +300,10 @@ class WordPieceTokenizer:
         """Returns (input_ids [B, S], attention_mask [B, S]) int32 numpy
         arrays, padded to the smallest bucket >= the longest sequence."""
         max_len = min(max_len, self.buckets[-1])
+        if texts and max_len >= 8:
+            out = self._encode_batch_native(texts, max_len)
+            if out is not None:
+                return out
         encoded = [self.encode(t, max_len) for t in texts]
         longest = max((len(e) for e in encoded), default=2)
         s = self._bucket(min(longest, max_len))

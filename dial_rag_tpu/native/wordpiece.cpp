@@ -145,4 +145,81 @@ int wp_encode(void* handle, const char* text, int text_len, int* out_ids,
   return static_cast<int>(ids.size());
 }
 
+// Batch encode with CLS/SEP framing and pad fill, writing directly into
+// a row-strided int32 matrix — one ctypes call per batch instead of one
+// per text, and zero per-token Python objects (the per-text wp_encode
+// path converts every id through a Python int, which dominates
+// tokenization wall time on a single-core host).
+//
+// texts: concatenated UTF-8 bytes of all rows; offsets: n+1 cumulative
+// byte offsets (row i = texts[offsets[i]..offsets[i+1])).
+// out_ids: [n, stride] int32 (caller-allocated, any contents).
+// out_lens: [n] int32 — real length incl. CLS/SEP, or -1 when the row
+// contains non-ASCII bytes (the row is pad-filled; caller re-encodes it
+// via the exact Python path, preserving byte parity).
+// Rows truncate at stride-2 ids + SEP, matching the Python
+// encode()'s ids[: max_len - 2] semantics; padding is pad_id.
+void wp_encode_batch(void* handle, const char* texts, const int* offsets,
+                     int n, int* out_ids, int stride, int cls_id,
+                     int sep_id, int pad_id, int* out_lens) {
+  const Tokenizer& tok = *static_cast<Tokenizer*>(handle);
+  std::vector<int> ids;
+  std::string word;
+  word.reserve(64);
+  for (int r = 0; r < n; ++r) {
+    const char* text = texts + offsets[r];
+    const int text_len = offsets[r + 1] - offsets[r];
+    int* row = out_ids + static_cast<size_t>(r) * stride;
+    bool ascii = true;
+    for (int i = 0; i < text_len; ++i) {
+      if (static_cast<unsigned char>(text[i]) >= 0x80) {
+        ascii = false;
+        break;
+      }
+    }
+    if (!ascii) {
+      for (int i = 0; i < stride; ++i) row[i] = pad_id;
+      out_lens[r] = -1;
+      continue;
+    }
+
+    ids.clear();
+    word.clear();
+    const size_t max_ids = static_cast<size_t>(stride) - 2;
+    auto flush_word = [&]() {
+      if (!word.empty()) {
+        // tokenizing past the truncation point cannot change the kept
+        // prefix (truncation just drops the tail), so stop early
+        if (ids.size() < max_ids) wordpiece(tok, word, &ids);
+        word.clear();
+      }
+    };
+    for (int i = 0; i < text_len; ++i) {
+      unsigned char c = static_cast<unsigned char>(text[i]);
+      if (c == 0 || is_ascii_control(c)) continue;
+      if (is_ascii_ws(c)) {
+        flush_word();
+        continue;
+      }
+      if (is_ascii_punct(c)) {
+        flush_word();
+        word.push_back(static_cast<char>(c));
+        flush_word();
+        continue;
+      }
+      if (c >= 'A' && c <= 'Z') c += 32;
+      word.push_back(static_cast<char>(c));
+    }
+    flush_word();
+
+    size_t kept = ids.size() < max_ids ? ids.size() : max_ids;
+    row[0] = cls_id;
+    memcpy(row + 1, ids.data(), kept * sizeof(int));
+    row[kept + 1] = sep_id;
+    for (size_t i = kept + 2; i < static_cast<size_t>(stride); ++i)
+      row[i] = pad_id;
+    out_lens[r] = static_cast<int>(kept) + 2;
+  }
+}
+
 }  // extern "C"

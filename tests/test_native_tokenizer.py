@@ -65,3 +65,51 @@ def test_truncation_parity(tok):
     text = " ".join(["alps"] * 600)
     assert tok.encode(text, max_len=128) == python_ids(tok, text, max_len=128)
     assert len(tok.encode(text, max_len=128)) == 128
+
+
+@pytest.fixture(scope="module")
+def py_tok(tok):
+    """Same vocab, native core disabled: the pure-Python reference path."""
+    t = WordPieceTokenizer(vocab=tok.vocab)
+    t._native_tried = True
+    t._native = None
+    return t
+
+
+def _assert_batch_equal(tok, py_tok, texts, max_len=512):
+    ids_n, mask_n = tok.encode_batch(texts, max_len=max_len)
+    ids_p, mask_p = py_tok.encode_batch(texts, max_len=max_len)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
+
+
+def test_batch_parity_ascii(tok, py_tok):
+    _assert_batch_equal(tok, py_tok, SAMPLES)
+
+
+def test_batch_parity_mixed_non_ascii(tok, py_tok):
+    texts = [
+        "the alps",
+        "café in the alps",  # non-ASCII row -> Python re-encode inside batch
+        "naïve climbers über the glaciers",
+        "snow peaks!",
+        "",
+    ]
+    _assert_batch_equal(tok, py_tok, texts)
+
+
+def test_batch_parity_truncation_and_buckets(tok, py_tok):
+    texts = [" ".join(["alps"] * n) for n in (1, 30, 70, 200, 600)]
+    for max_len in (64, 128, 512):
+        _assert_batch_equal(tok, py_tok, texts, max_len=max_len)
+
+
+def test_batch_parity_randomized(tok, py_tok):
+    rng = np.random.default_rng(7)
+    pool = WORDS + ["xyzzy", "MOUNTAINS", "123", "42.5", "!!", "(a)", "b-c", "café"]
+    for _ in range(20):
+        texts = [
+            " ".join(rng.choice(pool, size=rng.integers(0, 60)))
+            for _ in range(rng.integers(1, 9))
+        ]
+        _assert_batch_equal(tok, py_tok, texts)
