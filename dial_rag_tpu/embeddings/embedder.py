@@ -107,6 +107,11 @@ class BgeEmbedder:
     # semantic indexes must not be served with a different model's query
     # embeddings (service/documents.py folds this into IndexSettings)
     model_id: str = "random"
+    # bulk-pipeline H2D layout: "wide" ships [2, gB, S] int32 ids+mask;
+    # "packed" ships [gB, S] uint16 ids + [gB] int32 prefix lengths and
+    # rebuilds the mask on device (4x fewer bytes over the host->device
+    # link; requires the vocab to fit uint16 — guarded at stage time)
+    transfer_format: str = "wide"
 
     def shard_over(self, mesh) -> "BgeEmbedder":
         """Data-parallel encode over ``mesh``: weights are replicated
@@ -133,6 +138,7 @@ class BgeEmbedder:
             max_len=self.max_len,
             mesh=mesh,
             model_id=self.model_id,
+            transfer_format=self.transfer_format,
         )
 
     @classmethod
@@ -376,16 +382,52 @@ class BgeEmbedder:
             )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def _assemble_group_packed(self, toks: list):
+        """Packed counterpart of :meth:`_assemble_group`: ids downcast to
+        uint16 and the prefix mask collapsed to one length per row (the
+        tokenizer always emits prefix masks). The group's H2D payload is
+        2 bytes/position + 4 bytes/row instead of 8 bytes/position."""
+        s = max(t[0].shape[1] for t in toks)
+        gb = len(toks) * self.batch_size
+        ids = np.zeros((gb, s), dtype=np.uint16)
+        lens = np.zeros(gb, dtype=np.int32)
+        for i, (b_ids, b_mask) in enumerate(toks):
+            r0 = i * self.batch_size
+            ids[r0 : r0 + b_ids.shape[0], : b_ids.shape[1]] = b_ids
+            lens[r0 : r0 + b_mask.shape[0]] = b_mask.sum(axis=1)
+        return ids, lens
+
+    def _use_packed_transfer(self) -> bool:
+        return (
+            self.transfer_format == "packed"
+            and len(self.tokenizer.vocab) <= 65536
+        )
+
     def _stage_group(self, futures: list):
         """H2D staging step (runs on the 1-thread staging executor):
         wait for the group's tokenization, assemble, and START the
-        host->device transfer. Returns ("staged", device_array) or
-        ("mixed", toks) when the group spans sequence buckets."""
+        host->device transfer. Returns ("staged", device_array),
+        ("packed", (ids, lens) device arrays), or ("mixed", toks) when
+        the group spans sequence buckets."""
         toks = [f.result() for f in futures]
         _TOKENS_ENCODED.add(int(sum(t[1].sum() for t in toks)))
         buckets = {t[0].shape[1] for t in toks}
         if len(buckets) != 1:
             return ("mixed", toks)
+        if self._use_packed_transfer():
+            ids, lens = self._assemble_group_packed(toks)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev = (
+                    jax.device_put(
+                        ids, NamedSharding(self.mesh, P("dp", None))
+                    ),
+                    jax.device_put(lens, NamedSharding(self.mesh, P("dp"))),
+                )
+            else:
+                dev = (jax.device_put(ids), jax.device_put(lens))
+            return ("packed", dev)
         stacked = self._assemble_group(toks)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -413,6 +455,24 @@ class BgeEmbedder:
             ids = dev[0].reshape(g, b, dev.shape[2])
             mask = dev[1].reshape(g, b, dev.shape[2])
             out = self.encoder.encode_group(self.params, ids, mask)
+            return out[: n_batches * b]
+
+    def _dispatch_group_packed(self, dev, n_batches: int):
+        """Packed-transfer counterpart of :meth:`_dispatch_group`."""
+        from dial_rag_tpu import telemetry
+
+        ids, lens = dev
+        b = self.batch_size
+        g = ids.shape[0] // b
+        with telemetry.span(
+            "encode_dispatch", rows=int(ids.shape[0]), seq=int(ids.shape[1]),
+            group=g,
+        ):
+            out = self.encoder.encode_group_packed(
+                self.params,
+                ids.reshape(g, b, ids.shape[1]),
+                lens.reshape(g, b),
+            )
             return out[: n_batches * b]
 
     def _encode_grouped(self, texts: list[str]):
@@ -490,6 +550,10 @@ class BgeEmbedder:
             kind, payload = staged.result()
             if kind == "staged":
                 group_outs.append(self._dispatch_group(payload, n_batches))
+            elif kind == "packed":
+                group_outs.append(
+                    self._dispatch_group_packed(payload, n_batches)
+                )
             else:
                 # mixed sequence buckets: stacking would pad every batch
                 # to the group max (up to 8x wasted encoder FLOPs);

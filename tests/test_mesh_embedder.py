@@ -109,6 +109,41 @@ def test_mixed_bucket_group_matches_per_text(single):
     assert host.shape == (len(texts), single.dim)
 
 
+def test_packed_transfer_matches_wide(single, mesh):
+    """transfer_format="packed" (uint16 ids + prefix lengths, mask
+    rebuilt on device) must be bit-identical to the wide int32 layout,
+    single-device and dp-sharded, including ragged last batches and
+    mixed-bucket groups (which fall back to the per-batch path)."""
+    import dataclasses
+
+    packed = dataclasses.replace(single, transfer_format="packed")
+    texts = [f"word{i} abc def ghi" for i in range(29)]  # ragged
+    np.testing.assert_array_equal(
+        packed.embed_documents(texts), single.embed_documents(texts)
+    )
+    # mixed buckets inside one group -> "mixed" path still works
+    mixed = ["ab cd"] * single.batch_size + ["ab " * 40] * (
+        single.batch_size + 3
+    )
+    np.testing.assert_array_equal(
+        packed.embed_documents(mixed), single.embed_documents(mixed)
+    )
+    # sharded: transfer_format survives shard_over and stays identical
+    sharded_packed = packed.shard_over(mesh)
+    assert sharded_packed.transfer_format == "packed"
+    np.testing.assert_allclose(
+        sharded_packed.embed_documents(texts),
+        single.embed_documents(texts),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    # device-resident variant rides the same grouped pipeline
+    np.testing.assert_array_equal(
+        np.asarray(packed.embed_documents_device(texts)),
+        np.asarray(single.embed_documents_device(texts)),
+    )
+
+
 def test_idf_pooling_shards_like_cls(single, mesh):
     """idf pooling's [V] weight table rides params: shard_over must
     replicate it with the rest of the tree and produce identical
