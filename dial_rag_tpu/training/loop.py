@@ -296,6 +296,11 @@ def train(
         params, opt_state, loss = step_fn(params, opt_state, batch)
         step += 1
         losses.append(loss)
+        if step % 1000 == 0:
+            # heartbeat only — the step counter is host state, so this
+            # never synchronizes with the device; long remote-tunnel runs
+            # need SOME output to tell a slow compile from a hung link
+            print(f"train step {step}/{train_config.total_steps}", flush=True)
         if ckpt is not None and step % train_config.checkpoint_every == 0:
             ckpt.save(step, jax.device_get(params), jax.device_get(opt_state))
             last_saved = step
