@@ -95,7 +95,7 @@ def make_corpus(rng, n):
     ]
 
 
-def bench_tpu(texts, tok, params, config):
+def bench_tpu(texts, tok, params, config, transfer_format="wide"):
     """Drives the real TPU-native indexing pipeline end to end: host
     tokenization (pipelined on the parse pool) -> grouped host->device
     transfer -> jitted encode -> embeddings appended to the HBM-resident
@@ -117,6 +117,7 @@ def bench_tpu(texts, tok, params, config):
         encoder=BertEncoder(config, compute_dtype=jnp.bfloat16),
         params=params,
         batch_size=BATCH,
+        transfer_format=transfer_format,
     )
 
     def build(texts):

@@ -284,7 +284,14 @@ class WordPieceTokenizer:
             ids[i, : len(e)] = e  # row is already pad-filled past len(e)
             lens[i] = len(e)
         s = self._bucket(min(int(lens.max()), max_len))
-        out_ids = np.ascontiguousarray(ids[:, :s])
+        if s > max_len:
+            # bucket widths can exceed max_len when max_len sits below the
+            # smallest bucket: rows stay truncated at max_len ids but the
+            # returned arrays pad out to the bucket (fallback-path parity)
+            pad = np.full((n, s - max_len), self.pad_id, dtype=np.int32)
+            out_ids = np.concatenate([ids, pad], axis=1)
+        else:
+            out_ids = np.ascontiguousarray(ids[:, :s])
         mask = (
             np.arange(s, dtype=np.int32)[None, :] < lens[:, None]
         ).astype(np.int32)

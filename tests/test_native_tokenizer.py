@@ -104,6 +104,18 @@ def test_batch_parity_truncation_and_buckets(tok, py_tok):
         _assert_batch_equal(tok, py_tok, texts, max_len=max_len)
 
 
+def test_batch_parity_max_len_below_smallest_bucket(tok, py_tok):
+    """max_len below the smallest bucket (e.g. training seq_len=32):
+    rows truncate at max_len ids but the arrays pad out to the bucket
+    width — ids and mask must agree (regression: the native path once
+    returned 32-wide ids with a 64-wide mask)."""
+    texts = ["ab cd", "ef gh ij", " ".join(["alps"] * 100)]
+    for max_len in (8, 16, 32, 63):
+        ids, mask = tok.encode_batch(texts, max_len=max_len)
+        assert ids.shape == mask.shape
+        _assert_batch_equal(tok, py_tok, texts, max_len=max_len)
+
+
 def test_batch_parity_randomized(tok, py_tok):
     rng = np.random.default_rng(7)
     pool = WORDS + ["xyzzy", "MOUNTAINS", "123", "42.5", "!!", "(a)", "b-c", "café"]
