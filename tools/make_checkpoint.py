@@ -361,6 +361,21 @@ def main() -> None:
     )
     parser.add_argument("--bank-refresh-every", type=int, default=100)
     parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="save an orbax resume checkpoint every N steps (0 "
+        "disables). Long runs ride a remote TPU tunnel that can hang "
+        "mid-run; with this set, re-running the same command resumes "
+        "from the latest save instead of restarting from step 0",
+    )
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="resume-checkpoint directory (default <out>/resume when "
+        "--checkpoint-every is set)",
+    )
+    parser.add_argument(
         "--morph-aug",
         action="store_true",
         help="add morphological-variant query views to the ICT pairs "
@@ -401,6 +416,13 @@ def main() -> None:
         dst = (out_dir / "vocab.txt").resolve()
         if src != dst:  # --out may equal --init-from (in-place continuation)
             shutil.copy(src, dst)
+    elif args.checkpoint_every and (out_dir / "vocab.txt").is_file():
+        # resuming a crashed run: the HF WordPiece trainer is NOT
+        # deterministic across processes (thread-order merge ties move
+        # the vocab size by a few tokens), so retraining here would
+        # change the embedding-table shape and make the orbax restore
+        # fail. The first run's vocab is the contract — reuse it.
+        print("reusing existing vocab.txt (resume)", flush=True)
     else:
         train_vocab(texts, args.vocab_size, out_dir)
     tokenizer = WordPieceTokenizer.from_vocab_file(str(out_dir / "vocab.txt"))
@@ -551,7 +573,7 @@ def main() -> None:
         learning_rate=args.learning_rate,
         warmup_steps=min(100, args.steps // 10),
         total_steps=args.steps,
-        checkpoint_every=10**9,
+        checkpoint_every=args.checkpoint_every or 10**9,
         seed=args.seed,
         objective=args.objective,
         kd_weight=args.kd_weight,
@@ -559,15 +581,21 @@ def main() -> None:
         corpus_kd_weight=args.corpus_kd_weight,
         bank_refresh_every=args.bank_refresh_every,
     )
+    ckpt_dir = None
+    if args.checkpoint_every:
+        ckpt_dir = args.checkpoint_dir or str(out_dir / "resume")
     params, losses = train(
         config, train_config, stream, tokenizer, init=params,
         teacher=teacher, corpus_teacher=corpus_teacher,
-        bank_tokens=bank_tokens,
+        bank_tokens=bank_tokens, checkpoint_dir=ckpt_dir,
     )
-    print(
-        f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
-        flush=True,
-    )
+    if losses:
+        print(
+            f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
+            flush=True,
+        )
+    else:
+        print("no new steps (resumed at final step)", flush=True)
 
     params = jax.device_get(params)
     from safetensors.numpy import save_file
@@ -624,6 +652,13 @@ def main() -> None:
             indent=2,
         )
     )
+    if ckpt_dir is not None:
+        # the resume state (params + opt_state orbax saves) only matters
+        # while the run can still die; once the export above landed it is
+        # dead weight sitting inside the checkpoint dir — drop it
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     print(f"checkpoint -> {out_dir}", flush=True)
 
 
