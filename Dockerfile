@@ -47,7 +47,7 @@ ENV PATH="$VIRTUAL_ENV/bin:$PATH"
 RUN pip install --no-cache-dir \
     "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     numpy "pydantic>=2" aiohttp pyyaml safetensors msgpack \
-    optax orbax-checkpoint Pillow
+    optax orbax-checkpoint Pillow opentelemetry-api
 
 WORKDIR /app
 COPY pyproject.toml ./

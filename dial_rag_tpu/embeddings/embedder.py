@@ -110,8 +110,10 @@ class BgeEmbedder:
     # bulk-pipeline H2D layout: "wide" ships [2, gB, S] int32 ids+mask;
     # "packed" ships [gB, S] uint16 ids + [gB] int32 prefix lengths and
     # rebuilds the mask on device (4x fewer bytes over the host->device
-    # link; requires the vocab to fit uint16 — guarded at stage time)
-    transfer_format: str = "wide"
+    # link). Packed is the default: every supported vocab (bge-small
+    # 30k, first-party mints <=32k) fits uint16, and _use_packed_transfer
+    # falls back to wide automatically when one does not.
+    transfer_format: str = "packed"
 
     def shard_over(self, mesh) -> "BgeEmbedder":
         """Data-parallel encode over ``mesh``: weights are replicated
@@ -297,6 +299,15 @@ class BgeEmbedder:
         # mount spelling.
         if "model_id" not in kw:
             digest = hashlib.sha256()
+            # derived behavioral state first: pooling mode and effective
+            # max_seq_length come from 1_Pooling/config.json and
+            # sentence_bert_config.json (paths vary via modules.json),
+            # and both change the embedding of a text without touching
+            # the hashed files below. Hash the derived values instead of
+            # chasing the file layout.
+            digest.update(
+                f"pooling={pooling};max_len={kw.get('max_len', '')}".encode()
+            )
             for part in (
                 weights_path,
                 idf_path,

@@ -1051,7 +1051,12 @@ class ShardedBm25Index:
         hits = self._dense.find(q)[:n]
         return (
             np.array([h.chunk_id for h in hits], dtype=np.int64),
-            np.array([h.score for h in hits], dtype=np.float32),
+            # hits_from_topk emits score=None for a non-finite value at
+            # a real index — surface it as nan, not a TypeError
+            np.array(
+                [np.nan if h.score is None else h.score for h in hits],
+                dtype=np.float32,
+            ),
         )
 
     def top_n_batch(
@@ -1081,7 +1086,11 @@ class ShardedBm25Index:
             (
                 np.array([h.chunk_id for h in hits[:n]], dtype=np.int64),
                 np.array(
-                    [h.score for h in hits[:n]], dtype=np.float32
+                    [
+                        np.nan if h.score is None else h.score
+                        for h in hits[:n]
+                    ],
+                    dtype=np.float32,
                 ),
             )
             for hits in results

@@ -105,6 +105,14 @@ def weighted_score_fusion(
         if not hits or weight == 0.0:
             continue
         normed = _list_norm_scores(hits, norm)
+        if method == "combmnz" and normed and min(normed) < 0:
+            # MNZ multiplies the fused score by support count, which
+            # inverts into a penalty on negative scores (possible under
+            # zscore norm; minmax is already non-negative so this is a
+            # no-op there): shift the list to non-negative so agreement
+            # always promotes.
+            lo = min(normed)
+            normed = [s - lo for s in normed]
         for hit, s in zip(hits, normed):
             fused[hit.key] += weight * s
         for hit in hits[:SUPPORT_K]:

@@ -173,12 +173,23 @@ class RecordMemo:
     hashed — identity comparison is only sound while that object is
     alive (CPython recycles id() after free, which could otherwise
     return a stale digest for different bytes at a reused address).
-    The dict is LRU-capped alongside the record memo so it cannot grow
-    (or pin byte buffers) without bound across many distinct URLs."""
+    That reference pins the blob, so pinned BYTES are budgeted, not
+    just entry count: an entry can only ever hit again while the byte
+    LRU still serves the same object, so pinning more than the byte
+    cache's own budget is pure waste (a blob too large for the byte
+    cache is re-loaded as a fresh object every request and can never
+    identity-match — those are not memoized at all)."""
 
-    def __init__(self, max_records: int = 4, max_sha_entries: int = 64):
+    def __init__(
+        self,
+        max_records: int = 4,
+        max_sha_entries: int = 64,
+        max_sha_bytes: int = 128 << 20,
+    ):
         self._cap = max_records
         self._sha_cap = max_sha_entries
+        self._sha_bytes_cap = max_sha_bytes
+        self._sha_bytes = 0
         self._records: OrderedDict[tuple, DocumentRecord] = OrderedDict()
         self._sha_by_url: OrderedDict[str, tuple[bytes, str]] = OrderedDict()
 
@@ -188,10 +199,19 @@ class RecordMemo:
             self._sha_by_url.move_to_end(url)
             return memo[1]
         digest = _sha256(data)
+        if len(data) > self._sha_bytes_cap:
+            return digest
+        old = self._sha_by_url.pop(url, None)
+        if old is not None:
+            self._sha_bytes -= len(old[0])
         self._sha_by_url[url] = (data, digest)
-        self._sha_by_url.move_to_end(url)
-        while len(self._sha_by_url) > self._sha_cap:
-            self._sha_by_url.popitem(last=False)
+        self._sha_bytes += len(data)
+        while self._sha_by_url and (
+            len(self._sha_by_url) > self._sha_cap
+            or self._sha_bytes > self._sha_bytes_cap
+        ):
+            _, (evicted, _d) = self._sha_by_url.popitem(last=False)
+            self._sha_bytes -= len(evicted)
         return digest
 
     def get(self, token: tuple) -> DocumentRecord | None:

@@ -327,13 +327,16 @@ async def eval_answers(all_hits, rows, chunks, truth) -> dict:
             else:
                 cited_chunks = used
         rewritten = "".join(pieces)
-        # plumbing invariant: [k] numbering maps back to the same docs
-        ks = [int(m) for m in _re.findall(r"\[(\d+)\]", rewritten)]
-        assert [cited_chunks[k - 1] + 1 for k in ks] == cited_raw, (
-            rewritten,
-            cited_raw,
-            cited_chunks,
-        )
+        # plumbing invariant: [k] numbering maps back to the same docs.
+        # Only checkable when the answer text itself carries no literal
+        # bracketed digits (e.g. "in [1907]") — those are regex-
+        # indistinguishable from rewriter citations; scoring below uses
+        # the rewriter's structured `used` output either way.
+        if not _re.search(r"\[\d+\]", answer):
+            ks = [int(m) for m in _re.findall(r"\[(\d+)\]", rewritten)]
+            assert all(1 <= k <= len(cited_chunks) for k in ks) and [
+                cited_chunks[k - 1] + 1 for k in ks
+            ] == cited_raw, (rewritten, cited_raw, cited_chunks)
 
         if cited_chunks:
             answered += 1

@@ -519,3 +519,82 @@ def test_model_identity_contract(tmp_path):
             seed=0, config=dataclasses.replace(BertConfig.tiny(), num_layers=1)
         ).model_id
     )
+
+
+def test_model_id_covers_pooling_mode_and_max_len(tmp_path):
+    """Pooling mode (1_Pooling/config.json) and max_seq_length
+    (sentence_bert_config.json) change the embedding of every text but
+    live outside the hashed weight/vocab/config files — the content
+    digest must fold the DERIVED values in, so an in-place pooling or
+    seq-length edit invalidates persisted indexes."""
+    import json
+
+    from safetensors.torch import save_file
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+
+    hf_cfg, model = _tiny_hf_bert(seed=5)
+    _write_vocab(tmp_path / "vocab.txt")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+    (tmp_path / "modules.json").write_text(
+        json.dumps(
+            [
+                {
+                    "path": "",
+                    "type": "sentence_transformers.models.Transformer",
+                },
+                {
+                    "path": "1_Pooling",
+                    "type": "sentence_transformers.models.Pooling",
+                },
+            ]
+        )
+    )
+    (tmp_path / "1_Pooling").mkdir()
+
+    def pool_cfg(cls_mode: bool):
+        (tmp_path / "1_Pooling" / "config.json").write_text(
+            json.dumps(
+                {
+                    "pooling_mode_cls_token": cls_mode,
+                    "pooling_mode_mean_tokens": not cls_mode,
+                }
+            )
+        )
+
+    def st_cfg(max_len: int):
+        (tmp_path / "sentence_bert_config.json").write_text(
+            json.dumps({"max_seq_length": max_len})
+        )
+
+    pool_cfg(True)
+    st_cfg(48)
+    base = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    ).model_id
+    # identical tree -> identical identity
+    assert (
+        BgeEmbedder.from_hf_checkpoint(
+            str(tmp_path), compute_dtype=jnp.float32
+        ).model_id
+        == base
+    )
+
+    pool_cfg(False)  # cls -> mean, weight files untouched
+    mean_id = BgeEmbedder.from_hf_checkpoint(
+        str(tmp_path), compute_dtype=jnp.float32
+    ).model_id
+    assert mean_id != base
+
+    pool_cfg(True)
+    st_cfg(64)  # max_seq_length change, weight files untouched
+    assert (
+        BgeEmbedder.from_hf_checkpoint(
+            str(tmp_path), compute_dtype=jnp.float32
+        ).model_id
+        != base
+    )

@@ -318,9 +318,15 @@ def test_weighted_score_fusion_matches_experiment_form():
                     s = np.zeros(n)
                     sub = m[top]
                     if norm == "minmax":
-                        s[top] = (sub - sub.min()) / (sub.max() - sub.min())
+                        vals = (sub - sub.min()) / (sub.max() - sub.min())
                     else:
-                        s[top] = (sub - sub.mean()) / sub.std()
+                        vals = (sub - sub.mean()) / sub.std()
+                    if method == "combmnz" and vals.min() < 0:
+                        # MNZ lists are shifted non-negative so the
+                        # support multiplier cannot invert into a
+                        # penalty (no-op for minmax)
+                        vals = vals - vals.min()
+                    s[top] = vals
                     fused += w * s
                     support[np.argsort(-m, kind="stable")[:7]] += 1
                 if method == "combmnz":

@@ -244,3 +244,35 @@ def test_dial_client_rejects_absolute_urls():
             asyncio.run(client.get_file(url))
         with pytest.raises(InvalidDocumentError):
             asyncio.run(client.put_file(url, b"d", "t"))
+
+
+def test_record_memo_sha_pins_bounded_bytes():
+    """The identity-based sha memo pins the byte blobs it references;
+    pinned BYTES are budgeted (not just entry count), and a blob larger
+    than the budget — which the byte LRU would never cache, so it can
+    never identity-hit again — is hashed but not memoized at all."""
+    from dial_rag_tpu.storage.storage import RecordMemo, _sha256
+
+    memo = RecordMemo(max_sha_entries=64, max_sha_bytes=1000)
+
+    big = b"x" * 2000  # over budget: correct digest, nothing pinned
+    assert memo.sha("u0", big) == _sha256(big)
+    assert memo._sha_bytes == 0 and "u0" not in memo._sha_by_url
+
+    blobs = {f"u{i}": bytes([i]) * 300 for i in range(1, 8)}
+    for url, data in blobs.items():
+        assert memo.sha(url, data) == _sha256(data)
+        assert memo._sha_bytes <= 1000
+        assert memo._sha_bytes == sum(
+            len(d) for d, _ in memo._sha_by_url.values()
+        )
+
+    # the most recent entry still identity-hits
+    assert memo.sha("u7", blobs["u7"]) == _sha256(blobs["u7"])
+    assert "u7" in memo._sha_by_url
+
+    # same-URL replacement swaps the pinned blob, no double counting
+    replacement = b"y" * 300
+    memo.sha("u7", replacement)
+    assert memo._sha_bytes <= 1000
+    assert memo._sha_by_url["u7"][0] is replacement

@@ -416,8 +416,15 @@ def main() -> None:
         dst = (out_dir / "vocab.txt").resolve()
         if src != dst:  # --out may equal --init-from (in-place continuation)
             shutil.copy(src, dst)
-    elif args.checkpoint_every and (out_dir / "vocab.txt").is_file():
-        # resuming a crashed run: the HF WordPiece trainer is NOT
+    elif (
+        args.checkpoint_every
+        and (out_dir / "vocab.txt").is_file()
+        and (resume_dir := Path(args.checkpoint_dir or out_dir / "resume")).is_dir()
+        and any(resume_dir.iterdir())
+    ):
+        # resuming a crashed run (live orbax state in the resume dir —
+        # a finished run deletes it, so a leftover vocab.txt alone does
+        # NOT trigger reuse): the HF WordPiece trainer is NOT
         # deterministic across processes (thread-order merge ties move
         # the vocab size by a few tokens), so retraining here would
         # change the embedding-table shape and make the orbax restore
