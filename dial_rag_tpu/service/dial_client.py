@@ -52,6 +52,20 @@ class DialApiClient:
                 response.raise_for_status()
                 return await response.read()
 
+    async def head_file(self, relative_url: str) -> dict | None:
+        """HEAD metadata for a stored file (lower-cased header map), or
+        None when the server does not serve HEAD for it."""
+        relative_url = _require_dial_relative(relative_url)
+        async with aiohttp.ClientSession(base_url=self._base_url) as session:
+            async with session.head(
+                relative_url, headers=self._headers
+            ) as response:
+                if response.status != 200:
+                    return None
+                return {
+                    k.lower(): v for k, v in response.headers.items()
+                }
+
     async def put_file(
         self, relative_url: str, data: bytes, content_type: str
     ) -> dict:
@@ -101,6 +115,23 @@ class DialFileStorage(IndexStorageBackend):
 
     async def store(self, url: str, data: bytes) -> dict:
         return await self._client.put_file(url, data, INDEX_MIME_TYPE)
+
+    async def validator(self, url: str) -> object | None:
+        """Content-change token from HEAD metadata (one RTT instead of
+        re-downloading a multi-GB index to rehash it). Only an ETag or
+        Last-Modified qualifies — Content-Length alone cannot attest
+        that content is unchanged."""
+        try:
+            headers = await self._client.head_file(url)
+        except aiohttp.ClientError:
+            return None
+        if not headers:
+            return None
+        etag = headers.get("etag")
+        last_modified = headers.get("last-modified")
+        if not etag and not last_modified:
+            return None
+        return ("head", etag, last_modified, headers.get("content-length"))
 
 
 async def get_user_limits_for_model(

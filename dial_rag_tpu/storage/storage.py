@@ -53,6 +53,15 @@ class IndexStorageBackend(ABC):
     @abstractmethod
     async def store(self, url: str, data: bytes) -> dict: ...
 
+    async def validator(self, url: str) -> object | None:
+        """Cheap content-change token (e.g. a stat fingerprint), or
+        None when the backend cannot provide one. Contract: any change
+        to the stored content MUST change the token. Lets the record
+        memo serve a decoded record without re-reading the bytes — at
+        corpus scale the read+sha of a multi-GB record dominates
+        request latency even on memo hits."""
+        return None
+
 
 class LRUCacheStorage(IndexStorageBackend):
     """Byte-size-bounded LRU (first-party; cachetools is not in the image)."""
@@ -84,6 +93,11 @@ class LRUCacheStorage(IndexStorageBackend):
             _, evicted = self._cache.popitem(last=False)
             self._size -= len(evicted)
         return {}
+
+    def drop(self, url: str) -> None:
+        data = self._cache.pop(url, None)
+        if data is not None:
+            self._size -= len(data)
 
     @property
     def size(self) -> int:
@@ -129,26 +143,67 @@ class LocalFileStorage(IndexStorageBackend):
         await asyncio.get_running_loop().run_in_executor(None, write)
         return {"url": url}
 
+    async def validator(self, url: str) -> object | None:
+        path = self._path(url)  # same traversal guard as load/store
+
+        def stat():
+            try:
+                st = path.stat()
+            except FileNotFoundError:
+                return None
+            # inode changes on the tmp+replace store above; mtime_ns +
+            # size cover in-place rewrites by other writers
+            return ("stat", st.st_ino, st.st_size, st.st_mtime_ns)
+
+        return await asyncio.get_running_loop().run_in_executor(None, stat)
+
 
 class CachedStorage(IndexStorageBackend):
-    """Read-through/write-through LRU in front of a slower backend."""
+    """Read-through/write-through LRU in front of a slower backend.
+
+    When the backend provides a content-change validator, LRU hits are
+    revalidated against it (one stat-grade call per load), so an
+    out-of-band rewrite of the backing store — e.g. another replica
+    re-minting an index — is picked up instead of served stale for as
+    long as the bytes stay cached."""
+
+    _VTOKEN_CAP = 1024
 
     def __init__(self, storage: IndexStorageBackend, cache: LRUCacheStorage):
         self._storage = storage
         self._cache = cache
+        self._vtokens: OrderedDict[str, object] = OrderedDict()
+
+    def _remember(self, url: str, vtoken: object) -> None:
+        self._vtokens[url] = vtoken
+        self._vtokens.move_to_end(url)
+        while len(self._vtokens) > self._VTOKEN_CAP:
+            self._vtokens.popitem(last=False)
 
     async def load(self, url: str) -> bytes | None:
+        vtoken = await self._storage.validator(url)
         data = await self._cache.load(url)  # counts the hit/miss
         if data is not None:
-            return data
+            if vtoken is None or self._vtokens.get(url) == vtoken:
+                return data
+            self._cache.drop(url)  # content changed behind the cache
         data = await self._storage.load(url)
         if data is not None:
             await self._cache.store(url, data)
+            if vtoken is not None:
+                self._remember(url, vtoken)
         return data
 
     async def store(self, url: str, data: bytes) -> dict:
         await self._cache.store(url, data)
-        return await self._storage.store(url, data)
+        result = await self._storage.store(url, data)
+        vtoken = await self._storage.validator(url)
+        if vtoken is not None:
+            self._remember(url, vtoken)
+        return result
+
+    async def validator(self, url: str) -> object | None:
+        return await self._storage.validator(url)
 
 
 def _sha256(data: bytes) -> str:
@@ -192,6 +247,12 @@ class RecordMemo:
         self._sha_bytes = 0
         self._records: OrderedDict[tuple, DocumentRecord] = OrderedDict()
         self._sha_by_url: OrderedDict[str, tuple[bytes, str]] = OrderedDict()
+        # url -> (backend validator token, record cache token): lets a
+        # repeat load skip reading the bytes entirely when the backend
+        # attests (cheaply, e.g. by stat) that the content is unchanged
+        self._vtoken_by_url: OrderedDict[str, tuple[object, tuple]] = (
+            OrderedDict()
+        )
 
     def sha(self, url: str, data: bytes) -> str:
         memo = self._sha_by_url.get(url)
@@ -213,6 +274,21 @@ class RecordMemo:
             _, (evicted, _d) = self._sha_by_url.popitem(last=False)
             self._sha_bytes -= len(evicted)
         return digest
+
+    def record_token_for(self, url: str, vtoken: object) -> tuple | None:
+        memo = self._vtoken_by_url.get(url)
+        if memo is not None and memo[0] == vtoken:
+            self._vtoken_by_url.move_to_end(url)
+            return memo[1]
+        return None
+
+    def remember_validator(
+        self, url: str, vtoken: object, record_token: tuple
+    ) -> None:
+        self._vtoken_by_url[url] = (vtoken, record_token)
+        self._vtoken_by_url.move_to_end(url)
+        while len(self._vtoken_by_url) > self._sha_cap:
+            self._vtoken_by_url.popitem(last=False)
 
     def get(self, token: tuple) -> DocumentRecord | None:
         record = self._records.get(token)
@@ -239,6 +315,29 @@ class IndexStorage:
     async def load(
         self, index_url: str, index_settings: IndexSettings
     ) -> DocumentRecord | None:
+        from dial_rag_tpu import telemetry
+
+        vtoken = None
+        if self._memo is not None:
+            # validated fast path: when the backend attests (cheaply,
+            # e.g. by stat) that the stored content is unchanged since
+            # the memo'd decode, serve the record without re-reading the
+            # bytes — at corpus scale the read+sha of a multi-GB record
+            # dominates request latency even on decode-memo hits. A
+            # changed content flips the token (backend contract) and
+            # falls through to the full read+sha+decode below.
+            vtoken = await self._backend.validator(index_url)
+            if vtoken is not None:
+                token = self._memo.record_token_for(index_url, vtoken)
+                record = (
+                    self._memo.get(token) if token is not None else None
+                )
+                if record is not None:
+                    telemetry.get_counter(
+                        "dial_rag.record_memo.validated_hits"
+                    ).add(1)
+                    return self._checked(record, token, index_url,
+                                         index_settings)
         data = await self._backend.load(index_url)
         if data is None:
             return None
@@ -256,9 +355,23 @@ class IndexStorage:
                     f"Failed to deserialize index {index_url}: {e}"
                 )
                 return None
+        result = self._checked(record, token, index_url, index_settings)
+        if result is not None and self._memo is not None:
+            self._memo.put(token, record)
+            if vtoken is not None:
+                # the pre-read vtoken: if the file changed between stat
+                # and read this remembers a stale token, which can only
+                # cause a harmless extra full load next time
+                self._memo.remember_validator(index_url, vtoken, token)
+        return result
+
+    def _checked(
+        self, record, token, index_url: str, index_settings: IndexSettings
+    ) -> DocumentRecord | None:
         # version/settings checks run on memo hits too: the memo skips
-        # decode cost, never invalidation (e.g. an embedder change makes
-        # the expected settings differ from the memo'd record's)
+        # decode (and, validated, read+sha) cost, never invalidation
+        # (e.g. an embedder change makes the expected settings differ
+        # from the memo'd record's)
         if record.format_version != FORMAT_VERSION:
             logger.warning(
                 f"Index format version mismatch for {index_url}: "
@@ -269,17 +382,24 @@ class IndexStorage:
             logger.warning(f"Index settings mismatch for {index_url}")
             return None
         record.cache_token = token
-        if self._memo is not None:
-            self._memo.put(token, record)
         return record
 
     async def store(self, index_url: str, record: DocumentRecord) -> dict:
         data = serialize_record(record)
         # stamp the same identity a future load of these bytes will get,
         # so device-index cache entries survive from first build onward
-        record.cache_token = (index_url, _sha256(data))
+        token = (index_url, _sha256(data))
+        record.cache_token = token
         logger.debug(f"Stored index at {index_url} ({len(data)} bytes)")
-        return await self._backend.store(index_url, data)
+        result = await self._backend.store(index_url, data)
+        if self._memo is not None:
+            # prime the memo with the just-built record so the first
+            # request after indexing skips the read+sha+decode too
+            self._memo.put(token, record)
+            vtoken = await self._backend.validator(index_url)
+            if vtoken is not None:
+                self._memo.remember_validator(index_url, vtoken, token)
+        return result
 
 
 class IndexStorageHolder:

@@ -175,16 +175,24 @@ async def test_record_memo_skips_decode_but_not_invalidation(
     """The holder-level RecordMemo serves repeat loads without
     re-deserializing (the dominant per-request cost at corpus scale),
     while version/settings invalidation still runs on memo hits and a
-    re-minted index at the same URL misses the memo."""
+    re-minted index at the same URL misses the memo. The backend's
+    validator is disabled and the writes bypass the holder, so this
+    exercises the content-sha decode memo in isolation (the validated
+    fast path and store-time priming have their own test below)."""
     import dial_rag_tpu.storage.storage as storage_mod
 
+    class NoValidatorStorage(LocalFileStorage):
+        async def validator(self, url):
+            return None
+
     holder = IndexStorageHolder()
-    remote = LocalFileStorage(str(tmp_path))
+    remote = NoValidatorStorage(str(tmp_path))
     settings = IndexSettings(indexes={"parser": {"chunk_size": 1000}})
     rec = make_record(index_settings=settings)
 
-    s1 = holder.get_storage(remote)
-    await s1.store("files/b/m/index.bin", rec)
+    # store WITHOUT the holder's memo: a fresh-process first load must
+    # pay exactly one decode
+    await IndexStorage(remote).store("files/b/m/index.bin", rec)
 
     calls = []
     real = storage_mod.deserialize_record
@@ -219,6 +227,8 @@ async def test_record_memo_skips_decode_but_not_invalidation(
             Chunk(text="reminted", metadata={"chunk_id": 0, "page_number": 1})
         ],
     )
+    # write-through via the holder so the byte LRU sees the new bytes
+    # (the validator is disabled here, so the LRU is trusted as-is)
     await holder.get_storage(remote).store("files/b/m/index.bin", rec2)
     reloaded = await holder.get_storage(remote).load(
         "files/b/m/index.bin", settings
@@ -276,3 +286,103 @@ def test_record_memo_sha_pins_bounded_bytes():
     memo.sha("u7", replacement)
     assert memo._sha_bytes <= 1000
     assert memo._sha_by_url["u7"][0] is replacement
+
+
+async def test_validated_memo_skips_byte_reads(tmp_path):
+    """With a backend that provides a cheap content-change validator
+    (LocalFileStorage stat token), repeat loads — and the FIRST load
+    after a store — serve the memo'd record without reading the bytes
+    at all; an out-of-band content change flips the token and forces
+    the full read+sha+decode path; settings invalidation still runs on
+    validated hits."""
+
+    class CountingLocalStorage(LocalFileStorage):
+        def __init__(self, root):
+            super().__init__(root)
+            self.byte_loads = 0
+
+        async def load(self, url):
+            self.byte_loads += 1
+            return await super().load(url)
+
+    holder = IndexStorageHolder()
+    remote = CountingLocalStorage(str(tmp_path))
+    settings = IndexSettings(indexes={"parser": {"chunk_size": 1000}})
+    rec = make_record(index_settings=settings)
+    url = "files/b/v/index.bin"
+
+    await holder.get_storage(remote).store(url, rec)
+
+    # store primed the memo + validator: zero byte reads to serve
+    got = await holder.get_storage(remote).load(url, settings)
+    assert got is rec and remote.byte_loads == 0
+    got = await holder.get_storage(remote).load(url, settings)
+    assert got is rec and remote.byte_loads == 0
+
+    # validated hits never bypass settings invalidation
+    other = IndexSettings(indexes={"embedder": {"model_id": "other"}})
+    assert (
+        await holder.get_storage(remote).load(url, other) is None
+    ) and remote.byte_loads == 0
+
+    # out-of-band rewrite (not via store): the stat token flips, the
+    # next load takes the full read path and serves the NEW record
+    rec2 = make_record(
+        index_settings=settings,
+        chunks=[Chunk(text="gamma", metadata={"chunk_id": 0})],
+    )
+    import asyncio as _aio
+
+    await _aio.sleep(0.01)  # ensure a distinct mtime_ns tick
+    (tmp_path / url).write_bytes(serialize_record(rec2))
+    got = await holder.get_storage(remote).load(url, settings)
+    assert got is not rec and remote.byte_loads == 1
+    assert [c.text for c in got.chunks] == ["gamma"]
+
+    # and the re-read result is re-memoized under the new token
+    again = await holder.get_storage(remote).load(url, settings)
+    assert again is got and remote.byte_loads == 1
+
+
+async def test_dial_file_storage_validator_from_head_metadata():
+    """DialFileStorage.validator derives a content-change token from
+    HEAD metadata (one RTT vs re-downloading a multi-GB index), and
+    returns None — disabling the validated fast path, never faking
+    freshness — when the server lacks HEAD, errors, or serves neither
+    an ETag nor Last-Modified (Content-Length alone can't attest
+    unchanged content)."""
+    import aiohttp
+
+    from dial_rag_tpu.service.dial_client import DialApiClient, DialFileStorage
+
+    class StubClient(DialApiClient):
+        def __init__(self, headers_by_url):
+            self._headers_by_url = headers_by_url
+
+        async def head_file(self, relative_url):
+            result = self._headers_by_url.get(relative_url)
+            if isinstance(result, Exception):
+                raise result
+            return result
+
+    ok = {"etag": '"abc"', "content-length": "12345"}
+    client = StubClient(
+        {
+            "files/b/ok.bin": ok,
+            "files/b/nohead.bin": None,
+            "files/b/len-only.bin": {"content-length": "7"},
+            "files/b/err.bin": aiohttp.ClientError("boom"),
+        }
+    )
+    storage = DialFileStorage(client)
+
+    token = await storage.validator("files/b/ok.bin")
+    assert token == ("head", '"abc"', None, "12345")
+    # stable across calls, distinct when the etag changes
+    assert token == await storage.validator("files/b/ok.bin")
+    ok["etag"] = '"def"'
+    assert token != await storage.validator("files/b/ok.bin")
+
+    assert await storage.validator("files/b/nohead.bin") is None
+    assert await storage.validator("files/b/len-only.bin") is None
+    assert await storage.validator("files/b/err.bin") is None
