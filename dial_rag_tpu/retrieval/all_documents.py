@@ -29,15 +29,27 @@ class AllDocumentsRetriever:
 
     @staticmethod
     def is_within_limit(document_records: list[DocumentRecord]) -> bool:
-        total = sum(
-            len(chunk.text)
-            + _format_attributes_len(i, chunk)
-            + CHUNK_PROMPT_OVERHEAD
-            for i, chunk in enumerate(
-                c for doc in document_records for c in doc.chunks
-            )
-        )
-        return total <= MAX_LENGTH_IN_BYTES
+        # every chunk contributes at least its prompt overhead, so the
+        # chunk count alone rules out any large corpus in O(docs) —
+        # this check runs on EVERY request (retrieval_chain), and the
+        # full formatted-length sum over a 1M-chunk corpus was the
+        # single largest host cost of a retrieval request
+        n_chunks = sum(len(doc.chunks) for doc in document_records)
+        if n_chunks * CHUNK_PROMPT_OVERHEAD > MAX_LENGTH_IN_BYTES:
+            return False
+        total = 0
+        i = 0
+        for doc in document_records:
+            for chunk in doc.chunks:
+                total += (
+                    len(chunk.text)
+                    + _format_attributes_len(i, chunk)
+                    + CHUNK_PROMPT_OVERHEAD
+                )
+                if total > MAX_LENGTH_IN_BYTES:
+                    return False  # monotone: all terms are positive
+                i += 1
+        return True
 
     @classmethod
     def from_doc_records(

@@ -9,6 +9,8 @@ wins) match the reference exactly; scoring runs on device
 
 import asyncio
 
+import numpy as np
+
 from dial_rag_tpu.documents.model import DocumentRecord
 from dial_rag_tpu.index.bm25 import Bm25Index
 from dial_rag_tpu.index.records import RetrievalType, SearchHit
@@ -16,10 +18,25 @@ from dial_rag_tpu.text.keywords import keywords_preprocess
 
 
 class Bm25Retriever:
-    def __init__(self, items: list[tuple[int, int]], index: Bm25Index, k: int):
-        self._items = items  # flat (doc_index, chunk_index)
+    def __init__(self, doc_ids: np.ndarray, offsets: np.ndarray, index, k: int):
+        # flat item i belongs to contributing-doc j = the offsets bucket
+        # containing i: doc_id = doc_ids[j], chunk_id = i - offsets[j].
+        # O(docs) to build — retriever construction runs on EVERY
+        # request, and materializing a 1M-entry (doc, chunk) list per
+        # request was a measured host hot spot at corpus scale.
+        self._doc_ids = doc_ids  # [d] record index per contributing doc
+        self._offsets = offsets  # [d+1] cumulative chunk counts
         self._index = index
         self.k = k
+
+    def _hit(self, i: int, score: float) -> SearchHit:
+        j = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        return SearchHit(
+            doc_id=int(self._doc_ids[j]),
+            chunk_id=int(i - self._offsets[j]),
+            retrieval_type=RetrievalType.TEXT,
+            score=float(score),
+        )
 
     @staticmethod
     def _iter_items(doc_records: list[DocumentRecord]):
@@ -45,12 +62,24 @@ class Bm25Retriever:
     ) -> "Bm25Retriever":
         """With ``mesh`` the weight rows shard over its devices (exact
         reverse-stable tie-breaks preserved via the flipped layout)."""
-        items, tokenized = [], []
-        for doc_index, chunk_index, tokens in cls._iter_items(doc_records):
-            items.append((doc_index, chunk_index))
-            tokenized.append(tokens)
+        doc_ids, counts = [], []
+        for i, doc in enumerate(doc_records):
+            if doc.text_index is not None:
+                doc_ids.append(i)
+                counts.append(len(doc.text_index))
+        offsets = np.concatenate(
+            [[0], np.cumsum(np.asarray(counts, dtype=np.int64))]
+        )
 
         def build():
+            # the flat per-chunk token list is only materialized here,
+            # on a device-cache miss — cache hits stay O(docs)
+            tokenized = [
+                tokens
+                for doc in doc_records
+                if doc.text_index is not None
+                for tokens in doc.text_index
+            ]
             if mesh is not None:
                 from dial_rag_tpu.parallel.sharded_index import (
                     ShardedBm25Index,
@@ -71,21 +100,18 @@ class Bm25Retriever:
             )
         else:
             index = build()
-        return cls(items=items, index=index, k=k)
+        return cls(
+            doc_ids=np.asarray(doc_ids, dtype=np.int64),
+            offsets=offsets,
+            index=index,
+            k=k,
+        )
 
     def retrieve(self, query: str) -> list[SearchHit]:
         top, scores = self._index.top_n_with_scores(
             keywords_preprocess(query), self.k
         )
-        return [
-            SearchHit(
-                doc_id=self._items[i][0],
-                chunk_id=self._items[i][1],
-                retrieval_type=RetrievalType.TEXT,
-                score=float(s),
-            )
-            for i, s in zip(top, scores)
-        ]
+        return [self._hit(i, s) for i, s in zip(top, scores)]
 
     def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
         """Many queries in one device matmul (dense weights path)."""
@@ -93,15 +119,7 @@ class Bm25Retriever:
             [keywords_preprocess(q) for q in queries], self.k
         )
         return [
-            [
-                SearchHit(
-                    doc_id=self._items[i][0],
-                    chunk_id=self._items[i][1],
-                    retrieval_type=RetrievalType.TEXT,
-                    score=float(s),
-                )
-                for i, s in zip(top, scores)
-            ]
+            [self._hit(i, s) for i, s in zip(top, scores)]
             for top, scores in tops
         ]
 

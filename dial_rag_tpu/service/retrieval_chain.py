@@ -2,6 +2,8 @@
 stages.py + app.py doc_to_attach): retriever construction with stage
 wrappers, page-image selection, and the RetrievalResponse assembly."""
 
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -283,6 +285,41 @@ def collect_pages_with_images(
                 yield (hit.doc_id, chunk.metadata["page_number"])
 
 
+# rendered-page cache: rasterizing + PNG-encoding a retrieved page is
+# deterministic in (document content, page, size), and popular pages
+# repeat across requests in steady-state serving — a measured per-request
+# host cost worth ~150 ms at defaults. Keyed by the record's
+# content-derived cache_token (records without one skip the cache), so a
+# re-minted document can never serve stale renders. Byte-bounded LRU.
+_PAGE_RENDER_CACHE: OrderedDict[tuple, str] = OrderedDict()
+_PAGE_RENDER_CACHE_BYTES = 0
+_PAGE_RENDER_CACHE_CAP = 64 << 20
+_PAGE_RENDER_LOCK = threading.Lock()
+
+
+def _page_render_cache_get(key: tuple) -> str | None:
+    with _PAGE_RENDER_LOCK:
+        value = _PAGE_RENDER_CACHE.get(key)
+        if value is not None:
+            _PAGE_RENDER_CACHE.move_to_end(key)
+        return value
+
+
+def _page_render_cache_put(key: tuple, value: str) -> None:
+    global _PAGE_RENDER_CACHE_BYTES
+    if len(value) > _PAGE_RENDER_CACHE_CAP:
+        return
+    with _PAGE_RENDER_LOCK:
+        old = _PAGE_RENDER_CACHE.pop(key, None)
+        if old is not None:
+            _PAGE_RENDER_CACHE_BYTES -= len(old)
+        _PAGE_RENDER_CACHE[key] = value
+        _PAGE_RENDER_CACHE_BYTES += len(value)
+        while _PAGE_RENDER_CACHE_BYTES > _PAGE_RENDER_CACHE_CAP:
+            _, evicted = _PAGE_RENDER_CACHE.popitem(last=False)
+            _PAGE_RENDER_CACHE_BYTES -= len(evicted)
+
+
 async def make_image_by_page(
     doc_records: list[DocumentRecord],
     hits: list[SearchHit],
@@ -298,6 +335,14 @@ async def make_image_by_page(
     image_by_page: dict[PageKey, str] = {}
     by_doc: dict[int, list[PageKey]] = {}
     for key in sorted(required):
+        record_token = doc_records[key.doc_id].cache_token
+        if record_token is not None:
+            cached = _page_render_cache_get(
+                (record_token, key.page_number, page_image_size)
+            )
+            if cached is not None:
+                image_by_page[key] = cached
+                continue
         by_doc.setdefault(key.doc_id, []).append(key)
 
     for doc_id, keys in by_doc.items():
@@ -309,9 +354,15 @@ async def make_image_by_page(
             page_numbers=[k.page_number for k in keys],
             scaled_size=page_image_size,
         ):
-            image_by_page[next(keys_it)] = pil_image_as_base64(
-                image, format="PNG"
-            )
+            key = next(keys_it)
+            encoded = pil_image_as_base64(image, format="PNG")
+            image_by_page[key] = encoded
+            if doc_record.cache_token is not None:
+                _page_render_cache_put(
+                    (doc_record.cache_token, key.page_number,
+                     page_image_size),
+                    encoded,
+                )
     return image_by_page
 
 
