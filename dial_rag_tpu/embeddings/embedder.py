@@ -696,6 +696,36 @@ class BgeEmbedder:
             [self.query_instruction + t for t in texts]
         )
 
+    def embed_queries_device(self, texts: list[str]):
+        """[n, D] query embeddings left on device (one dispatch, no D2H).
+
+        The serving query chain hands these rows straight to
+        ``DenseIndex.find``, so the encode->scan dependency resolves in
+        HBM and the request's only host sync is the final top-k fetch —
+        one host round-trip instead of three (encode fetch, query
+        upload, hits fetch), which matters when the device sits behind
+        a high-latency link."""
+        from dial_rag_tpu import telemetry
+
+        if not texts:
+            return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        ids, mask = self.tokenizer.encode_batch(
+            [self.query_instruction + t for t in texts],
+            max_len=self.max_len,
+        )
+        _TOKENS_ENCODED.add(int(mask.sum()))
+        with telemetry.span(
+            "encode_dispatch", rows=len(texts), seq=int(ids.shape[1])
+        ):
+            out = self.encoder.encode(
+                self.params, *self._device_put_batch(ids, mask)
+            )
+        # avoid a spurious eager slice op when the batch wasn't padded
+        # (eager dispatches are not free behind a remote device link)
+        if int(out.shape[0]) == len(texts):
+            return out
+        return out[: len(texts)]
+
     async def aembed_documents(self, texts: list[str]) -> np.ndarray:
         """Bulk encode through the 1-worker indexing dispatch pool:
         concurrent indexing streams interleave at batch granularity
@@ -708,11 +738,16 @@ class BgeEmbedder:
             self.embed_documents, texts
         )
 
-    async def aembed_query(self, text: str) -> np.ndarray:
-        """Query encodes take their own lane so they never queue behind
+    async def aembed_query(self, text: str):
+        """One DEVICE-RESIDENT [D] row (np-coercible jax array).
+
+        Query encodes take their own lane so they never queue behind
         a bulk indexing stream's host tokenization; concurrent queries
-        from different requests coalesce into ONE device dispatch via the
-        micro-batcher (a [Q, S] encode costs nearly the same as [1, S])."""
+        from different requests coalesce into ONE device dispatch via
+        the micro-batcher (a [Q, S] encode costs nearly the same as
+        [1, S]). The row stays on device so ``DenseIndex.find`` can
+        consume it without an intermediate host round-trip; call
+        ``np.asarray`` on it when host floats are actually needed."""
         return await self._query_batcher.submit(text)
 
     @property
@@ -729,7 +764,7 @@ class BgeEmbedder:
 
             async def encode_all(texts: list[str]):
                 out = await run_in_query_dispatch_pool(
-                    self.embed_queries, texts
+                    self.embed_queries_device, texts
                 )
                 return list(out)
 

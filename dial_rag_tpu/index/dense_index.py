@@ -435,13 +435,24 @@ class DenseIndex:
         from HBM once instead of Q times. Q is padded to a power-of-two
         bucket so the jit cache stays small.
         """
-        queries = np.asarray(queries, dtype=np.float32)
-        q = queries.shape[0]
-        if q == 0 or self._emb is None:
-            return [[] for _ in range(q)]
-        q_pad = 1 << max(3, (q - 1).bit_length())
-        if q_pad != q:
-            queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
+        if isinstance(queries, jax.Array):
+            # device-resident queries stay on device (see
+            # find_with_distances); padding happens in HBM
+            queries = queries.astype(jnp.float32)
+            q = queries.shape[0]
+            if q == 0 or self._emb is None:
+                return [[] for _ in range(q)]
+            q_pad = 1 << max(3, (q - 1).bit_length())
+            if q_pad != q:
+                queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+        else:
+            queries = np.asarray(queries, dtype=np.float32)
+            q = queries.shape[0]
+            if q == 0 or self._emb is None:
+                return [[] for _ in range(q)]
+            q_pad = 1 << max(3, (q - 1).bit_length())
+            if q_pad != q:
+                queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
         k = min(self.limit, self.n_rows)
         if self._emb_f32 is not None:
             ok, vals, idx = _find_two_pass_batch_kernel(
@@ -453,33 +464,39 @@ class DenseIndex:
                 metric=self.metric,
                 k=k,
             )
-            # only the q REAL queries gate the fallback: the zero-vector
-            # padding rows see an all-tied corpus (every score ~ ||d||^2
-            # on normalized embeddings) and would fail the containment
+            # one batched D2H for all three outputs; only the q REAL
+            # queries gate the fallback: the zero-vector padding rows
+            # see an all-tied corpus (every score ~ ||d||^2 on
+            # normalized embeddings) and would fail the containment
             # check on essentially every batch, silently forcing the
             # full f32 scan on top of the two-pass dispatch
-            if not bool(jnp.all(ok[:q])):
+            ok, vals, idx = jax.device_get((ok, vals, idx))
+            if not bool(ok[:q].all()):
                 # >c near-tied rows for some query: full f32 scan keeps
                 # the exactness guarantee (rare; adversarial tie corpora)
-                vals, idx = _find_batch_kernel(
-                    self._emb_f32,
+                vals, idx = jax.device_get(
+                    _find_batch_kernel(
+                        self._emb_f32,
+                        jnp.asarray(queries),
+                        jnp.int32(self.n_rows),
+                        metric=self.metric,
+                        k=k,
+                        use_sort=k > _ARGMIN_MAX_K,
+                    )
+                )
+        else:
+            vals, idx = jax.device_get(
+                _find_batch_kernel(
+                    self._emb,
                     jnp.asarray(queries),
                     jnp.int32(self.n_rows),
                     metric=self.metric,
                     k=k,
                     use_sort=k > _ARGMIN_MAX_K,
                 )
-        else:
-            vals, idx = _find_batch_kernel(
-                self._emb,
-                jnp.asarray(queries),
-                jnp.int32(self.n_rows),
-                metric=self.metric,
-                k=k,
-                use_sort=k > _ARGMIN_MAX_K,
             )
-        vals = np.asarray(vals)[:q]
-        idx = np.asarray(idx)[:q]
+        vals = vals[:q]
+        idx = idx[:q]
         return [
             hits_from_topk(
                 vals[qi],
@@ -495,7 +512,15 @@ class DenseIndex:
     def find_with_distances(self, query):
         if self._emb is None:
             return [], []
-        query = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(-1))
+        if isinstance(query, jax.Array):
+            # device-resident query (embed_queries_device): the
+            # encode->scan dependency resolves on the device, so the
+            # request's only host sync is the final top-k fetch
+            query = jnp.reshape(query.astype(jnp.float32), (-1,))
+        else:
+            query = jnp.asarray(
+                np.asarray(query, dtype=np.float32).reshape(-1)
+            )
         k = min(self.limit, self.n_rows)
         if self._emb_f32 is not None:
             ok, vals, idx = _find_two_pass_kernel(
@@ -507,27 +532,35 @@ class DenseIndex:
                 metric=self.metric,
                 k=k,
             )
+            # ONE batched D2H for all three outputs (the async copies
+            # overlap): fetching the ok flag alone first would serialize
+            # an extra host round-trip on every query
+            ok, vals, idx = jax.device_get((ok, vals, idx))
             if not bool(ok):
-                vals, idx = _find_kernel(
-                    self._emb_f32,
+                vals, idx = jax.device_get(
+                    _find_kernel(
+                        self._emb_f32,
+                        query,
+                        jnp.int32(self.n_rows),
+                        metric=self.metric,
+                        k=k,
+                        use_sort=k > _ARGMIN_MAX_K,
+                    )
+                )
+        else:
+            vals, idx = jax.device_get(
+                _find_kernel(
+                    self._emb,
                     query,
                     jnp.int32(self.n_rows),
                     metric=self.metric,
                     k=k,
                     use_sort=k > _ARGMIN_MAX_K,
                 )
-        else:
-            vals, idx = _find_kernel(
-                self._emb,
-                query,
-                jnp.int32(self.n_rows),
-                metric=self.metric,
-                k=k,
-                use_sort=k > _ARGMIN_MAX_K,
             )
         return hits_from_topk(
-            np.asarray(vals),
-            np.asarray(idx),
+            vals,
+            idx,
             self.n_rows,
             self._doc_ids,
             self._chunk_ids,

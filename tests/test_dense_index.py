@@ -298,3 +298,35 @@ def test_two_pass_nbytes_accounts_both_matrices():
         RetrievalType.TEXT, docs, limit=5, storage_dtype="two_pass"
     )
     assert tp.nbytes == f32.nbytes * 3 // 2
+
+
+@pytest.mark.parametrize("storage_dtype", ["float32", "two_pass"])
+def test_device_resident_query_parity(storage_dtype):
+    """A jax-array query (the serving fast path: embed_queries_device
+    rows handed straight to find, no intermediate D2H) returns results
+    identical to the same query as a host numpy array, on both the
+    plain f32 layout and the two-pass layout, for find, batch finds,
+    and find_with_distances."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(300), embeddings=emb)]
+    index = DenseIndex(
+        RetrievalType.TEXT, docs, limit=7, storage_dtype=storage_dtype
+    )
+    queries = rng.standard_normal((3, 16)).astype(np.float32)
+
+    for q in queries:
+        assert index.find(jnp.asarray(q)) == index.find(q)
+        hits_d, dists_d = index.find_with_distances(jnp.asarray(q))
+        hits_h, dists_h = index.find_with_distances(q)
+        assert hits_d == hits_h
+        np.testing.assert_array_equal(
+            np.asarray(dists_d), np.asarray(dists_h)
+        )
+    assert index.find_batch(jnp.asarray(queries)) == index.find_batch(
+        queries
+    )
+    # [1, D]-shaped device rows (an unsliced single-query encode batch)
+    assert index.find(jnp.asarray(queries[:1])) == index.find(queries[0])
