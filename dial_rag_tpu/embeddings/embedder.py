@@ -94,6 +94,25 @@ def _token_encode_jit(
     return hidden / jnp.maximum(norm, 1e-12)
 
 
+@partial(jax.jit, static_argnames=("q_pad",))
+def _query_rows_jit(hidden, attention_mask, *, q_pad):
+    """[B, S, D] token-encode output -> ONE query's [q_pad, D] rows with
+    padded positions EXACTLY zero. Deliberately a SEPARATE tiny dispatch
+    from _token_encode_jit rather than a fused epilogue: fusing the mask
+    multiply into the encode program changes XLA's TPU fusion of the
+    normalize enough to move the last ulp of every value (measured
+    ~9e-8 on-chip), which would break bit-exact parity with the host
+    query path — the multiply by 1/0 and static slicing here are exact
+    ops, so the rows are byte-identical to the host path's slice of the
+    SAME encode program. ``q_pad`` must be the host path's power-of-two
+    lane bucket (the query-lane width shapes the MaxSim score matmul; a
+    different width can move last-ulp sums and near-tie orderings)."""
+    out = (hidden * attention_mask[..., None].astype(hidden.dtype))[0]
+    if q_pad <= out.shape[0]:
+        return out[:q_pad]
+    return jnp.pad(out, ((0, q_pad - out.shape[0]), (0, 0)))
+
+
 @dataclass
 class BgeEmbedder:
     tokenizer: WordPieceTokenizer
@@ -671,6 +690,54 @@ class BgeEmbedder:
 
         return await run_in_query_dispatch_pool(
             self.embed_query_tokens, text
+        )
+
+    def embed_query_tokens_device(self, text: str, max_tokens: int = 64):
+        """[q_pad, D] per-token query embeddings left ON DEVICE (one
+        dispatch, no D2H): normalized final hidden states with padded
+        positions exactly zero, already at the SAME power-of-two
+        query-lane bucket the host path would pad to, so
+        ``LateInteractionIndex.find`` consumes the rows directly with
+        BIT-IDENTICAL scores (every position counts as a real token;
+        zero tokens score 0 against every chunk) and the encode->MaxSim
+        dependency resolves in HBM — the request's only host sync is
+        the final top-k fetch."""
+        from dial_rag_tpu import telemetry
+        from dial_rag_tpu.index.late_interaction import (
+            _MAX_Q_LANES,
+            _bucket_q,
+        )
+
+        ids, mask = self.tokenizer.encode_batch(
+            [text], max_len=min(self.max_len, max_tokens)
+        )
+        t = int(mask[0].sum())
+        _TOKENS_ENCODED.add(t)
+        q_pad = _bucket_q(max(1, min(t, _MAX_Q_LANES)))
+        with telemetry.span(
+            "encode_dispatch", rows=1, seq=int(ids.shape[1])
+        ):
+            dev_ids, dev_mask = self._device_put_batch(ids, mask)
+            hidden = _token_encode_jit(
+                self.params,
+                dev_ids,
+                dev_mask,
+                num_heads=self.encoder.config.num_heads,
+                compute_dtype=self.encoder.compute_dtype,
+                attention_impl=self.encoder.attention_impl,
+                gelu=self.encoder.gelu,
+            )
+            # second (tiny) dispatch — see _query_rows_jit for why the
+            # mask/slice must not fuse into the encode program
+            return _query_rows_jit(hidden, dev_mask, q_pad=q_pad)
+
+    async def aembed_query_tokens_device(self, text: str):
+        from dial_rag_tpu.runtime.host_pools import (
+            run_in_query_dispatch_pool,
+        )
+
+        return await run_in_query_dispatch_pool(
+            self.embed_query_tokens_device, text
         )
 
     async def aembed_documents_tokens(

@@ -397,11 +397,45 @@ class LateInteractionIndex:
 
         return batched_maxsim_lookup(self, queries_tokens, invoke)
 
-    def find_with_scores(self, query_tokens: np.ndarray):
+    def find_with_scores(self, query_tokens):
         """``query_tokens``: [q, D] f32 (the query's per-token
-        embeddings). Returns (hits, MaxSim scores)."""
+        embeddings). Returns (hits, MaxSim scores).
+
+        A device-resident jax array (embed_query_tokens_device) is
+        consumed without a host round-trip: EVERY row counts as a real
+        token, relying on the embedder zeroing padded positions — a zero
+        token scores exactly 0 against every chunk, so the result is
+        identical to the host path's real-token-count masking. Scores
+        are BIT-identical when the device rows arrive at the same
+        power-of-two lane bucket the host path pads to (the embedder
+        guarantees this); other widths are still exact MaxSim sums but
+        the different matmul tiling can move last-ulp near-ties (parity
+        pinned in test_late_interaction.py)."""
         if self._x is None:
             return [], []
+        if (
+            isinstance(query_tokens, jax.Array)
+            and query_tokens.ndim == 2
+            and 0 < query_tokens.shape[0] <= _MAX_Q_LANES
+            and query_tokens.shape[1] == self.dim
+        ):
+            q_tokens = query_tokens.astype(jnp.float32)
+            q = q_tokens.shape[0]
+            q_pad = _bucket_q(q)
+            if q_pad != q:
+                # zero-pad in HBM (zero tokens are score-inert)
+                q_tokens = jnp.pad(q_tokens, ((0, q_pad - q), (0, 0)))
+            k = min(self.limit, self.n_rows)
+            vals, idx = _maxsim_find_kernel(
+                self._x,
+                self._counts,
+                jnp.int32(self.n_rows),
+                q_tokens,
+                jnp.int32(q),
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+            return finite_maxsim_hits(self, vals, idx)
         q_tokens = np.asarray(query_tokens, dtype=np.float32)
         if (
             q_tokens.ndim != 2

@@ -103,7 +103,12 @@ class LateInteractionRetriever:
         return self.index.find_batch(q_tokens)
 
     async def aretrieve(self, query: str) -> list[SearchHit]:
-        q_tokens = await self.embedder.aembed_query_tokens(query)
+        # device-resident [S, D] rows (padded positions exactly zero):
+        # the encode->MaxSim dependency resolves in HBM and the only
+        # host sync is the final top-k fetch; index paths that need host
+        # arrays (sharded) coerce via np.asarray with identical scores
+        # (zero tokens are score-inert)
+        q_tokens = await self.embedder.aembed_query_tokens_device(query)
         return await asyncio.get_running_loop().run_in_executor(
             None, self.index.find, q_tokens
         )

@@ -478,3 +478,78 @@ def test_mixed_width_chunks_are_skipped_not_fatal():
     q = rng.standard_normal((3, 16)).astype(np.float32)
     hits, _ = index.find_with_scores(q)
     assert [(h.doc_id, h.chunk_id) for h in hits] == [(0, 0)]
+
+
+def test_device_resident_query_parity():
+    """A jax-array query (the serving fast path: the embedder's
+    zero-padded device rows handed straight to find, no host
+    round-trip) scores identically to the same real tokens as a host
+    numpy array: zero padding tokens contribute exactly 0 to every
+    chunk's MaxSim score, so passing the full padded length as the
+    token count is equivalent to the host path's real-count masking."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    chunks = random_ragged(rng, 41)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=9
+    )
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    hits_h, scores_h = index.find_with_scores(q)
+    # at the host path's own lane bucket (8 for 6 tokens): BIT-identical
+    dev = jnp.asarray(np.pad(q, ((0, 8 - q.shape[0]), (0, 0))))
+    hits_d, scores_d = index.find_with_scores(dev)
+    assert hits_d == hits_h
+    np.testing.assert_array_equal(scores_d, scores_h)
+    # other device widths keep exact MaxSim semantics (zero tokens are
+    # score-inert) but a different matmul tiling may move the last ulp
+    for pad_to in (16, 64, 96):
+        dev = jnp.asarray(
+            np.pad(q, ((0, pad_to - q.shape[0]), (0, 0)))
+        )
+        hits_w, scores_w = index.find_with_scores(dev)
+        assert [h.chunk_id for h in hits_w] == [
+            h.chunk_id for h in hits_h
+        ], pad_to
+        np.testing.assert_allclose(
+            scores_w, scores_h, rtol=1e-6, atol=1e-5
+        )
+    # over-long device queries fall back to the host path's lane cap
+    long_dev = jnp.asarray(
+        np.pad(q, ((0, 200 - q.shape[0]), (0, 0)))
+    )
+    assert index.find(long_dev) == index.find(q)
+
+
+def test_embedder_device_query_tokens_match_host():
+    """embed_query_tokens_device returns one device [S, D] row set whose
+    real-token prefix is byte-identical to embed_query_tokens and whose
+    padded positions are exactly zero (the property the MaxSim kernels
+    rely on), and the retriever's async path built on it returns the
+    same hits as the sync host path."""
+    import asyncio
+
+    import jax
+
+    emb = _make_embedder()
+    text = "alpine glaciers retreat under warming summers"
+    dev = emb.embed_query_tokens_device(text)
+    host = emb.embed_query_tokens(text)
+    assert isinstance(dev, jax.Array) and dev.ndim == 2
+    t = host.shape[0]
+    assert dev.shape[0] >= t and dev.shape[0] & (dev.shape[0] - 1) == 0
+    np.testing.assert_array_equal(np.asarray(dev)[:t], host)
+    assert not np.asarray(dev)[t:].any()
+
+    docs = ["glaciers retreat", "limestone ridges", "valley meadows"]
+    records = [
+        _record(None, emb.embed_documents_tokens([d])) for d in docs
+    ]
+    retriever = LateInteractionRetriever.from_doc_records(
+        emb, records, k=2
+    )
+    async_hits = asyncio.run(retriever.aretrieve(text))
+    sync_hits = retriever.retrieve(text)
+    assert [(h.doc_id, h.chunk_id) for h in async_hits] == [
+        (h.doc_id, h.chunk_id) for h in sync_hits
+    ]
