@@ -740,10 +740,32 @@ def bench_service_level():
 
     out = {}
     for n, reps in ((100_000, 15), (1_000_000, 8)):
-        r = asyncio.run(run_service_bench(n, reps=reps))
+        # the 100k profile also runs a 16-in-flight concurrent phase:
+        # QPS under load is the production serving number (the query
+        # micro-batcher coalesces concurrent encodes into one dispatch,
+        # amortizing the tunnel RTT that dominates the serial p50)
+        conc = 16 if n == 100_000 else 0
+        r = asyncio.run(run_service_bench(n, reps=reps, concurrency=conc))
         tag = "100k" if n == 100_000 else "1m"
         out[f"service_retrieval_p50_ms_{tag}"] = round(r["p50_ms"], 2)
         out[f"service_retrieval_p95_ms_{tag}"] = round(r["p95_ms"], 2)
+        if "qps" in r:
+            out[f"service_retrieval_qps_c16_{tag}"] = r["qps"]
+            out[f"service_retrieval_c16_p95_ms_{tag}"] = round(
+                r["concurrent_p95_ms"], 2
+            )
+    # three-arm profile (dense + BM25 + late interaction): exercises the
+    # device-resident MaxSim query path end to end. 20k chunks keeps the
+    # one-time LI index upload through the tunnel bounded (~123 MB bf16).
+    # Best-effort: a tunnel hiccup here must not cost the headline line
+    try:
+        r = asyncio.run(run_service_bench(20_000, reps=10, with_li=True))
+        out["service_retrieval_li_p50_ms_20k"] = round(r["p50_ms"], 2)
+        out["service_retrieval_li_p95_ms_20k"] = round(r["p95_ms"], 2)
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"LI service profile failed: {e!r}", file=sys.stderr)
     return out
 
 

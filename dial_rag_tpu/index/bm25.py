@@ -602,6 +602,53 @@ class Bm25Index:
         queries rank by the same linear score)."""
         return self.top_n_with_scores(query_tokens, n)[0]
 
+    async def atop_n_with_scores(
+        self, query_tokens, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """``top_n_with_scores`` with cross-request coalescing:
+        concurrent callers' queries share one batched device dispatch +
+        one host sync per wave (see DenseIndex.afind for the latency
+        math — behind a high-latency link the per-request sync, not
+        device time, bounds serving QPS). Ranking identical to the
+        single-query path (a larger-k top list trims to a smaller k's
+        prefix exactly)."""
+        return await self._scan_batcher.submit((query_tokens, n))
+
+    @property
+    def _scan_batcher(self):
+        batcher = self.__dict__.get("_scan_batcher_cached")
+        if batcher is None:
+            from dial_rag_tpu.runtime.micro_batcher import (
+                MicroBatcher,
+                PerLoopBatcher,
+            )
+
+            async def scan_all(items: list) -> list:
+                import asyncio
+
+                return await asyncio.get_running_loop().run_in_executor(
+                    None, self._scan_wave, items
+                )
+
+            batcher = PerLoopBatcher(
+                lambda: MicroBatcher(scan_all, max_batch=64)
+            )
+            self.__dict__["_scan_batcher_cached"] = batcher
+        return batcher
+
+    def _scan_wave(self, items: list) -> list:
+        if len(items) == 1:
+            toks, n = items[0]
+            return [self.top_n_with_scores(toks, n)]
+        n_max = max(n for _, n in items)
+        outs = self.top_n_batch_with_scores(
+            [toks for toks, _ in items], n_max
+        )
+        return [
+            (idx[: min(n, len(idx))], vals[: min(n, len(vals))])
+            for (idx, vals), (_, n) in zip(outs, items)
+        ]
+
     def top_n_with_scores(
         self, query_tokens, n: int
     ) -> tuple[np.ndarray, np.ndarray]:

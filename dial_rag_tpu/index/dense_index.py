@@ -428,6 +428,53 @@ class DenseIndex:
         hits, _ = self.find_with_distances(query)
         return hits
 
+    async def afind(self, query) -> list[SearchHit]:
+        """``find`` with cross-request coalescing.
+
+        Concurrent callers' single queries (one per in-flight serving
+        request) stack into ONE ``find_batch`` device dispatch with ONE
+        host sync per wave instead of one each. Behind a high-latency
+        device link the per-request sync round-trip — not device time —
+        bounds serial latency, so sharing it across in-flight requests
+        is what lets QPS scale past 1/RTT. Results are identical to
+        ``find`` (find_batch parity is pinned by test_batch_find)."""
+        return await self._scan_batcher.submit(query)
+
+    @property
+    def _scan_batcher(self):
+        batcher = self.__dict__.get("_scan_batcher_cached")
+        if batcher is None:
+            from dial_rag_tpu.runtime.micro_batcher import (
+                MicroBatcher,
+                PerLoopBatcher,
+            )
+
+            async def scan_all(queries: list) -> list[list[SearchHit]]:
+                import asyncio
+
+                return await asyncio.get_running_loop().run_in_executor(
+                    None, self._scan_wave, queries
+                )
+
+            batcher = PerLoopBatcher(
+                lambda: MicroBatcher(scan_all, max_batch=64)
+            )
+            self.__dict__["_scan_batcher_cached"] = batcher
+        return batcher
+
+    def _scan_wave(self, queries: list) -> list[list[SearchHit]]:
+        if len(queries) == 1:
+            # a lone query keeps the single-row kernel (no extra stack
+            # dispatch on the serial path)
+            return [self.find(queries[0])]
+        rows = [
+            q.astype(jnp.float32).reshape(-1)
+            if isinstance(q, jax.Array)
+            else jnp.asarray(np.asarray(q, dtype=np.float32).reshape(-1))
+            for q in queries
+        ]
+        return self.find_batch(jnp.stack(rows))
+
     def find_batch(self, queries: np.ndarray) -> list[list[SearchHit]]:
         """Per-query hits for ``queries`` [Q, D] in ONE device dispatch.
 

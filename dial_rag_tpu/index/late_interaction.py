@@ -377,6 +377,95 @@ class LateInteractionIndex:
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
 
+    async def afind(self, query_tokens) -> list[SearchHit]:
+        """``find`` with cross-request coalescing (see DenseIndex.afind
+        for the latency math). Device-resident queries that arrived at
+        the SAME power-of-two lane bucket — the common case: the
+        embedder buckets every serving query — stack into one batched
+        MaxSim dispatch with BIT-identical scores; anything else
+        (host arrays, odd widths) keeps the single-query path."""
+        return await self._scan_batcher.submit(query_tokens)
+
+    @property
+    def _scan_batcher(self):
+        batcher = self.__dict__.get("_scan_batcher_cached")
+        if batcher is None:
+            from dial_rag_tpu.runtime.micro_batcher import (
+                MicroBatcher,
+                PerLoopBatcher,
+            )
+
+            async def scan_all(queries: list) -> list:
+                import asyncio
+
+                return await asyncio.get_running_loop().run_in_executor(
+                    None, self._scan_wave, queries
+                )
+
+            batcher = PerLoopBatcher(
+                lambda: MicroBatcher(scan_all, max_batch=64)
+            )
+            self.__dict__["_scan_batcher_cached"] = batcher
+        return batcher
+
+    def _scan_wave(self, queries: list) -> list[list[SearchHit]]:
+        if self._x is None:
+            return [[] for _ in queries]
+        out: list = [None] * len(queries)
+        groups: dict[int, list[int]] = {}
+        for i, q in enumerate(queries):
+            if (
+                isinstance(q, jax.Array)
+                and q.ndim == 2
+                and 0 < q.shape[0] <= _MAX_Q_LANES
+                and q.shape[1] == self.dim
+                and _bucket_q(int(q.shape[0])) == int(q.shape[0])
+            ):
+                groups.setdefault(int(q.shape[0]), []).append(i)
+            else:
+                out[i] = self.find(q)
+        k = min(self.limit, self.n_rows)
+        use_sort = k > _ARGMIN_MAX_K
+        for qp, idxs in groups.items():
+            # same memory bound as batched_maxsim_lookup: cap the
+            # (queries x lanes) scored per dispatch
+            g = max(1, _MAX_Q_LANES // qp)
+            g = 1 << (g.bit_length() - 1)
+            for s in range(0, len(idxs), g):
+                part = idxs[s : s + g]
+                if len(part) == 1:
+                    out[part[0]] = self.find(queries[part[0]])
+                    continue
+                q_tok = jnp.stack(
+                    [queries[i].astype(jnp.float32) for i in part]
+                )
+                nq = len(part)
+                nq_pad = 1 << max(2, (nq - 1).bit_length())
+                if nq_pad != nq:
+                    q_tok = jnp.pad(
+                        q_tok, ((0, nq_pad - nq), (0, 0), (0, 0))
+                    )
+                # every lane counts as a real token: the embedder zeroes
+                # padded positions and zero tokens are score-inert, so
+                # counts = qp reproduces the single-query device path
+                # (and the padding queries are all-zero -> dropped rows)
+                q_counts = np.zeros((nq_pad,), dtype=np.int32)
+                q_counts[:nq] = qp
+                vals, idx = _maxsim_find_batch_kernel(
+                    self._x,
+                    self._counts,
+                    jnp.int32(self.n_rows),
+                    q_tok,
+                    jnp.asarray(q_counts),
+                    k=k,
+                    use_sort=use_sort,
+                )
+                vals = np.asarray(vals)
+                idx = np.asarray(idx)
+                for row, i in enumerate(part):
+                    out[i] = finite_maxsim_hits(self, vals[row], idx[row])[0]
+        return out
+
     def find_batch(
         self, queries_tokens: list[np.ndarray]
     ) -> list[list[SearchHit]]:

@@ -124,6 +124,12 @@ class Bm25Retriever:
         ]
 
     async def aretrieve(self, query: str) -> list[SearchHit]:
+        atop = getattr(self._index, "atop_n_with_scores", None)
+        if atop is not None:
+            # cross-request coalescing: concurrent requests' scoring
+            # shares one batched device dispatch (Bm25Index.atop_n_*)
+            top, scores = await atop(keywords_preprocess(query), self.k)
+            return [self._hit(i, s) for i, s in zip(top, scores)]
         return await asyncio.get_running_loop().run_in_executor(
             None, self.retrieve, query
         )

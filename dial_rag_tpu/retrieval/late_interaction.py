@@ -109,6 +109,11 @@ class LateInteractionRetriever:
         # arrays (sharded) coerce via np.asarray with identical scores
         # (zero tokens are score-inert)
         q_tokens = await self.embedder.aembed_query_tokens_device(query)
+        afind = getattr(self.index, "afind", None)
+        if afind is not None:
+            # cross-request coalescing: same-bucket concurrent queries
+            # share one MaxSim dispatch (LateInteractionIndex.afind)
+            return await afind(q_tokens)
         return await asyncio.get_running_loop().run_in_executor(
             None, self.index.find, q_tokens
         )

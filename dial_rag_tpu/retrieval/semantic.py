@@ -101,6 +101,11 @@ class SemanticRetriever:
 
     async def aretrieve(self, query: str) -> list[SearchHit]:
         query_emb = await self.embedder.aembed_query(query)
+        afind = getattr(self.index, "afind", None)
+        if afind is not None:
+            # cross-request scan coalescing: concurrent requests share
+            # one find_batch dispatch + one host sync (DenseIndex.afind)
+            return await afind(query_emb)
         return await asyncio.get_running_loop().run_in_executor(
             None, self.index.find, query_emb
         )

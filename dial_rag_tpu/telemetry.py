@@ -366,12 +366,22 @@ class OtlpJsonHttpExporter(SpanExporter):
         self._max_buffer = max_buffer
         self._dropped = 0
         self._warned = False
+        self._stopped = False
         self._flush_interval = flush_interval
         self._thread = threading.Thread(
             target=self._flush_loop, daemon=True, name="otlp-export"
         )
         self._thread.start()
         atexit.register(self.force_flush)
+
+    def shutdown(self) -> None:
+        """Stop the flush thread and the at-exit flush; idempotent.
+        For exporters whose collector does not outlive the process
+        (tests, short-lived tools) — otherwise the interpreter-exit
+        flush posts the global metrics registry at a dead endpoint and
+        logs a spurious connection error after the program's output."""
+        self._stopped = True
+        atexit.unregister(self.force_flush)
 
     def export(self, span: _Span) -> None:
         log_drop = False
@@ -415,11 +425,13 @@ class OtlpJsonHttpExporter(SpanExporter):
                 logger.warning(f"OTLP export to {self._endpoint} failed: {e}")
 
     def _flush_loop(self) -> None:
-        while True:
+        while not self._stopped:
             time.sleep(self._flush_interval)
             self.force_flush()
 
     def force_flush(self) -> None:
+        if self._stopped:
+            return
         with self._lock:
             spans, self._buffer = self._buffer, []
             dropped, self._dropped = self._dropped, 0

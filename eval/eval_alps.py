@@ -406,6 +406,7 @@ async def run_eval(
     answers: bool = False,
     pseudo_queries: bool = True,
     handmade: bool = True,
+    html_corpus: bool = True,
 ) -> dict:
     pdf_bytes, rows = load_alps(data_dir)
     t0 = time.perf_counter()
@@ -656,7 +657,95 @@ async def run_eval(
                 for key in ("recall@7", "mrr")
             }
         metrics["pseudo"] = pseudo_metrics
+
+    if html_corpus:
+        html_path = Path(HTML_CORPUS_PATH)
+        if html_path.is_file():
+            metrics["html_corpus"] = await eval_html_corpus(
+                html_path,
+                rows + hm_rows,
+                embedder=embedder,
+                li_embedder=li_embedder,
+            )
     return metrics
+
+
+HTML_CORPUS_PATH = "/root/reference/tests/data/alps_wiki.html"
+
+
+async def eval_html_corpus(
+    html_path: Path, rows: list[dict], embedder, li_embedder
+) -> dict:
+    """Format-transfer eval: the SAME questions and trained arms over
+    the reference's HTML rendition of the article
+    (reference tests/data/alps_wiki.html), parsed by the first-party
+    HTML pipeline instead of the PDF stack. Same article content, so
+    NOT an independent corpus — what it measures is that retrieval
+    quality survives the document-format change end to end (parser ->
+    chunker -> all arms). Questions whose facts do not re-map onto the
+    HTML chunks (>=80% trigram coverage) are DROPPED and counted:
+    an unmapped question here is a cross-format labeling gap, not a
+    retrieval failure."""
+    html_bytes = html_path.read_bytes()
+    chunks = parse_document(
+        html_bytes,
+        "text/html",
+        source_link=html_path.name,
+        display_name=html_path.name,
+    )
+    truth_all = fact_relevance(chunks, rows)
+    kept = [i for i, t in enumerate(truth_all) if t]
+    rows_kept = [rows[i] for i in kept]
+    truth = [truth_all[i] for i in kept]
+
+    record = await build_record(html_bytes, chunks, embedder, li_embedder)
+    record.mime_type = "text/html"
+    retrievers = {"bm25": Bm25Retriever.from_doc_records([record], k=7)}
+    retrievers["late_interaction"] = (
+        LateInteractionRetriever.from_doc_records(li_embedder, [record], k=7)
+    )
+    if embedder is not None:
+        retrievers["semantic"] = SemanticRetriever.from_doc_records(
+            embedder, [record], k=7
+        )
+        retrievers["ensemble"] = EnsembleRetriever(
+            [
+                retrievers["semantic"],
+                retrievers["bm25"],
+                retrievers["late_interaction"],
+            ]
+        )
+
+    out: dict = {
+        "corpus": html_path.name,
+        "n_chunks": len(chunks),
+        "n_questions": len(rows_kept),
+        "dropped_unmapped_questions": len(rows) - len(rows_kept),
+        "note": "same article as the PDF corpus rendered as HTML — "
+        "measures format-transfer of the full pipeline, not an "
+        "independent corpus",
+    }
+    per_q: dict[str, dict] = {}
+    for name, retriever in retrievers.items():
+        all_hits = [
+            await retriever.aretrieve(r["question"]) for r in rows_kept
+        ]
+        per_q[name] = score_per_question(all_hits, truth, chunks)
+        n = max(len(rows_kept), 1)
+        out[name] = {
+            "recall@1": sum(per_q[name]["recall@1"]) / n,
+            "recall@7": sum(per_q[name]["recall@7"]) / n,
+            "mrr": sum(per_q[name]["mrr"]) / n,
+            "recall@7_ci95": list(bootstrap_ci(per_q[name]["recall@7"])),
+        }
+    if "ensemble" in per_q:
+        out["ensemble_vs_bm25"] = {
+            key: paired_delta_ci(
+                per_q["ensemble"][key], per_q["bm25"][key]
+            )
+            for key in ("recall@7", "mrr")
+        }
+    return out
 
 
 def main(argv=None) -> dict:
@@ -692,6 +781,12 @@ def main(argv=None) -> dict:
         help="skip the 155 hand-authored questions and the combined "
         "n>=190 block",
     )
+    parser.add_argument(
+        "--no-html-corpus",
+        action="store_true",
+        help="skip the HTML format-transfer block (same questions over "
+        "the reference's alps_wiki.html through the HTML parser)",
+    )
     args = parser.parse_args(argv)
 
     if not alps_data_available(args.data_dir):
@@ -704,6 +799,7 @@ def main(argv=None) -> dict:
             answers=args.answers,
             pseudo_queries=not args.no_pseudo,
             handmade=not args.no_handmade,
+            html_corpus=not args.no_html_corpus,
         )
     )
 

@@ -449,3 +449,43 @@ def test_published_synthetic_artifact_is_real_and_meets_floors():
     assert m["late_interaction"]["recall@7"] >= 0.98
     assert m["late_interaction"]["recall@1"] >= 0.9
     assert m["ensemble"]["recall@7"] >= 0.98
+
+
+def test_html_format_transfer_eval_mechanics():
+    """The html_corpus block of eval_alps (format-transfer: same
+    questions over the reference's HTML rendition through the
+    first-party HTML parser) must run end to end: chunks parse, every
+    retained question keeps >=1 mapped relevant chunk, BM25 scores
+    sanely on the re-chunked corpus (quality numbers live in
+    eval/out/alps_metrics.json; this pins the mechanics hermetically
+    with a tiny random LI embedder)."""
+    from eval.eval_alps import HTML_CORPUS_PATH, eval_html_corpus, load_alps
+
+    html_path = Path(HTML_CORPUS_PATH)
+    if not html_path.is_file():
+        pytest.skip("reference HTML corpus not mounted")
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.models.tokenizer import build_test_vocab
+
+    _, rows = load_alps()
+    rows = rows[:5]
+    words = sorted(
+        {w for r in rows for w in r["question"].lower().split()}
+        | set("alps mountain climate glacier europe range".split())
+    )
+    li_embedder = BgeEmbedder.from_random(
+        vocab=build_test_vocab(words, size=2048), batch_size=32
+    )
+    li_embedder.max_len = (
+        li_embedder.encoder.config.max_position_embeddings
+    )
+    out = asyncio.run(
+        eval_html_corpus(html_path, rows, None, li_embedder)
+    )
+    assert out["n_chunks"] > 50
+    assert out["n_questions"] + out["dropped_unmapped_questions"] == 5
+    assert out["n_questions"] >= 1
+    # the HTML re-chunking must not break lexical retrieval
+    assert out["bm25"]["recall@7"] >= 0.8
+    assert "ensemble" not in out  # no semantic embedder passed

@@ -124,3 +124,50 @@ async def test_ensemble_batch_matches_single():
     batched = await ens.aretrieve_batch(["a", "b"])
     singles = [await ens.aretrieve(q) for q in ["a", "b"]]
     assert batched == singles
+
+
+def test_afind_coalesces_concurrent_queries_and_matches_find():
+    """Concurrent ``afind`` calls coalesce into find_batch waves (one
+    device dispatch + one host sync per wave) with results identical to
+    per-query ``find`` — the cross-request serving coalescing the
+    micro-batcher gives the encode side, applied to the scan side."""
+    import asyncio
+
+    rng = np.random.default_rng(7)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(n),
+            embeddings=rng.standard_normal((n, 8)).astype(np.float32),
+        )
+        for n in (23, 41)
+    ]
+    for storage in ("float32", "two_pass"):
+        index = DenseIndex(
+            RetrievalType.TEXT,
+            docs,
+            metric=Metric.SQEUCLIDEAN_DIST,
+            limit=5,
+            storage_dtype=storage,
+        )
+        waves: list[int] = []
+        orig = index._scan_wave
+
+        def spy(queries, _orig=orig):
+            waves.append(len(queries))
+            return _orig(queries)
+
+        index._scan_wave = spy
+        queries = rng.standard_normal((11, 8)).astype(np.float32)
+
+        async def run_all():
+            return await asyncio.gather(
+                *(index.afind(q) for q in queries)
+            )
+
+        results = asyncio.run(run_all())
+        for q, hits in zip(queries, results):
+            assert hits == index.find(q)
+        # everything submitted inside one loop tick lands in one wave
+        # (max_batch permitting)
+        assert sum(waves) == len(queries)
+        assert max(waves) > 1, waves

@@ -401,3 +401,47 @@ def test_weighted_query_mapping_matches_counted_list():
         0.25 * dense.get_scores(["climate"]),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_atop_coalesces_concurrent_queries_and_matches_single():
+    """Concurrent ``atop_n_with_scores`` calls coalesce into batched
+    waves with ranking identical to per-query ``top_n_with_scores`` —
+    on BOTH device layouts — including mixed per-caller n (a larger-k
+    top list trims to a smaller k's exact prefix)."""
+    import asyncio
+
+    queries = [
+        ["cadibona"],
+        ["alps", "climate"],
+        ["alps"],
+        ["the"],
+        ["unknownterm"],
+        ["cadibona", "pass"],
+    ]
+    ns = [3, 7, 1, 5, 2, 4]
+    for kwargs in ({}, {"max_dense_bytes": 0}):
+        index = Bm25Index.build(CORPUS, **kwargs)
+        waves: list[int] = []
+        orig = index._scan_wave
+
+        def spy(items, _orig=orig):
+            waves.append(len(items))
+            return _orig(items)
+
+        index._scan_wave = spy
+
+        async def run_all():
+            return await asyncio.gather(
+                *(
+                    index.atop_n_with_scores(q, n)
+                    for q, n in zip(queries, ns)
+                )
+            )
+
+        results = asyncio.run(run_all())
+        for (q, n), (idx, vals) in zip(zip(queries, ns), results):
+            exp_idx, exp_vals = index.top_n_with_scores(q, n)
+            np.testing.assert_array_equal(idx, exp_idx)
+            np.testing.assert_allclose(vals, exp_vals, rtol=1e-5, atol=1e-6)
+        assert sum(waves) == len(queries)
+        assert max(waves) > 1, waves

@@ -553,3 +553,50 @@ def test_embedder_device_query_tokens_match_host():
     assert [(h.doc_id, h.chunk_id) for h in async_hits] == [
         (h.doc_id, h.chunk_id) for h in sync_hits
     ]
+
+
+def test_afind_coalesces_same_bucket_device_queries():
+    """Concurrent ``afind`` calls with device-resident queries at the
+    same power-of-two lane bucket share one batched MaxSim dispatch
+    with hits identical to per-query ``find``; odd-width/host queries
+    fall back to the single path inside the same wave."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    chunks = random_ragged(rng, 29)
+    index = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=16, limit=5
+    )
+    # device rows at bucket width 8 (zero-padded like the embedder's
+    # device path produces), one odd host query in the same wave
+    dev_queries = []
+    for _ in range(6):
+        q = np.zeros((8, 16), dtype=np.float32)
+        t = int(rng.integers(2, 8))
+        q[:t] = rng.standard_normal((t, 16)).astype(np.float32)
+        dev_queries.append(jnp.asarray(q))
+    host_q = rng.standard_normal((3, 16)).astype(np.float32)
+
+    waves: list[int] = []
+    orig = index._scan_wave
+
+    def spy(items, _orig=orig):
+        waves.append(len(items))
+        return _orig(items)
+
+    index._scan_wave = spy
+
+    async def run_all():
+        return await asyncio.gather(
+            *(index.afind(q) for q in dev_queries),
+            index.afind(host_q),
+        )
+
+    results = asyncio.run(run_all())
+    for q, hits in zip(dev_queries, results[:-1]):
+        assert hits == index.find(q)
+    assert results[-1] == index.find(host_q)
+    assert sum(waves) == 7
+    assert max(waves) > 1, waves

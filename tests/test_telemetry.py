@@ -158,6 +158,11 @@ def test_otlp_http_exporter_posts_traces_and_metrics():
             finally:
                 telemetry.set_provider(previous)
                 telemetry.metrics().reset()
+                # the collector dies with this test: without shutdown,
+                # the atexit flush would post the suite's accumulated
+                # global counters at the dead port and log a connection
+                # error AFTER the pytest summary
+                exporter.shutdown()
         finally:
             await server.close()
 

@@ -67,9 +67,13 @@ def _doc_pdf() -> bytes:
     )
 
 
-async def _build_record(chunks, embedder, settings, doc_bytes):
+async def _build_record(
+    chunks, embedder, settings, doc_bytes, li_tokens: int = 0
+):
     """Synthetic DocumentRecord: real BM25 token index + random unit
-    embeddings (the scan cost is content-independent)."""
+    embeddings (the scan cost is content-independent). ``li_tokens`` > 0
+    also attaches a late-interaction index with that many random unit
+    token rows per chunk (MaxSim scan cost is content-independent too)."""
     from dial_rag_tpu.documents.model import (
         FORMAT_VERSION,
         DocumentRecord,
@@ -82,6 +86,13 @@ async def _build_record(chunks, embedder, settings, doc_bytes):
         np.float32
     )
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    li_index = None
+    if li_tokens:
+        rows = rng.standard_normal(
+            (len(chunks), li_tokens, embedder.dim)
+        ).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=2, keepdims=True)
+        li_index = list(rows)
     text_index = await Bm25Retriever.build_index(chunks)
     return DocumentRecord(
         format_version=FORMAT_VERSION,
@@ -91,14 +102,20 @@ async def _build_record(chunks, embedder, settings, doc_bytes):
         embeddings_index=pack_simple_embeddings(emb),
         multimodal_embeddings_index=None,
         description_embeddings_index=None,
-        late_interaction_index=None,
+        late_interaction_index=li_index,
         mime_type="application/pdf",
         document_bytes=doc_bytes,
     )
 
 
 async def run_service_bench(
-    n_chunks: int = 100_000, reps: int = 20, embedder=None
+    n_chunks: int = 100_000,
+    reps: int = 20,
+    embedder=None,
+    with_li: bool = False,
+    li_tokens: int = 8,
+    concurrency: int = 0,
+    profile: bool = False,
 ) -> dict:
     import tempfile
 
@@ -152,7 +169,18 @@ async def run_service_bench(
         "indexing": {
             "description_index": None,
             "multimodal_index": None,
-            "late_interaction_index": None,
+            # with_li exercises the third local arm: the device-resident
+            # MaxSim path (query rows never leave HBM between encode and
+            # scan); bf16 storage halves the HBM footprint at f32
+            # accumulation
+            "late_interaction_index": (
+                {
+                    "max_chunk_tokens": li_tokens,
+                    "index_dtype": "bfloat16",
+                }
+                if with_li
+                else None
+            ),
         },
         "request": {"type": "retrieval"},
     }
@@ -171,7 +199,11 @@ async def run_service_bench(
     rng = np.random.default_rng(3)
     t0 = time.perf_counter()
     record = await _build_record(
-        _make_chunks(n_chunks, rng), embedder, settings, doc_bytes
+        _make_chunks(n_chunks, rng),
+        embedder,
+        settings,
+        doc_bytes,
+        li_tokens=li_tokens if with_li else 0,
     )
     build_s = time.perf_counter() - t0
     index_url = link_to_index_url(doc_url, "test-bucket")
@@ -198,6 +230,15 @@ async def run_service_bench(
             ],
         }
 
+        import aiohttp
+
+        # the warmup request pays one-time costs a serving replica pays
+        # at boot (remote kernel compiles up to ~250 s each + the index
+        # upload through the tunnel) — far past aiohttp's default 5 min
+        # client timeout, so give every request a generous budget; the
+        # timed reps finish in milliseconds-to-seconds regardless
+        _timeout = aiohttp.ClientTimeout(total=1800)
+
         async def one_request(query: str) -> float:
             body = json.loads(json.dumps(payload))
             body["messages"][0]["content"] = query
@@ -206,6 +247,7 @@ async def run_service_bench(
                 "/openai/deployments/dial-rag/chat/completions",
                 json=body,
                 headers={"api-key": "bench-key"},
+                timeout=_timeout,
             )
             data = await resp.json()
             dt = time.perf_counter() - t0
@@ -218,37 +260,131 @@ async def run_service_bench(
             ), att
             return dt
 
-        # warmup: compiles the query-encode bucket + the scan shapes
+        # warmup: compiles the scan shapes AND every query-encode /
+        # query-lane bucket the timed queries can land in (a 4-7 word
+        # query can tokenize into different power-of-two lane buckets;
+        # an uncovered bucket recompiles mid-timing and lands in p95)
         await one_request("warmup glacier river query")
+        await one_request("warmup pass")
+        await one_request(
+            "warmup mountain valley snow tourism geology flora "
+            "fauna history culture village climate"
+        )
         words = (
             "alps climate glacier peak river snow tourism geology "
             "valley culture"
         ).split()
+        # cover the EXACT timed-query shape (4 words + an id suffix —
+        # the suffix's subword tokens can cross a query-lane bucket
+        # boundary the plain warmups never touch; an uncovered bucket
+        # recompiles mid-timing and lands a multi-second p95 outlier)
+        await one_request("warmup peak snow river w0")
         times = []
         for i in range(reps):
             q = " ".join(rng.choice(words, size=4)) + f" q{i}"
             times.append(await one_request(q))
         times_ms = sorted(t * 1e3 for t in times)
+        import sys
+
+        print(
+            "rep times ms:",
+            [round(t, 1) for t in times_ms],
+            file=sys.stderr,
+        )
         p50 = times_ms[len(times_ms) // 2]
         p95 = times_ms[min(len(times_ms) - 1, int(len(times_ms) * 0.95))]
-        return {
+        out = {
             "n_chunks": n_chunks,
             "p50_ms": p50,
             "p95_ms": p95,
             "reps": reps,
             "index_build_s": round(build_s, 2),
+            "with_li": with_li,
         }
+        if concurrency > 1:
+            # concurrent-load phase: the sequential p50 above is
+            # dominated by per-dispatch link RTT; under concurrent
+            # requests the query micro-batcher coalesces in-flight
+            # encodes into one device dispatch (embedder.aembed_query),
+            # so QPS — the production serving number — amortizes the
+            # round-trips that serial latency cannot
+            creps = max(reps, concurrency * 4)
+            sem = asyncio.Semaphore(concurrency)
+
+            async def timed(q: str) -> float:
+                async with sem:
+                    return await one_request(q)
+
+            queries = [
+                " ".join(rng.choice(words, size=4)) + f" cq{i}"
+                for i in range(creps)
+            ]
+            prof = None
+            if profile:
+                from dial_rag_tpu.utils.sampling_profiler import (
+                    SamplingProfiler,
+                )
+
+                prof = SamplingProfiler(interval=0.005)
+                prof.start()
+            t0 = time.perf_counter()
+            ctimes = await asyncio.gather(*(timed(q) for q in queries))
+            wall = time.perf_counter() - t0
+            if prof is not None:
+                import sys
+
+                prof.stop()
+                print(prof.render(min_fraction=0.02), file=sys.stderr)
+            ctimes_ms = sorted(t * 1e3 for t in ctimes)
+            out["concurrency"] = concurrency
+            out["concurrent_reps"] = creps
+            out["qps"] = round(creps / wall, 2)
+            out["concurrent_p50_ms"] = ctimes_ms[len(ctimes_ms) // 2]
+            out["concurrent_p95_ms"] = ctimes_ms[
+                min(len(ctimes_ms) - 1, int(len(ctimes_ms) * 0.95))
+            ]
+        return out
     finally:
         await client.close()
         await fake.stop()
 
 
 def main(argv=None):
+    from eval._platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--n-chunks", type=int, default=100_000)
     parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument(
+        "--with-li",
+        action="store_true",
+        help="enable the late-interaction arm (device-resident MaxSim "
+        "query path) alongside dense + BM25",
+    )
+    parser.add_argument(
+        "--concurrency",
+        type=int,
+        default=0,
+        help="also run a concurrent-load phase with this many in-flight "
+        "requests and report QPS (micro-batcher coalescing)",
+    )
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="wrap the concurrent phase in the sampling profiler and "
+        "print the wall-clock call tree to stderr",
+    )
     args = parser.parse_args(argv)
-    out = asyncio.run(run_service_bench(args.n_chunks, args.reps))
+    out = asyncio.run(
+        run_service_bench(
+            args.n_chunks,
+            args.reps,
+            with_li=args.with_li,
+            concurrency=args.concurrency,
+            profile=args.profile,
+        )
+    )
     print(json.dumps(out))
     return out
 
