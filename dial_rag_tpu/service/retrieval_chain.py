@@ -355,7 +355,14 @@ async def make_image_by_page(
             scaled_size=page_image_size,
         ):
             key = next(keys_it)
-            encoded = pil_image_as_base64(image, format="PNG")
+            # PNG encoding a rendered page costs ~20 ms of pure CPU;
+            # off the event loop so concurrent requests keep flowing
+            # (measured 11% of loop time under 16-way load)
+            from dial_rag_tpu.runtime.host_pools import run_in_parse_pool
+
+            encoded = await run_in_parse_pool(
+                pil_image_as_base64, image, "PNG"
+            )
             image_by_page[key] = encoded
             if doc_record.cache_token is not None:
                 _page_render_cache_put(

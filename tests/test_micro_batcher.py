@@ -48,6 +48,37 @@ async def test_sequential_submits_get_separate_batches():
     assert len(calls) == 2
 
 
+async def test_inflight_wave_accumulates_arrivals_into_one_followup():
+    """Backpressure alignment: arrivals during an in-flight wave form
+    ONE follow-up wave that flushes the moment the wave completes —
+    not per-arrival waves gated by the 2 ms timer (the device path the
+    wave occupies is the resource the next wave needs)."""
+    calls = []
+    release = asyncio.Event()
+
+    async def batch_fn(items):
+        calls.append(list(items))
+        if len(calls) == 1:
+            await release.wait()
+        return items
+
+    b = MicroBatcher(batch_fn, max_batch=16, window_s=0.001)
+    first = asyncio.ensure_future(b.submit("w0"))
+    await asyncio.sleep(0.01)  # wave 1 in flight, blocked on release
+    late = [asyncio.ensure_future(b.submit(f"l{i}")) for i in range(5)]
+    # well past the window: accumulation must NOT have flushed them
+    await asyncio.sleep(0.02)
+    assert len(calls) == 1
+    release.set()
+    results = await asyncio.wait_for(
+        asyncio.gather(first, *late), timeout=1.0
+    )
+    assert results == ["w0", "l0", "l1", "l2", "l3", "l4"]
+    assert len(calls) == 2 and sorted(calls[1]) == [
+        "l0", "l1", "l2", "l3", "l4",
+    ]
+
+
 async def test_errors_propagate_to_all_waiters():
     async def batch_fn(items):
         raise ValueError("boom")

@@ -319,6 +319,15 @@ async def run_service_bench(
                 " ".join(rng.choice(words, size=4)) + f" cq{i}"
                 for i in range(creps)
             ]
+            # untimed concurrent warmup burst: the coalesced waves hit
+            # BATCHED query-lane buckets (Q=2..concurrency) the serial
+            # warmup never compiles; an uncompiled bucket recompiles
+            # mid-measurement (observed: 2.3 s) and poisons QPS/p95
+            warm = [
+                " ".join(rng.choice(words, size=4)) + f" cw{i}"
+                for i in range(concurrency)
+            ]
+            await asyncio.gather(*(one_request(q) for q in warm))
             prof = None
             if profile:
                 from dial_rag_tpu.utils.sampling_profiler import (
@@ -327,6 +336,16 @@ async def run_service_bench(
 
                 prof = SamplingProfiler(interval=0.005)
                 prof.start()
+
+            from dial_rag_tpu import telemetry
+
+            def _wave_stats() -> tuple[float, float]:
+                reg = telemetry.metrics()
+                return reg.total("microbatch_waves"), reg.total(
+                    "microbatch_items"
+                )
+
+            waves0, items0 = _wave_stats()
             t0 = time.perf_counter()
             ctimes = await asyncio.gather(*(timed(q) for q in queries))
             wall = time.perf_counter() - t0
@@ -336,9 +355,15 @@ async def run_service_bench(
                 prof.stop()
                 print(prof.render(min_fraction=0.02), file=sys.stderr)
             ctimes_ms = sorted(t * 1e3 for t in ctimes)
+            waves1, items1 = _wave_stats()
             out["concurrency"] = concurrency
             out["concurrent_reps"] = creps
             out["qps"] = round(creps / wall, 2)
+            if waves1 > waves0:
+                out["avg_wave_items"] = round(
+                    (items1 - items0) / (waves1 - waves0), 2
+                )
+                out["waves"] = int(waves1 - waves0)
             out["concurrent_p50_ms"] = ctimes_ms[len(ctimes_ms) // 2]
             out["concurrent_p95_ms"] = ctimes_ms[
                 min(len(ctimes_ms) - 1, int(len(ctimes_ms) * 0.95))
