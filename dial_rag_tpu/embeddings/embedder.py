@@ -776,6 +776,21 @@ class BgeEmbedder:
 
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        out, n = self._embed_queries_wave(texts)
+        # avoid a spurious eager slice op when the batch wasn't padded
+        # (eager dispatches are not free behind a remote device link)
+        if int(out.shape[0]) == n:
+            return out
+        return out[:n]
+
+    def _embed_queries_wave(self, texts: list[str]):
+        """Unsliced wave output ``([Qb, D] device array, n_real)``: the
+        trailing ``Qb - n`` rows are encodes of padding and must be
+        ignored by the caller. The coalesced query path hands waiters
+        DeviceRow views into this array so no per-row slices dispatch
+        (see utils/device_rows.py)."""
+        from dial_rag_tpu import telemetry
+
         ids, mask = self.tokenizer.encode_batch(
             [self.query_instruction + t for t in texts],
             max_len=self.max_len,
@@ -787,11 +802,7 @@ class BgeEmbedder:
             out = self.encoder.encode(
                 self.params, *self._device_put_batch(ids, mask)
             )
-        # avoid a spurious eager slice op when the batch wasn't padded
-        # (eager dispatches are not free behind a remote device link)
-        if int(out.shape[0]) == len(texts):
-            return out
-        return out[: len(texts)]
+        return out, len(texts)
 
     async def aembed_documents(self, texts: list[str]) -> np.ndarray:
         """Bulk encode through the 1-worker indexing dispatch pool:
@@ -806,15 +817,17 @@ class BgeEmbedder:
         )
 
     async def aembed_query(self, text: str):
-        """One DEVICE-RESIDENT [D] row (np-coercible jax array).
+        """One DEVICE-RESIDENT [D] row as an np-coercible ``DeviceRow``
+        view into the wave's shared encode output.
 
         Query encodes take their own lane so they never queue behind
         a bulk indexing stream's host tokenization; concurrent queries
         from different requests coalesce into ONE device dispatch via
         the micro-batcher (a [Q, S] encode costs nearly the same as
-        [1, S]). The row stays on device so ``DenseIndex.find`` can
-        consume it without an intermediate host round-trip; call
-        ``np.asarray`` on it when host floats are actually needed."""
+        [1, S]). The result stays on device — and unmaterialized — so
+        ``DenseIndex.afind`` waves scan the shared encode output with
+        zero per-row dispatches; call ``np.asarray`` on it when host
+        floats are actually needed."""
         return await self._query_batcher.submit(text)
 
     @property
@@ -829,11 +842,18 @@ class BgeEmbedder:
                 PerLoopBatcher,
             )
 
+            from dial_rag_tpu.utils.device_rows import DeviceRow
+
             async def encode_all(texts: list[str]):
-                out = await run_in_query_dispatch_pool(
-                    self.embed_queries_device, texts
+                # waiters get zero-copy views into the shared wave
+                # output — per-row slicing would pay one eager dispatch
+                # (and, behind the tunnel, one ~1 s compile per distinct
+                # (bucket, offset)) per request, re-serializing the
+                # round-trip the wave exists to share
+                out, n = await run_in_query_dispatch_pool(
+                    self._embed_queries_wave, texts
                 )
-                return list(out)
+                return [DeviceRow(out, i) for i in range(n)]
 
             batcher = PerLoopBatcher(
                 lambda: MicroBatcher(encode_all, max_batch=64)

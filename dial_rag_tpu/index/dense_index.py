@@ -273,6 +273,14 @@ def _find_batch_kernel(
     return jax.vmap(lambda d: topk(d, k))(dists)
 
 
+@jax.jit
+def _gather_rows_jit(parent, idx):
+    """One-dispatch [q_pad]-row gather out of a DeviceRow wave parent
+    (idx is traced, so ONE compile per (parent bucket, q_pad) pair —
+    not one per distinct offset pattern like eager row slices)."""
+    return jnp.take(parent, idx, axis=0).astype(jnp.float32)
+
+
 def hits_from_topk(
     vals, idx, n_rows, doc_ids, chunk_ids, retrieval_type
 ) -> tuple[list[SearchHit], list[float]]:
@@ -463,43 +471,85 @@ class DenseIndex:
         return batcher
 
     def _scan_wave(self, queries: list) -> list[list[SearchHit]]:
+        from dial_rag_tpu.utils.device_rows import DeviceRow, as_wave
+
         if len(queries) == 1:
             # a lone query keeps the single-row kernel (no extra stack
             # dispatch on the serial path)
             return [self.find(queries[0])]
-        rows = [
-            q.astype(jnp.float32).reshape(-1)
-            if isinstance(q, jax.Array)
-            else jnp.asarray(np.asarray(q, dtype=np.float32).reshape(-1))
-            for q in queries
-        ]
+        wave = as_wave(queries)
+        if wave is not None:
+            # the wave's rows all view ONE encode output [Qb, D]: scan
+            # the parent array in place — zero row-level dispatches
+            # between encode and scan (the whole point of DeviceRow;
+            # per-row slice+restack costs one eager dispatch per row
+            # plus, behind a remote link, one compile per distinct
+            # (bucket, offset))
+            parent, indices = wave
+            q = len(indices)
+            qb = int(parent.shape[0])
+            q_pad = 1 << max(3, (q - 1).bit_length())
+            if indices == list(range(q)) and qb >= q_pad and (
+                qb & (qb - 1)
+            ) == 0:
+                return self.find_batch(parent, n_real=q)
+            # same parent, subset/scrambled rows (e.g. one encode wave
+            # feeding several per-document indexes): ONE gather dispatch
+            idx = np.full((q_pad,), indices[0], dtype=np.int32)
+            idx[:q] = indices
+            rows = _gather_rows_jit(parent, jnp.asarray(idx))
+            return self.find_batch(rows, n_real=q)
+        rows = []
+        for qv in queries:
+            if isinstance(qv, DeviceRow):
+                qv = qv.resolve()
+            rows.append(
+                qv.astype(jnp.float32).reshape(-1)
+                if isinstance(qv, jax.Array)
+                else jnp.asarray(
+                    np.asarray(qv, dtype=np.float32).reshape(-1)
+                )
+            )
         return self.find_batch(jnp.stack(rows))
 
-    def find_batch(self, queries: np.ndarray) -> list[list[SearchHit]]:
+    def find_batch(
+        self, queries: np.ndarray, n_real: int | None = None
+    ) -> list[list[SearchHit]]:
         """Per-query hits for ``queries`` [Q, D] in ONE device dispatch.
 
         Identical results to Q ``find`` calls; the doc matrix is read
         from HBM once instead of Q times. Q is padded to a power-of-two
-        bucket so the jit cache stays small.
+        bucket so the jit cache stays small. ``n_real`` marks how many
+        leading rows are real queries when the array is already padded
+        (a DeviceRow wave parent carries encode-bucket padding rows that
+        must be scanned-and-ignored, not sliced off — the slice would
+        cost the eager dispatch the wave path exists to avoid).
         """
         if isinstance(queries, jax.Array):
             # device-resident queries stay on device (see
             # find_with_distances); padding happens in HBM
             queries = queries.astype(jnp.float32)
-            q = queries.shape[0]
+            q = queries.shape[0] if n_real is None else n_real
             if q == 0 or self._emb is None:
                 return [[] for _ in range(q)]
             q_pad = 1 << max(3, (q - 1).bit_length())
-            if q_pad != q:
-                queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+            if queries.shape[0] < q_pad:
+                queries = jnp.pad(
+                    queries, ((0, q_pad - queries.shape[0]), (0, 0))
+                )
+            # shape[0] may EXCEED q_pad (encode-bucket padding): the
+            # kernel scans the extra rows; wave-scale device time is
+            # trivial next to one slice dispatch through a remote link
         else:
             queries = np.asarray(queries, dtype=np.float32)
-            q = queries.shape[0]
+            q = queries.shape[0] if n_real is None else n_real
             if q == 0 or self._emb is None:
                 return [[] for _ in range(q)]
             q_pad = 1 << max(3, (q - 1).bit_length())
-            if q_pad != q:
-                queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
+            if queries.shape[0] < q_pad:
+                queries = np.pad(
+                    queries, ((0, q_pad - queries.shape[0]), (0, 0))
+                )
         k = min(self.limit, self.n_rows)
         if self._emb_f32 is not None:
             ok, vals, idx = _find_two_pass_batch_kernel(
@@ -557,8 +607,15 @@ class DenseIndex:
         ]
 
     def find_with_distances(self, query):
+        from dial_rag_tpu.utils.device_rows import DeviceRow
+
         if self._emb is None:
             return [], []
+        if isinstance(query, DeviceRow):
+            # lone query off the coalesced encode path: one memoized
+            # slice materializes the row (the wave fast path lives in
+            # _scan_wave and never gets here)
+            query = query.resolve()
         if isinstance(query, jax.Array):
             # device-resident query (embed_queries_device): the
             # encode->scan dependency resolves on the device, so the

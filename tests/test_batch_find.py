@@ -171,3 +171,96 @@ def test_afind_coalesces_concurrent_queries_and_matches_find():
         # (max_batch permitting)
         assert sum(waves) == len(queries)
         assert max(waves) > 1, waves
+
+
+def _no_resolve(self):  # pragma: no cover - fails the test if reached
+    raise AssertionError(
+        "DeviceRow.resolve() dispatched a per-row slice on the wave path"
+    )
+
+
+def test_device_row_wave_scans_parent_without_row_slices(monkeypatch):
+    """A scan wave whose queries are DeviceRow views of ONE encode
+    output must consume the parent array directly (identity layout) or
+    via one gather (subset/scrambled) — never per-row slices, which
+    cost one eager dispatch each (and one compile per distinct offset
+    through the remote tunnel)."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.utils.device_rows import DeviceRow
+
+    rng = np.random.default_rng(11)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(n),
+            embeddings=rng.standard_normal((n, 8)).astype(np.float32),
+        )
+        for n in (23, 41)
+    ]
+    # parent mimics an encode-bucket wave output: 8 rows, 5 real
+    parent_np = rng.standard_normal((8, 8)).astype(np.float32)
+    parent = jnp.asarray(parent_np)
+    for storage in ("float32", "two_pass"):
+        index = DenseIndex(
+            RetrievalType.TEXT,
+            docs,
+            metric=Metric.SQEUCLIDEAN_DIST,
+            limit=5,
+            storage_dtype=storage,
+        )
+        monkeypatch.setattr(DeviceRow, "resolve", _no_resolve)
+        # identity layout: rows 0..q-1 of the padded parent
+        rows = [DeviceRow(parent, i) for i in range(5)]
+        got = index._scan_wave(rows)
+        # subset/scrambled layout: one gather dispatch, no slices
+        scrambled = [DeviceRow(parent, i) for i in (3, 0, 4)]
+        got_scrambled = index._scan_wave(scrambled)
+        monkeypatch.undo()
+        for i, hits in enumerate(got):
+            assert hits == index.find(parent_np[i])
+        for j, hits in zip((3, 0, 4), got_scrambled):
+            assert hits == index.find(parent_np[j])
+
+
+def test_device_row_mixed_parents_fall_back_and_match():
+    """Rows from different encode waves in one scan wave resolve
+    individually (the rare fallback) with identical results."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.utils.device_rows import DeviceRow
+
+    rng = np.random.default_rng(12)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(17),
+            embeddings=rng.standard_normal((17, 8)).astype(np.float32),
+        )
+    ]
+    index = DenseIndex(RetrievalType.TEXT, docs, limit=4)
+    a = rng.standard_normal((8, 8)).astype(np.float32)
+    b = rng.standard_normal((8, 8)).astype(np.float32)
+    rows = [DeviceRow(jnp.asarray(a), 1), DeviceRow(jnp.asarray(b), 2)]
+    got = index._scan_wave(rows)
+    assert got[0] == index.find(a[1])
+    assert got[1] == index.find(b[2])
+
+
+def test_device_row_np_coercion_and_single_find():
+    """A lone DeviceRow (serial path) materializes once and matches the
+    plain-array query; np.asarray coercion yields the parent row."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.utils.device_rows import DeviceRow
+
+    rng = np.random.default_rng(13)
+    docs = [
+        DocEmbeddings(
+            chunk_ids=np.arange(17),
+            embeddings=rng.standard_normal((17, 8)).astype(np.float32),
+        )
+    ]
+    index = DenseIndex(RetrievalType.TEXT, docs, limit=4)
+    parent_np = rng.standard_normal((8, 8)).astype(np.float32)
+    row = DeviceRow(jnp.asarray(parent_np), 2)
+    np.testing.assert_allclose(np.asarray(row), parent_np[2], rtol=1e-6)
+    assert index.find(row) == index.find(parent_np[2])
