@@ -141,6 +141,175 @@ def topk_hits(raw):
     ]
 
 
+def fuse_n(arm_raws, weights, method, norm, depth):
+    """One query: n-arm deployable score fusion (top-``depth`` list
+    norm, absent docs 0) — same rule as tune_score_fusion.fuse_scores
+    but over an arbitrary arm dict."""
+    n = next(iter(arm_raws.values())).shape[0]
+    fused = np.zeros(n, dtype=np.float64)
+    support = np.zeros(n, dtype=np.float64)
+    for arm, raw in arm_raws.items():
+        w = weights[arm]
+        if w == 0.0:
+            continue
+        top = np.argsort(-raw, kind="stable")[:depth]
+        s = np.zeros(n, dtype=np.float64)
+        s[top] = normalize(raw[top], norm)
+        fused += w * s
+        support[np.argsort(-raw, kind="stable")[:K]] += 1.0
+    if method == "combmnz":
+        fused *= np.maximum(support, 1.0)
+    order = np.argsort(-fused, kind="stable")[:K]
+    return [
+        SearchHit(doc_id=0, chunk_id=int(c), retrieval_type=RetrievalType.TEXT)
+        for c in order
+    ]
+
+
+async def run_full(data_dir, model_dir, li_model_dir, n_lo=2, n_hi=4):
+    """Stage 2: 4-arm grid (bm25 fixed 1.0; semantic / late_interaction /
+    chargram weights swept) under the same DEV-only selection."""
+    from eval.eval_alps import build_record
+    from eval.tune_score_fusion import ARMS as TRAINED_ARMS
+    from eval.tune_score_fusion import arm_score_matrix
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    pdf_bytes, rows = load_alps(data_dir)
+    chunks = parse_alps(pdf_bytes)
+    chunk_texts = [c.text for c in chunks]
+    embedder = BgeEmbedder.from_hf_checkpoint(model_dir)
+    li_embedder = BgeEmbedder.from_hf_checkpoint(li_model_dir)
+    record = await build_record(pdf_bytes, chunks, embedder, li_embedder)
+
+    bm25_index = Bm25Index.build(record.text_index)
+    emb_matrix = np.concatenate(record.embeddings_index, axis=0)
+    li_token_lists = [
+        np.asarray(t, dtype=np.float32) for t in record.late_interaction_index
+    ]
+    scorer = ChargramScorer(chunk_texts, n_lo, n_hi)
+
+    hm_rows = load_handmade_questions()
+    hm_truth = fact_relevance(chunks, hm_rows)
+    dev_idx = list(range(0, len(hm_rows), 2))
+    test_idx = list(range(1, len(hm_rows), 2))
+    real_truth = fact_relevance(chunks, rows)
+    pseudo_rows = make_pseudo_queries(rows)
+    pseudo_truth = fact_relevance(chunks, pseudo_rows)
+
+    kw = dict(
+        bm25_index=bm25_index,
+        embedder=embedder,
+        li_embedder=li_embedder,
+        emb_matrix=emb_matrix,
+        li_token_lists=li_token_lists,
+    )
+    splits = {
+        "handmade": ([r["question"] for r in hm_rows], hm_truth),
+        "real": ([r["question"] for r in rows], real_truth),
+        "pseudo": ([r["question"] for r in pseudo_rows], pseudo_truth),
+    }
+    mats = {}
+    for split, (qs, _) in splits.items():
+        mats[split] = {
+            a: arm_score_matrix(a, qs, **kw) for a in TRAINED_ARMS
+        }
+        mats[split]["chargram"] = np.stack([scorer.score(q) for q in qs])
+
+    def grid_metrics(split, weights, method, norm, depth, idx):
+        m = mats[split]
+        truth = splits[split][1]
+        rows_idx = idx if idx is not None else list(range(len(truth)))
+        all_hits = [
+            fuse_n(
+                {a: m[a][i] for a in m}, weights, method, norm, depth
+            )
+            for i in rows_idx
+        ]
+        sub_truth = [truth[i] for i in rows_idx]
+        per_q = score_per_question(all_hits, sub_truth, chunks)
+        nq = max(len(sub_truth), 1)
+        return {k: sum(v) / nq for k, v in per_q.items()}
+
+    best = None
+    for method, norm, depth, ws, wl, wc in itertools.product(
+        ("combsum", "combmnz"),
+        ("minmax", "zscore"),
+        (15, 30),
+        (0.0, 0.25, 0.5),
+        (0.0, 0.25, 0.5, 1.0),
+        (0.25, 0.5, 0.75, 1.0),
+    ):
+        w = {
+            "semantic": ws,
+            "bm25": 1.0,
+            "late_interaction": wl,
+            "chargram": wc,
+        }
+        dev = grid_metrics("handmade", w, method, norm, depth, dev_idx)
+        key = (dev["recall@7"], dev["mrr"])
+        if best is None or key > best[0]:
+            best = (key, (method, norm, depth, dict(w)))
+    (dev_r7, dev_mrr), (method, norm, depth, w) = best
+
+    def report(weights, method, norm, depth):
+        return {
+            "method": method,
+            "norm": norm,
+            "depth": depth,
+            "weights": weights,
+            "handmade_dev": grid_metrics(
+                "handmade", weights, method, norm, depth, dev_idx
+            ),
+            "handmade_test": grid_metrics(
+                "handmade", weights, method, norm, depth, test_idx
+            ),
+            "real_39": grid_metrics(
+                "real", weights, method, norm, depth, None
+            ),
+            "pseudo": grid_metrics(
+                "pseudo", weights, method, norm, depth, None
+            ),
+        }
+
+    out = {
+        "protocol": (
+            "4-arm deployable fusion grid (bm25 fixed 1.0; semantic/li/"
+            "chargram swept; chargram shape fixed at the stage-1 DEV "
+            f"winner {n_lo}..{n_hi}); selected on handmade DEV recall@7 "
+            "then MRR; TEST/39-row/pseudo untouched by selection"
+        ),
+        "winner": report(w, method, norm, depth),
+        # prior shipped profile for side-by-side comparison
+        "prior_combmnz_no_chargram": report(
+            {
+                "semantic": 0.0,
+                "bm25": 1.0,
+                "late_interaction": 0.5,
+                "chargram": 0.0,
+            },
+            "combmnz",
+            "minmax",
+            30,
+        ),
+        # bm25 + chargram only (the stage-1 2-arm winner re-scored in
+        # this harness for consistency)
+        "bm25_chargram_only": report(
+            {
+                "semantic": 0.0,
+                "bm25": 1.0,
+                "late_interaction": 0.0,
+                "chargram": 1.0,
+            },
+            "combmnz",
+            "minmax",
+            30,
+        ),
+    }
+    return out
+
+
 async def run(data_dir, model_dir=None, li_model_dir=None):
     from dial_rag_tpu.index.bm25 import Bm25Index
     from dial_rag_tpu.retrieval.bm25_retriever import Bm25Retriever
@@ -261,9 +430,39 @@ def main(argv=None):
     p.add_argument("--model-dir", default=None)
     p.add_argument("--li-model-dir", default=None)
     p.add_argument("--out", default=str(Path(__file__).parent / "out"))
+    p.add_argument(
+        "--full",
+        action="store_true",
+        help="stage 2: 4-arm grid incl. the trained arms "
+        "(requires --model-dir/--li-model-dir)",
+    )
     args = p.parse_args(argv)
     if not alps_data_available(args.data_dir):
         raise SystemExit(f"alps data not found under {args.data_dir}")
+    if args.full:
+        out = asyncio.run(
+            run_full(args.data_dir, args.model_dir, args.li_model_dir)
+        )
+        Path(args.out).mkdir(parents=True, exist_ok=True)
+        with open(Path(args.out) / "chargram_full.json", "w") as f:
+            json.dump(out, f, indent=2)
+        for name in (
+            "winner",
+            "prior_combmnz_no_chargram",
+            "bm25_chargram_only",
+        ):
+            r = out[name]
+            print(
+                f"{name:28s} {r['method']}/{r['norm']}/d={r['depth']} "
+                f"w={r['weights']}  "
+                f"dev@7={r['handmade_dev']['recall@7']:.3f} "
+                f"TEST@7={r['handmade_test']['recall@7']:.3f} "
+                f"test_mrr={r['handmade_test']['mrr']:.3f} "
+                f"real39@7={r['real_39']['recall@7']:.3f} "
+                f"real39_mrr={r['real_39']['mrr']:.3f} "
+                f"pseudo@7={r['pseudo']['recall@7']:.3f}"
+            )
+        return out
     out = asyncio.run(run(args.data_dir, args.model_dir, args.li_model_dir))
     Path(args.out).mkdir(parents=True, exist_ok=True)
     with open(Path(args.out) / "chargram.json", "w") as f:
