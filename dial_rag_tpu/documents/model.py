@@ -60,6 +60,11 @@ class DocumentRecord:
     # one ragged [t_i, D] f32 array per chunk. None unless the (off by
     # default) late_interaction_index is configured.
     late_interaction_index: MultiEmbeddings | None = None
+    # surface word tokens per chunk (unstemmed, unlike text_index) for
+    # the char-n-gram fuzzy-lexical arm; grams + corpus idf derive at
+    # retriever construction. None unless the (off by default)
+    # chargram_index is configured.
+    chargram_index: list[list[str]] | None = None
     # content identity stamped by the storage layer (url, sha256 of the
     # serialized bytes); keys the device-index cache across requests.
     # Not serialized.

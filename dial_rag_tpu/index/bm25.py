@@ -308,16 +308,66 @@ class Bm25Index:
         denom_norm = K1 * (1.0 - B + B * dl / avgdl)  # [N]
 
         index = cls(vocab=vocab, idf=idf, n_items=n)
+        index._assemble(
+            rows,
+            lambda i, tid, f: idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i]),
+            max_dense_bytes=max_dense_bytes,
+            device=device,
+            max_band_bytes=max_band_bytes,
+        )
+        return index
 
+    @classmethod
+    def from_term_weights(
+        cls,
+        vocab: dict[str, int],
+        idf: np.ndarray,
+        weight_rows: list[dict[int, float]],
+        max_dense_bytes: int = 256 * 1024 * 1024,
+        device: bool = True,
+        max_band_bytes: int = 512 * 1024 * 1024,
+    ) -> "Bm25Index":
+        """Assemble the device layouts from EXPLICIT per-item term
+        weights instead of the Okapi formula. Every scoring path is the
+        linear form ``score[i] = sum_t q[t] * W[i, t]``, so any retrieval
+        model of that shape (e.g. the char-n-gram TF-IDF cosine arm,
+        index/chargram.py) rides the same dense-band + CSC machinery,
+        batching, coalescing, and sharded wrappers unchanged."""
+        if not any(weight_rows):
+            raise ValueError("Text index is empty.")
+        index = cls(vocab=vocab, idf=idf, n_items=len(weight_rows))
+        index._assemble(
+            weight_rows,
+            lambda i, tid, w: w,
+            max_dense_bytes=max_dense_bytes,
+            device=device,
+            max_band_bytes=max_band_bytes,
+        )
+        return index
+
+    def _assemble(
+        self,
+        rows: list[dict[int, float]],
+        weight_of,
+        *,
+        max_dense_bytes: int,
+        device: bool,
+        max_band_bytes: int,
+    ) -> None:
+        """Lay ``weight_of(item, term, rows[item][term])`` out as either
+        a dense [n_pad, v_pad] matrix or band+CSC postings (the layout
+        decision and device placement shared by ``build`` and
+        ``from_term_weights``)."""
+        n, v = self.n_items, len(self.vocab)
         n_pad = _pad_to(max(n, 8), 8)
         v_pad = _pad_to(max(v, _LANE), _LANE)
         if n_pad * v_pad * 4 <= max_dense_bytes:
             w = np.zeros((n_pad, v_pad), dtype=np.float32)
             for i, tf in enumerate(rows):
                 for tid, f in tf.items():
-                    w[i, tid] = idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
-            index._weights_dev = jnp.asarray(w) if device else None
-            index._weights_host = w
+                    w[i, tid] = weight_of(i, tid, f)
+            self._weights_dev = jnp.asarray(w) if device else None
+            self._weights_host = w
         else:
             # device CSC postings (term-major): rows/vals in HBM sorted by
             # term then item; term_ptr stays on host for slice lookup
@@ -326,9 +376,7 @@ class Bm25Index:
             for i, tf in enumerate(rows):
                 for tid, f in tf.items():
                     per_term_rows[tid].append(i)
-                    per_term_vals[tid].append(
-                        idf[tid] * f * (K1 + 1.0) / (f + denom_norm[i])
-                    )
+                    per_term_vals[tid].append(weight_of(i, tid, f))
             # dense band: the highest-df terms are scatter-add poison on
             # TPU (one serialized update per posting; a ubiquitous term
             # can carry ~n postings). Terms with df >= n/64 move into a
@@ -354,8 +402,8 @@ class Bm25Index:
                     w_band[per_term_rows[tid], col] = per_term_vals[tid]
                     per_term_rows[tid] = []
                     per_term_vals[tid] = []
-                index._band_cols = {tid: c for c, tid in enumerate(heavy)}
-                index._band_dev = jnp.asarray(w_band)
+                self._band_cols = {tid: c for c, tid in enumerate(heavy)}
+                self._band_dev = jnp.asarray(w_band)
             term_ptr = np.zeros(v + 1, dtype=np.int64)
             for tid in range(v):
                 term_ptr[tid + 1] = term_ptr[tid] + len(per_term_rows[tid])
@@ -374,7 +422,7 @@ class Bm25Index:
                 # zero-pad by a full virtual slice so dynamic_slice
                 # loads never clamp (row 0 / weight 0.0 entries add
                 # exactly nothing wherever they land)
-                index._postings = (
+                self._postings = (
                     term_ptr,
                     jnp.asarray(
                         np.pad(rows_flat, (0, _VSLICE))
@@ -384,8 +432,7 @@ class Bm25Index:
                     ),
                 )
             else:
-                index._postings_host = (term_ptr, rows_flat, vals_flat)
-        return index
+                self._postings_host = (term_ptr, rows_flat, vals_flat)
 
     @staticmethod
     def _iter_term_weights(query_tokens):

@@ -839,13 +839,13 @@ class ShardedBm25SparseIndex:
         band terms ride the [K] count vector instead of the tables.
         Slice counts differ per shard, so the count multipliers are a
         sharded [S, T] table, not a replicated vector."""
-        from dial_rag_tpu.index.bm25 import _VSLICE, _next_pow2
+        from dial_rag_tpu.index.bm25 import _VSLICE, Bm25Index, _next_pow2
 
-        counts: dict[int, int] = {}
-        for t in query_tokens:
+        counts: dict[int, float] = {}
+        for t, w in Bm25Index._iter_term_weights(query_tokens):
             tid = self._base.vocab.get(t)
             if tid is not None:
-                counts[tid] = counts.get(tid, 0) + 1
+                counts[tid] = counts.get(tid, 0.0) + w
         band_q = None
         if self._band_cols:
             band_q = np.zeros(self._band_sh.shape[2], dtype=np.float32)

@@ -223,6 +223,30 @@ class LateInteractionIndexConfig(BaseConfig):
     )
 
 
+class ChargramIndexConfig(BaseConfig):
+    """Char-n-gram fuzzy-lexical retrieval (TF-IDF cosine over
+    word-boundary-marked char n-grams) — a corpus-only capability beyond
+    the reference, off by default. Recovers morphological paraphrase
+    matches Porter2 stemming drops; measured to lift held-out paraphrase
+    MRR above bm25-only when fused (eval/tune_chargram.py,
+    BASELINE.md). Memory: ~1.5k distinct grams per 1000-char chunk in
+    the band+CSC layout past the dense byte cap."""
+
+    n_lo: Annotated[int, IndexRebuildTrigger()] = Field(
+        default=2,
+        ge=1,
+        le=8,
+        description="Shortest char n-gram (the DEV-selected shape is "
+        "2..4).",
+    )
+    n_hi: Annotated[int, IndexRebuildTrigger()] = Field(
+        default=4,
+        ge=1,
+        le=12,
+        description="Longest char n-gram.",
+    )
+
+
 class IndexingConfig(BaseConfig):
     parser: ParserConfig = Field(default=ParserConfig())
     multimodal_index: MultimodalIndexConfig | None = Field(
@@ -237,6 +261,11 @@ class IndexingConfig(BaseConfig):
         default=None,
         description="Enables token-level late-interaction (MaxSim) "
         "retrieval with the local encoder.",
+    )
+    chargram_index: ChargramIndexConfig | None = Field(
+        default=None,
+        description="Enables char-n-gram fuzzy-lexical retrieval "
+        "(morphology-robust TF-IDF cosine, no model required).",
     )
 
     def collect_fields_that_rebuild_index(self):
@@ -294,6 +323,7 @@ ENSEMBLE_ARMS = (
     "semantic",
     "late_interaction",
     "bm25",
+    "chargram",
     "multimodal",
     "description",
 )

@@ -171,6 +171,16 @@ async def load_document_impl(
             SemanticRetriever.build_index(embedder, chunks_list)
         )
 
+        chargram_task = None
+        if index_config.chargram_index is not None:
+            from dial_rag_tpu.retrieval.chargram_retriever import (
+                ChargramRetriever,
+            )
+
+            chargram_task = tg.create_task(
+                ChargramRetriever.build_index(chunks_list)
+            )
+
         late_interaction_task = None
         if index_config.late_interaction_index is not None:
             from dial_rag_tpu.retrieval.late_interaction import (
@@ -204,6 +214,9 @@ async def load_document_impl(
         ),
         late_interaction_index=(
             late_interaction_task.result() if late_interaction_task else None
+        ),
+        chargram_index=(
+            chargram_task.result() if chargram_task else None
         ),
         mime_type=mime_type,
         document_bytes=doc_bytes,

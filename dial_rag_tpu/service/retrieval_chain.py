@@ -186,6 +186,25 @@ def create_retriever(
         )
         weights.append(w("late_interaction"))
 
+    from dial_rag_tpu.retrieval.chargram_retriever import ChargramRetriever
+
+    if w("chargram") > 0 and ChargramRetriever.has_index(document_records):
+        cg_config = indexing_config.chargram_index
+        retrievers.append(
+            make_retrieval_stage(
+                ChargramRetriever.from_doc_records(
+                    document_records,
+                    arm_k,
+                    n_lo=cg_config.n_lo if cg_config else 2,
+                    n_hi=cg_config.n_hi if cg_config else 4,
+                    device_cache=device_cache,
+                    mesh=mesh,
+                ),
+                "Fuzzy keywords search",
+            )
+        )
+        weights.append(w("chargram"))
+
     if w("bm25") > 0 and Bm25Retriever.has_index(document_records):
         retrievers.append(
             make_retrieval_stage(

@@ -64,6 +64,7 @@ def serialize_record(record: DocumentRecord, compresslevel: int = 1) -> bytes:
             record.description_embeddings_index
         ),
         "late_interaction_index": _pack_multi(record.late_interaction_index),
+        "chargram_index": record.chargram_index,
         "mime_type": record.mime_type,
         "document_bytes": record.document_bytes,
     }
@@ -97,6 +98,10 @@ def deserialize_record(data: bytes) -> DocumentRecord:
             # be the thing that fails)
             payload.get("late_interaction_index")
         ),
+        # .get: records persisted before the chargram arm lack the key;
+        # enabling the arm changes IndexSettings, which triggers the
+        # rebuild — deserialization itself must not fail
+        chargram_index=payload.get("chargram_index"),
         mime_type=payload["mime_type"],
         document_bytes=payload["document_bytes"],
     )

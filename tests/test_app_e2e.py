@@ -889,6 +889,65 @@ async def test_late_interaction_index_e2e(harness):
         assert not any("Processing document" in n for n in stages2)
 
 
+async def test_chargram_index_e2e(harness):
+    """Enabling the (off-by-default) char-n-gram index persists surface
+    word tokens, adds the fuzzy-keywords retriever stage, and retrieves
+    the matching chunk through a MORPHOLOGICAL variant of its words (the
+    arm's reason to exist); the persisted record round-trips."""
+    async with harness(
+        {"request": {"indexing": {"chargram_index": {}}}}
+    ) as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        h.fake.script_llm("Cadibona bounds the Alps. <[1]>")
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        # 'boundaries' is a derivational variant of the
+                        # document's 'boundary' — shared char grams must
+                        # carry the match
+                        "Colle di Cadibona southern boundaries",
+                        url="files/user-bucket/big.pdf",
+                    )
+                ]
+            }
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stage_names = [s["name"] for s in custom["stages"]]
+        assert any("Fuzzy keywords search" in n for n in stage_names)
+        cg_stage = next(
+            s for s in custom["stages"] if "Fuzzy keywords" in s["name"]
+        )
+        assert cg_stage["status"] == "completed"
+        assert "cadibona" in cg_stage["attachments"][0]["data"].lower()
+
+        # the persisted record (with the chargram_index field) reloads
+        resp2 = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "southern boundary?", url="files/user-bucket/big.pdf"
+                    )
+                ]
+            }
+        )
+        assert resp2.status == 200
+        body2 = await resp2.json()
+        stages2 = [
+            s["name"]
+            for s in body2["choices"][0]["message"]["custom_content"]["stages"]
+        ]
+        assert any("Load indexes" in n for n in stages2)
+        assert any("Fuzzy keywords search" in n for n in stages2)
+        assert not any("Processing document" in n for n in stages2)
+
+
 async def test_rate_limit_storm_collapses_to_single_429(harness, monkeypatch):
     """A 429 storm on the remote embeddings model during a multimodal
     build must collapse the per-page ExceptionGroup into ONE 429
