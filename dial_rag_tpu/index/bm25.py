@@ -345,6 +345,88 @@ class Bm25Index:
         )
         return index
 
+    @classmethod
+    def from_term_weight_arrays(
+        cls,
+        vocab: dict,
+        idf: np.ndarray,
+        item_ids: np.ndarray,
+        term_ids: np.ndarray,
+        weights: np.ndarray,
+        n_items: int,
+        max_dense_bytes: int = 256 * 1024 * 1024,
+        device: bool = True,
+        max_band_bytes: int = 512 * 1024 * 1024,
+    ) -> "Bm25Index":
+        """Vectorized counterpart of ``from_term_weights``: explicit
+        (item, term, weight) COO triples with unique (item, term) pairs.
+        Produces the same layouts as ``_assemble`` (dense under the byte
+        cap, else dense band over df >= n/64 terms + term-major CSC tail
+        with item-ascending rows per term — the sorted-scatter contract)
+        without the per-posting Python loop: the chargram arm carries
+        ~1.5k grams per chunk, where dict assembly measured ~30 chunks/s
+        against the 12k chunks/s indexing headline."""
+        if weights.size == 0:
+            raise ValueError("Text index is empty.")
+        index = cls(vocab=vocab, idf=idf, n_items=n_items)
+        item_ids = np.asarray(item_ids, dtype=np.int64)
+        term_ids = np.asarray(term_ids, dtype=np.int64)
+        weights = np.asarray(weights, dtype=np.float32)
+        n, v = n_items, len(vocab)
+        n_pad = _pad_to(max(n, 8), 8)
+        v_pad = _pad_to(max(v, _LANE), _LANE)
+        if n_pad * v_pad * 4 <= max_dense_bytes:
+            w = np.zeros((n_pad, v_pad), dtype=np.float32)
+            w[item_ids, term_ids] = weights
+            index._weights_dev = jnp.asarray(w) if device else None
+            index._weights_host = w
+            return index
+
+        df = np.bincount(term_ids, minlength=v)
+        if device:
+            k_cap = max(0, max_band_bytes // (n_pad * 4))
+            heavy_mask = df >= max(n // 64, 64)
+            heavy = np.nonzero(heavy_mask)[0]
+            heavy = heavy[np.argsort(-df[heavy], kind="stable")][:k_cap]
+        else:
+            heavy = np.zeros(0, dtype=np.int64)
+        band_col = np.full(v, -1, dtype=np.int64)
+        if heavy.size:
+            band_col[heavy] = np.arange(heavy.size)
+            k_band = _pad_to(int(heavy.size), _LANE)
+            w_band = np.zeros((n_pad, k_band), dtype=np.float32)
+            in_band = band_col[term_ids] >= 0
+            w_band[item_ids[in_band], band_col[term_ids[in_band]]] = (
+                weights[in_band]
+            )
+            index._band_cols = {
+                int(t): int(c) for c, t in enumerate(heavy)
+            }
+            index._band_dev = jnp.asarray(w_band)
+            tail = ~in_band
+            item_ids, term_ids, weights = (
+                item_ids[tail],
+                term_ids[tail],
+                weights[tail],
+            )
+        # term-major CSC, item-ascending per term (the sorted-scatter
+        # contract _query_vslices relies on)
+        order = np.lexsort((item_ids, term_ids))
+        rows_flat = item_ids[order].astype(np.int32)
+        vals_flat = weights[order]
+        tail_df = np.bincount(term_ids, minlength=v)
+        term_ptr = np.zeros(v + 1, dtype=np.int64)
+        np.cumsum(tail_df, out=term_ptr[1:])
+        if device:
+            index._postings = (
+                term_ptr,
+                jnp.asarray(np.pad(rows_flat, (0, _VSLICE))),
+                jnp.asarray(np.pad(vals_flat, (0, _VSLICE))),
+            )
+        else:
+            index._postings_host = (term_ptr, rows_flat, vals_flat)
+        return index
+
     def _assemble(
         self,
         rows: list[dict[int, float]],

@@ -54,6 +54,7 @@ def load_native(name: str) -> ctypes.CDLL | None:
                             "-std=c++17",
                             "-shared",
                             "-fPIC",
+                            "-pthread",
                             str(src),
                             "-o",
                             str(tmp),

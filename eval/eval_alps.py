@@ -128,7 +128,10 @@ def parse_alps(pdf_bytes: bytes):
 
 
 async def build_record(pdf_bytes: bytes, chunks, embedder=None, li_embedder=None):
+    from dial_rag_tpu.retrieval.chargram_retriever import ChargramRetriever
+
     text_index = await Bm25Retriever.build_index(chunks)
+    chargram_index = await ChargramRetriever.build_index(chunks)
     embeddings_index = (
         await SemanticRetriever.build_index(embedder, chunks)
         if embedder is not None
@@ -148,6 +151,7 @@ async def build_record(pdf_bytes: bytes, chunks, embedder=None, li_embedder=None
         multimodal_embeddings_index=None,
         description_embeddings_index=None,
         late_interaction_index=late_interaction_index,
+        chargram_index=chargram_index,
         mime_type="application/pdf",
         document_bytes=pdf_bytes,
     )
@@ -452,7 +456,10 @@ async def run_eval(
     truth = fact_relevance(chunks, rows)
     questions = [r["question"] for r in rows]
 
+    from dial_rag_tpu.retrieval.chargram_retriever import ChargramRetriever
+
     retrievers = {"bm25": Bm25Retriever.from_doc_records([record], k=7)}
+    retrievers["chargram"] = ChargramRetriever.from_doc_records([record], k=7)
     retrievers["late_interaction"] = LateInteractionRetriever.from_doc_records(
         li_embedder, [record], k=7
     )
@@ -484,6 +491,25 @@ async def run_eval(
             fusion_method="combmnz",
             fusion_norm="minmax",
             output_limit=14,
+        )
+        # the round-4 chargram winner (BASELINE.md "Char-n-gram arm"):
+        # combsum/minmax over per-arm depth-30 lists, weights {semantic:
+        # 0, bm25: 1, late_interaction: 1, chargram: 1} — selected on
+        # the handmade DEV half only (eval/tune_chargram.py --full);
+        # the first profile to beat bm25-only on BOTH recall@7 and MRR
+        # of the untouched paraphrase TEST half
+        retrievers["ensemble_chargram"] = EnsembleRetriever(
+            [
+                Bm25Retriever.from_doc_records([record], k=30),
+                LateInteractionRetriever.from_doc_records(
+                    li_embedder, [record], k=30
+                ),
+                ChargramRetriever.from_doc_records([record], k=30),
+            ],
+            weights=[1.0, 1.0, 1.0],
+            fusion_method="combsum",
+            fusion_norm="minmax",
+            output_limit=21,
         )
 
     metrics: dict = {
@@ -545,6 +571,13 @@ async def run_eval(
             )
             for key in ("recall@7", "mrr")
         }
+    if "ensemble_chargram" in per_q:
+        metrics["ensemble_chargram_vs_bm25"] = {
+            key: paired_delta_ci(
+                per_q["ensemble_chargram"][key], per_q["bm25"][key]
+            )
+            for key in ("recall@7", "mrr")
+        }
 
     if answers and "ensemble" in hits_by_arm:
         metrics["answers"] = await eval_answers(
@@ -600,6 +633,20 @@ async def run_eval(
                 "(eval/tune_score_fusion.py): full-set numbers carry "
                 "mild selection optimism; the untouched TEST-half "
                 "number is recall@7 0.948 = bm25-only"
+            )
+        if "ensemble_chargram" in hm_per_q:
+            hm_metrics["ensemble_chargram_vs_bm25"] = {
+                key: paired_delta_ci(
+                    hm_per_q["ensemble_chargram"][key], hm_per_q["bm25"][key]
+                )
+                for key in ("recall@7", "mrr")
+            }
+            hm_metrics["ensemble_chargram_note"] = (
+                "profile selected on this set's even-index DEV half "
+                "(eval/tune_chargram.py --full): full-set numbers carry "
+                "mild selection optimism; the untouched TEST-half "
+                "numbers are recall@7 0.961 / MRR 0.853, both above "
+                "bm25-only (0.948 / 0.830)"
             )
         metrics["handmade"] = hm_metrics
 
@@ -698,9 +745,12 @@ async def eval_html_corpus(
     rows_kept = [rows[i] for i in kept]
     truth = [truth_all[i] for i in kept]
 
+    from dial_rag_tpu.retrieval.chargram_retriever import ChargramRetriever
+
     record = await build_record(html_bytes, chunks, embedder, li_embedder)
     record.mime_type = "text/html"
     retrievers = {"bm25": Bm25Retriever.from_doc_records([record], k=7)}
+    retrievers["chargram"] = ChargramRetriever.from_doc_records([record], k=7)
     retrievers["late_interaction"] = (
         LateInteractionRetriever.from_doc_records(li_embedder, [record], k=7)
     )

@@ -106,14 +106,17 @@ def test_environment_presets_load_and_validate():
         )
         if path.name == "zero_egress_tuned.yaml":
             # retrieval-only profile (no image-index flavor choice):
-            # must carry the measured score-fusion settings
+            # must carry the measured score-fusion settings (the
+            # round-4 chargram winner, eval/tune_chargram.py --full)
             r = config.request.retrieval
-            assert r.fusion_method == "combmnz"
+            assert r.fusion_method == "combsum"
             assert r.fusion_depth == 30
             assert r.ensemble_weights == {
                 "semantic": 0.0,
-                "late_interaction": 0.5,
+                "late_interaction": 1.0,
+                "chargram": 1.0,
             }
+            assert config.request.indexing.chargram_index is not None
             continue
         indexing = config.request.indexing
         flavors = [indexing.multimodal_index, indexing.description_index]
