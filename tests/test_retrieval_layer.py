@@ -256,18 +256,11 @@ def test_retrieval_config_validates_arms():
         RetrievalConfig(ensemble_weights={"sematic": 1.0})
     with pytest.raises(ValidationError, match=">= 0"):
         RetrievalConfig(ensemble_weights={"bm25": -1.0})
+    from dial_rag_tpu.service.config import ENSEMBLE_ARMS
+
     with pytest.raises(ValidationError, match="at least one"):
         RetrievalConfig(
-            ensemble_weights={
-                a: 0.0
-                for a in (
-                    "semantic",
-                    "late_interaction",
-                    "bm25",
-                    "multimodal",
-                    "description",
-                )
-            }
+            ensemble_weights={a: 0.0 for a in ENSEMBLE_ARMS}
         )
 
 
