@@ -391,6 +391,93 @@ def bench_scale_10m(reps=2):
     del emb, queries
     gc.collect()
 
+    # ---- dense int8 @ 10M and 30M -----------------------------------------
+    # the quarter-byte capacity layout (DenseIndex storage_dtype="int8"):
+    # s8 x s8 -> s32 MXU matmul over per-row absmax-quantized rows.
+    # 30M x 384 int8 = 10.7 GiB — a corpus 3x the bf16 row's ceiling on
+    # one chip (bf16 at 30M would be 21.5 GiB and OOM).
+    from dial_rag_tpu.index.dense_index import (
+        _int8_distances,
+        _int8_quantize_query,
+    )
+    from dial_rag_tpu.ops.stable_topk import stable_topk_argmin as _tka
+
+    for n_rows_i8, bench_key in (
+        (10_000_000, "query_10m_int8_ms"),
+        (30_000_000, "query_30m_int8_ms"),
+    ):
+
+        @jax.jit
+        def gen_i8(seed, n_rows_i8=n_rows_i8):
+            kq, ke, ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+            # 16 slabs: the transient i32 randint slab must stay small
+            # next to the 10.7 GiB int8 output at 30M rows
+            n_chunks_gen = 16
+            rows_per = n_rows_i8 // n_chunks_gen
+
+            def gen_chunk(_, key):
+                # draw int32 per slab (int8 randint is not supported on
+                # all backends), cast down — the f32/i32 intermediate is
+                # only rows_per x 384
+                return None, jax.random.randint(
+                    key, (rows_per, d), -127, 128, dtype=jnp.int32
+                ).astype(jnp.int8)
+
+            _, rows8 = jax.lax.scan(
+                gen_chunk, None, jax.random.split(ke, n_chunks_gen)
+            )
+            rows8 = rows8.reshape(n_rows_i8, d)
+            scales = jax.random.uniform(
+                ks, (n_rows_i8,), jnp.float32, 0.005, 0.02
+            )
+            queries = jax.random.normal(kq, (m, d), jnp.float32)
+            return rows8, scales, queries
+
+        @jax.jit
+        def norms_i8(rows8, scales):
+            # sum of squares per row without materializing an f32 copy
+            def body(_, slab):
+                return None, jnp.sum(
+                    slab.astype(jnp.float32) ** 2, axis=-1
+                )
+
+            slabs = rows8.reshape(16, -1, d)
+            _, n2 = jax.lax.scan(body, None, slabs)
+            return scales * scales * n2.reshape(-1)
+
+        @jax.jit
+        def scan_find_i8(rows8, scales, norm2, queries):
+            def step(carry, q):
+                q8, sq = _int8_quantize_query(q[None, :])
+                qn2 = jnp.sum(q.astype(jnp.float32) ** 2)
+                dists = _int8_distances(
+                    rows8, scales, norm2, q8, sq, qn2,
+                    Metric.SQEUCLIDEAN_DIST,
+                )[0]
+                vals, idx = _tka(dists, k)
+                return (
+                    carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)),
+                    None,
+                )
+
+            return jax.lax.scan(step, jnp.float32(0), queries)[0]
+
+        best = float("inf")
+        rows8 = scales = norm2 = queries = None
+        for rep in range(reps + 1):
+            del rows8, scales, norm2, queries
+            rows8 = scales = norm2 = queries = None
+            rows8, scales, queries = jax.block_until_ready(gen_i8(rep))
+            norm2 = jax.block_until_ready(norms_i8(rows8, scales))
+            t0 = time.perf_counter()
+            float(scan_find_i8(rows8, scales, norm2, queries))
+            if rep > 0:
+                best = min(best, time.perf_counter() - t0)
+        out[bench_key] = best / m * 1e3
+        note_hbm()
+        del rows8, scales, norm2, queries
+        gc.collect()
+
     # ---- sparse BM25 @ 10M -----------------------------------------------
     from dial_rag_tpu.index.bm25 import _VSLICE, Bm25Index
 

@@ -61,12 +61,13 @@ class SemanticRetriever:
                     # "two_pass" is a single-chip layout (bf16 prefilter
                     # + f32 rescore); the sharded scan already splits
                     # HBM traffic across chips, so it serves the exact
-                    # f32 path instead
-                    storage_dtype=(
-                        "float32"
-                        if storage_dtype == "two_pass"
-                        else storage_dtype
-                    ),
+                    # f32 path instead. "int8" (single-chip capacity
+                    # layout) maps to bf16 — the nearest sharded
+                    # approximate layout.
+                    storage_dtype={
+                        "two_pass": "float32",
+                        "int8": "bfloat16",
+                    }.get(storage_dtype, storage_dtype),
                 )
             return DenseIndex(
                 RetrievalType.TEXT,

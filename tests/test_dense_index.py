@@ -330,3 +330,114 @@ def test_device_resident_query_parity(storage_dtype):
     )
     # [1, D]-shaped device rows (an unsliced single-query encode batch)
     assert index.find(jnp.asarray(queries[:1])) == index.find(queries[0])
+
+
+# --- int8 storage (quarter-byte capacity layout) ---------------------------
+
+
+def _clustered(n_clusters=16, per=32, d=64, seed=5):
+    """Well-separated clusters. Quantization error at these magnitudes
+    (absmax ~30 -> step ~0.25) EXCEEDS the intra-cluster spread by
+    design, so the guarantee under test is cluster-level agreement (the
+    serving-relevant property), not within-cluster ordering."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 10.0
+    rows = np.concatenate(
+        [
+            c + rng.normal(size=(per, d)).astype(np.float32) * 0.05
+            for c in centers
+        ]
+    )
+    return rows, centers
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [Metric.SQEUCLIDEAN_DIST, Metric.EUCLIDEAN_DIST],
+)
+def test_int8_matches_f32_cluster_on_separated_data(metric):
+    rows, centers = _clustered()
+    per = 32
+    docs = [DocEmbeddings(np.arange(len(rows)), rows)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, metric=metric, limit=7)
+    i8 = DenseIndex(
+        RetrievalType.TEXT, docs, metric=metric, limit=7,
+        storage_dtype="int8",
+    )
+    assert i8.nbytes < f32.nbytes / 3
+    for ci, q in enumerate(centers):
+        f32_clusters = {h.chunk_id // per for h in f32.find(q)}
+        i8_clusters = {h.chunk_id // per for h in i8.find(q)}
+        assert f32_clusters == {ci}
+        assert i8_clusters == {ci}
+
+
+def test_int8_exact_when_rows_are_representable():
+    """Rows whose values are exact multiples of their scale quantize
+    losslessly, so distances must match the f32 scan to float
+    tolerance (validates the reconstruction arithmetic itself)."""
+    rng = np.random.default_rng(11)
+    q_int = rng.integers(-127, 128, size=(256, 32)).astype(np.float32)
+    # pin absmax to exactly 127 so the QUERY quantization (absmax/127
+    # scale) is also lossless when a row is used as the query
+    q_int[:, 0] = 127.0
+    scales = rng.uniform(0.01, 0.1, size=(256, 1)).astype(np.float32)
+    rows = q_int * scales
+    docs = [DocEmbeddings(np.arange(256), rows)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, limit=5)
+    i8 = DenseIndex(RetrievalType.TEXT, docs, limit=5, storage_dtype="int8")
+    for qi in range(8):
+        # queries that are themselves representable: zero quantization
+        # error anywhere in the pipeline
+        q = rows[qi * 3]
+        h32, d32 = f32.find_with_distances(q)
+        h8, d8 = i8.find_with_distances(q)
+        assert [x.chunk_id for x in h8] == [x.chunk_id for x in h32]
+        # atol 1e-3: the f32 expansion can give a slightly NEGATIVE
+        # self-distance (d^2-2qd+q^2 cancellation) where int8 clamps at 0
+        np.testing.assert_allclose(d8, d32, rtol=1e-4, atol=1e-3)
+
+
+def test_int8_batch_matches_single():
+    rows, centers = _clustered(seed=7)
+    docs = [DocEmbeddings(np.arange(len(rows)), rows)]
+    i8 = DenseIndex(RetrievalType.TEXT, docs, limit=4, storage_dtype="int8")
+    singles = [i8.find(c) for c in centers]
+    batched = i8.find_batch(np.stack(centers))
+    assert batched == singles
+
+
+def test_int8_topk_overlap_on_normalized_embeddings():
+    """On L2-normalized random vectors (the serving distribution) the
+    int8 top-7 must agree with f32 on the vast majority of entries."""
+    rng = np.random.default_rng(3)
+    rows = rng.normal(size=(4096, 384)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    docs = [DocEmbeddings(np.arange(len(rows)), rows)]
+    f32 = DenseIndex(RetrievalType.TEXT, docs, limit=7)
+    i8 = DenseIndex(RetrievalType.TEXT, docs, limit=7, storage_dtype="int8")
+    overlaps = []
+    for qi in range(32):
+        q = rows[qi] + rng.normal(size=384).astype(np.float32) * 0.05
+        a = {h.chunk_id for h in f32.find(q)}
+        b = {h.chunk_id for h in i8.find(q)}
+        overlaps.append(len(a & b) / 7)
+    assert np.mean(overlaps) >= 0.85, overlaps
+
+
+def test_int8_rejects_cosine():
+    with pytest.raises(ValueError, match="int8"):
+        DenseIndex(
+            RetrievalType.TEXT,
+            [DOC1],
+            metric=Metric.COSINE_SIM,
+            storage_dtype="int8",
+        )
+
+
+def test_int8_zero_rows_and_padding():
+    docs = [DOC1, DOC2, DOC3]
+    i8 = DenseIndex(RetrievalType.TEXT, docs, limit=3, storage_dtype="int8")
+    assert i8.find(np.array([1.0, 0.0, 0.0]))[0] == hit(0, 0)
+    # all-zero query hits the zero-scale guard, still returns k hits
+    assert len(i8.find(np.array([0.0, 0.0, 0.0]))) == 3
