@@ -350,6 +350,18 @@ class ChargramIndex:
         vocab: dict = {int(k): i for i, k in enumerate(uniq_keys)}
         return vocab, idf, item_ids, term_ids, weights.astype(np.float32)
 
+    @staticmethod
+    def _sanitize(word_lists: list[list[str]]) -> list[list[str]]:
+        """Persisted chargram_index fields are UNTRUSTED (crafted
+        records must not crash the ascii fast paths): keep only words
+        the tokenizer contract can produce ([a-z0-9]+, bounded length);
+        anything else is dropped deterministically — same behavior in
+        the native core, the numpy path, and the dict fallback."""
+        return [
+            [w for w in ws if len(w) <= 1024 and _WORD_RE.fullmatch(w)]
+            for ws in word_lists
+        ]
+
     @classmethod
     def build(
         cls,
@@ -360,6 +372,7 @@ class ChargramIndex:
         max_dense_bytes: int = 256 * 1024 * 1024,
         max_band_bytes: int = 512 * 1024 * 1024,
     ) -> "ChargramIndex":
+        word_lists = cls._sanitize(word_lists)
         if n_hi <= 8:
             vocab, idf, item_ids, term_ids, weights = cls.weight_arrays(
                 word_lists, n_lo, n_hi

@@ -237,3 +237,66 @@ def test_oov_query_returns_zero_scores():
     index = ChargramIndex.build(WORD_LISTS)
     s = index.get_scores("")
     np.testing.assert_array_equal(s, np.zeros(len(TEXTS), dtype=np.float32))
+
+
+def test_native_numpy_triples_parity_fuzz():
+    """The C++ core and the numpy fallback must emit the SAME aggregated
+    (chunk, key, count) set — same packed-uint64 key space incl. the
+    FNV|topbit long-word branch (repo rule: native cores byte-exact with
+    their Python fallbacks)."""
+    import random
+
+    from dial_rag_tpu.index.chargram import (
+        _triples_native,
+        _triples_numpy,
+    )
+    from dial_rag_tpu.native.build import load_native
+
+    if load_native("chargram") is None:
+        pytest.skip("native core unavailable")
+    rng = random.Random(13)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for trial in range(10):
+        word_lists = []
+        for _ in range(rng.randrange(0, 12)):
+            words = [
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randrange(1, 15))  # incl. >6 (FNV)
+                )
+                for _ in range(rng.randrange(0, 40))
+            ]
+            word_lists.append(words)
+        n_lo, n_hi = sorted(
+            (rng.randrange(1, 6), rng.randrange(2, 9))
+        )
+        if n_lo == n_hi:
+            n_hi += 1
+        nat = _triples_native(word_lists, n_lo, n_hi)
+        ref = _triples_numpy(word_lists, n_lo, n_hi)
+        assert nat is not None
+        nat_set = {
+            (int(c), int(k), int(n)) for c, k, n in zip(*nat)
+        }
+        ref_set = {
+            (int(c), int(k), int(n)) for c, k, n in zip(*ref)
+        }
+        assert nat_set == ref_set, (trial, n_lo, n_hi)
+
+
+def test_untrusted_words_are_sanitized_not_crashing():
+    """Crafted persisted records (non-ascii, uppercase, absurd lengths,
+    empty strings) must not crash the index build — invalid words drop
+    deterministically."""
+    from dial_rag_tpu.index.chargram import ChargramIndex
+
+    word_lists = [
+        ["alps", "Zürich", "GLACIER", "x" * 2000, "", "valley"],
+        ["климат", "mountain"],
+    ]
+    index = ChargramIndex.build(word_lists)
+    assert index.n_items == 2
+    s = index.get_scores("alps valley")
+    assert s[0] > 0
+    # the invalid words contributed nothing: a query for them scores 0
+    assert index.get_scores("zürich климат").max() == 0.0
