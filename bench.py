@@ -615,6 +615,65 @@ def bench_scale_10m(reps=2):
     del x, counts, q, q_counts
     gc.collect()
 
+    # ---- MaxSim int8 @ 1M and 2M chunks ------------------------------------
+    # the LI capacity layout (LateInteractionIndex storage_dtype="int8",
+    # per-token absmax scales): 2M chunks x 16 tokens = 11.4 GiB int8 —
+    # a corpus the bf16 tensor (22.9 GiB) cannot hold on one chip.
+    for li_rows_i8, bench_key in (
+        (1_000_000, "maxsim_1m_int8_ms"),
+        (2_000_000, "maxsim_2m_int8_ms"),
+    ):
+
+        @jax.jit
+        def gen_li8(seed, li_rows_i8=li_rows_i8):
+            kx, ks, kq = jax.random.split(jax.random.PRNGKey(seed), 3)
+            n_chunks_gen = 16
+            rows_per = li_rows_i8 // n_chunks_gen
+
+            def gen_chunk(_, key):
+                return None, jax.random.randint(
+                    key, (rows_per, t, d), -127, 128, dtype=jnp.int32
+                ).astype(jnp.int8)
+
+            _, x8 = jax.lax.scan(
+                gen_chunk, None, jax.random.split(kx, n_chunks_gen)
+            )
+            x8 = x8.reshape(li_rows_i8, t, d)
+            scales = jax.random.uniform(
+                ks, (li_rows_i8, t), jnp.float32, 0.005, 0.02
+            )
+            counts = jnp.full((li_rows_i8,), t, jnp.int32)
+            q = jax.random.normal(kq, (nq, qp, d), jnp.float32)
+            q_counts = jnp.full((nq,), qp, jnp.int32)
+            return x8, scales, counts, q, q_counts
+
+        best = float("inf")
+        x8 = scales = counts = q = q_counts = None
+        for rep in range(reps + 1):
+            del x8, scales, counts, q, q_counts
+            x8 = scales = counts = q = q_counts = None
+            x8, scales, counts, q, q_counts = jax.block_until_ready(
+                gen_li8(rep)
+            )
+            t0 = time.perf_counter()
+            _, idx = _maxsim_find_batch_kernel(
+                x8,
+                counts,
+                jnp.int32(li_rows_i8),
+                q,
+                q_counts,
+                scales,
+                k=7,
+                use_sort=False,
+            )
+            np.asarray(idx)
+            if rep > 0:
+                best = min(best, (time.perf_counter() - t0) / nq * 1e3)
+        out[bench_key] = best
+        note_hbm()
+        del x8, scales, counts, q, q_counts
+        gc.collect()
+
     if hbm_peaks:
         out["hbm_peak_gib"] = max(hbm_peaks) / 2**30
     return out

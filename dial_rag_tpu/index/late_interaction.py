@@ -64,11 +64,27 @@ def _bucket_q(q: int) -> int:
     return 1 << max(3, (q - 1).bit_length())
 
 
-def _maxsim_scores(x, counts, q_tokens, q_count):
+def _quantize_query_tokens(qt_cols, d):
+    """[D, L] f32 query-token columns -> (int8 [D, L], per-column scale
+    [L]) with the zero-column guard (same absmax rule as the dense
+    index's int8 path)."""
+    sq = jnp.max(jnp.abs(qt_cols), axis=0) / 127.0
+    sq = jnp.where(sq > 0, sq, 1.0)
+    q8 = jnp.rint(qt_cols / sq[None, :]).astype(jnp.int8)
+    return q8, sq
+
+
+def _maxsim_scores(x, counts, q_tokens, q_count, x_scales=None):
     """MaxSim scores for every row of ``x`` [N, T, D] (storage dtype)
     against ``q_tokens`` [q, D] f32 (rows beyond q_count are zero).
     Streams the corpus in row blocks (a whole-[N, T, q] sim tensor would
-    be GBs). Zero-token rows score -inf (never retrieved)."""
+    be GBs). Zero-token rows score -inf (never retrieved).
+
+    ``x_scales`` [N, T] marks the int8 capacity layout: per-token
+    absmax-quantized storage scored as one s8 x s8 -> s32 MXU matmul per
+    block, dequantized by (token scale x query-token scale) BEFORE the
+    masked max — the max/sum semantics are unchanged, only the two
+    quantizations approximate."""
     n, t, d = x.shape
     q = q_tokens.shape[0]
     precision = (
@@ -78,16 +94,32 @@ def _maxsim_scores(x, counts, q_tokens, q_count):
         jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0).reshape(-1) < q_count
     )
     qt = jnp.where(q_mask[:, None], q_tokens, 0.0).T  # [D, q]
+    if x_scales is not None:
+        q8, sq = _quantize_query_tokens(qt, d)
 
     def block_scores(args):
-        xb, cb = args  # [B, T, D], [B]
-        sims = jax.lax.dot_general(
-            xb.reshape(-1, d).astype(jnp.float32),
-            qt,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        ).reshape(xb.shape[0], t, q)
+        if x_scales is not None:
+            xb, cb, sb = args  # [B, T, D] i8, [B], [B, T]
+            prod = jax.lax.dot_general(
+                xb.reshape(-1, d),
+                q8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [B*T, q] s32
+            sims = (
+                prod.astype(jnp.float32)
+                * sb.reshape(-1)[:, None]
+                * sq[None, :]
+            ).reshape(xb.shape[0], t, q)
+        else:
+            xb, cb = args  # [B, T, D], [B]
+            sims = jax.lax.dot_general(
+                xb.reshape(-1, d).astype(jnp.float32),
+                qt,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            ).reshape(xb.shape[0], t, q)
         t_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < cb[:, None]
         )  # [B, T]
@@ -102,21 +134,23 @@ def _maxsim_scores(x, counts, q_tokens, q_count):
 
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
-    return jax.lax.map(
-        block_scores,
-        (
-            x.reshape(n_blocks, block, t, d),
-            counts.reshape(n_blocks, block),
-        ),
-    ).reshape(n)
+    operands = (
+        x.reshape(n_blocks, block, t, d),
+        counts.reshape(n_blocks, block),
+    )
+    if x_scales is not None:
+        operands = operands + (x_scales.reshape(n_blocks, block, t),)
+    return jax.lax.map(block_scores, operands).reshape(n)
 
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
-def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
+def _maxsim_find_kernel(
+    x, counts, n_valid, q_tokens, q_count, x_scales=None, *, k, use_sort
+):
     """Stable top-k (vals, idx) over NEGATED MaxSim scores (ascending =
     best first, earliest row wins ties — the dense-index contract)."""
     n = x.shape[0]
-    scores = _maxsim_scores(x, counts, q_tokens, q_count)
+    scores = _maxsim_scores(x, counts, q_tokens, q_count, x_scales)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
     dists = jnp.where(row < n_valid, -scores, jnp.inf)
     if use_sort:
@@ -124,7 +158,7 @@ def _maxsim_find_kernel(x, counts, n_valid, q_tokens, q_count, *, k, use_sort):
     return stable_topk_argmin(dists, k)
 
 
-def _maxsim_scores_batch(x, counts, q_tokens, q_counts):
+def _maxsim_scores_batch(x, counts, q_tokens, q_counts, x_scales=None):
     """Batched MaxSim scores [N, Q]: all queries' tokens join one
     ``[block*T, D] x [D, Q*qp]`` matmul per row block (the corpus
     streams from HBM once instead of Q times), then per-query masked
@@ -143,16 +177,32 @@ def _maxsim_scores_batch(x, counts, q_tokens, q_counts):
         .reshape(nq * qp, d)
         .T
     )  # [D, Q*qp]
+    if x_scales is not None:
+        q8, sq = _quantize_query_tokens(qt, d)
 
     def block_scores(args):
-        xb, cb = args  # [B, T, D], [B]
-        sims = jax.lax.dot_general(
-            xb.reshape(-1, d).astype(jnp.float32),
-            qt,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        ).reshape(xb.shape[0], t, nq * qp)
+        if x_scales is not None:
+            xb, cb, sb = args  # [B, T, D] i8, [B], [B, T]
+            prod = jax.lax.dot_general(
+                xb.reshape(-1, d),
+                q8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            sims = (
+                prod.astype(jnp.float32)
+                * sb.reshape(-1)[:, None]
+                * sq[None, :]
+            ).reshape(xb.shape[0], t, nq * qp)
+        else:
+            xb, cb = args  # [B, T, D], [B]
+            sims = jax.lax.dot_general(
+                xb.reshape(-1, d).astype(jnp.float32),
+                qt,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            ).reshape(xb.shape[0], t, nq * qp)
         t_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < cb[:, None]
         )
@@ -165,22 +215,22 @@ def _maxsim_scores_batch(x, counts, q_tokens, q_counts):
 
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
-    return jax.lax.map(
-        block_scores,
-        (
-            x.reshape(n_blocks, block, t, d),
-            counts.reshape(n_blocks, block),
-        ),
-    ).reshape(n, nq)
+    operands = (
+        x.reshape(n_blocks, block, t, d),
+        counts.reshape(n_blocks, block),
+    )
+    if x_scales is not None:
+        operands = operands + (x_scales.reshape(n_blocks, block, t),)
+    return jax.lax.map(block_scores, operands).reshape(n, nq)
 
 
 @partial(jax.jit, static_argnames=("k", "use_sort"))
 def _maxsim_find_batch_kernel(
-    x, counts, n_valid, q_tokens, q_counts, *, k, use_sort
+    x, counts, n_valid, q_tokens, q_counts, x_scales=None, *, k, use_sort
 ):
     """Q queries in ONE dispatch; identical results to Q single calls."""
     n = x.shape[0]
-    scores = _maxsim_scores_batch(x, counts, q_tokens, q_counts)
+    scores = _maxsim_scores_batch(x, counts, q_tokens, q_counts, x_scales)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
     dists = jnp.where(row[:, None] < n_valid, -scores, jnp.inf)  # [n, Q]
@@ -362,17 +412,35 @@ class LateInteractionIndex:
         if x is None:
             # no rows, or no chunk has any tokens: nothing scoreable
             self._x = None
+            self._x_scales = None
             return
         self._doc_ids = doc_ids
         self._chunk_ids = chunk_ids
-        self._x = jnp.asarray(x, dtype=jnp.dtype(storage_dtype))
+        if storage_dtype == "int8":
+            # per-TOKEN absmax quantization (the capacity layout: 1/4 of
+            # f32 bytes + 2 bytes/token of scale; scored as one s8 MXU
+            # matmul per block with dequant before the masked max)
+            absmax = np.max(np.abs(x), axis=2)  # [N, T]
+            scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+                np.float32
+            )
+            self._x = jnp.asarray(
+                np.rint(x / scales[:, :, None]).astype(np.int8)
+            )
+            self._x_scales = jnp.asarray(scales)
+        else:
+            self._x = jnp.asarray(x, dtype=jnp.dtype(storage_dtype))
+            self._x_scales = None
         self._counts = jnp.asarray(counts)
 
     @property
     def nbytes(self) -> int:
         if self._x is None:
             return 0
-        return self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+        total = self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+        if self._x_scales is not None:
+            total += self._x_scales.size * 4
+        return total
 
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
@@ -457,6 +525,7 @@ class LateInteractionIndex:
                     jnp.int32(self.n_rows),
                     q_tok,
                     jnp.asarray(q_counts),
+                    self._x_scales,
                     k=k,
                     use_sort=use_sort,
                 )
@@ -480,6 +549,7 @@ class LateInteractionIndex:
                 jnp.int32(self.n_rows),
                 jnp.asarray(q_tok),
                 jnp.asarray(q_counts),
+                self._x_scales,
                 k=k,
                 use_sort=use_sort,
             )
@@ -521,6 +591,7 @@ class LateInteractionIndex:
                 jnp.int32(self.n_rows),
                 q_tokens,
                 jnp.int32(q),
+                self._x_scales,
                 k=k,
                 use_sort=k > _ARGMIN_MAX_K,
             )
@@ -550,6 +621,7 @@ class LateInteractionIndex:
             jnp.int32(self.n_rows),
             jnp.asarray(q_tokens),
             jnp.int32(q),
+            self._x_scales,
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )

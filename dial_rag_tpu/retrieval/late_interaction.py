@@ -62,7 +62,14 @@ class LateInteractionRetriever:
                     mesh,
                     max_chunk_tokens=max_chunk_tokens,
                     limit=k,
-                    storage_dtype=storage_dtype,
+                    # "int8" is a single-chip capacity layout; the
+                    # sharded scan already splits HBM across chips, so
+                    # it serves the nearest approximate layout (bf16)
+                    storage_dtype=(
+                        "bfloat16"
+                        if storage_dtype == "int8"
+                        else storage_dtype
+                    ),
                 )
             return LateInteractionIndex(
                 RetrievalType.TEXT,

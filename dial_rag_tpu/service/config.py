@@ -219,7 +219,10 @@ class LateInteractionIndexConfig(BaseConfig):
     index_dtype: str = Field(
         default="float32",
         description="HBM storage dtype of the token-embedding tensor; "
-        "'bfloat16' halves memory at f32 accumulation.",
+        "'bfloat16' halves memory at f32 accumulation; 'int8' is the "
+        "quarter-byte capacity layout (per-token absmax quantization "
+        "scored as an s8xs8->s32 MXU matmul — approximate: near ties "
+        "can reorder).",
     )
 
 

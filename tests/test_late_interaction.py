@@ -600,3 +600,74 @@ def test_afind_coalesces_same_bucket_device_queries():
     assert results[-1] == index.find(host_q)
     assert sum(waves) == 7
     assert max(waves) > 1, waves
+
+
+# --- int8 storage (quarter-byte capacity layout) ---------------------------
+
+
+def test_int8_storage_same_ranking_on_separated_data():
+    rng = np.random.default_rng(5)
+    d = 16
+    target = np.ones((3, d), dtype=np.float32) / np.sqrt(d)
+    noise = [
+        (rng.standard_normal((4, d)) * 0.01).astype(np.float32)
+        for _ in range(20)
+    ]
+    chunks = noise[:10] + [target] + noise[10:]
+    f32 = LateInteractionIndex(RetrievalType.TEXT, [chunks], limit=1)
+    i8 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=1, storage_dtype="int8"
+    )
+    q = target[:1]
+    assert f32.find(q)[0].chunk_id == 10
+    assert i8.find(q)[0].chunk_id == 10
+    assert i8.nbytes < f32.nbytes / 2
+
+
+def test_int8_exact_on_representable_tokens():
+    """Token vectors that are exact multiples of their absmax/127 scale
+    quantize losslessly — scores must match the f32 index to float
+    tolerance (validates the dequant-before-max arithmetic)."""
+    rng = np.random.default_rng(9)
+    chunks = []
+    for _ in range(12):
+        q_int = rng.integers(-127, 128, size=(5, 8)).astype(np.float32)
+        q_int[:, 0] = 127.0  # pin absmax so query quantization is lossless
+        chunks.append(q_int * 0.01)
+    f32 = LateInteractionIndex(RetrievalType.TEXT, [chunks], limit=4)
+    i8 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=4, storage_dtype="int8"
+    )
+    for qi in (0, 5, 11):
+        q = chunks[qi][:3]
+        h32, s32 = f32.find_with_scores(q)
+        h8, s8 = i8.find_with_scores(q)
+        assert [x.chunk_id for x in h8] == [x.chunk_id for x in h32]
+        np.testing.assert_allclose(s8, s32, rtol=1e-4, atol=1e-3)
+
+
+def test_int8_batch_matches_single():
+    rng = np.random.default_rng(3)
+    chunks = [
+        (rng.standard_normal((6, 16)) * 2).astype(np.float32)
+        for _ in range(30)
+    ]
+    i8 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=3, storage_dtype="int8"
+    )
+    queries = [c[:2] for c in chunks[:6]]
+    singles = [i8.find(q) for q in queries]
+    assert i8.find_batch(queries) == singles
+
+
+def test_int8_zero_token_chunks_never_surface():
+    chunks = [
+        np.ones((2, 8), dtype=np.float32),
+        np.zeros((0, 8), dtype=np.float32),
+        np.ones((1, 8), dtype=np.float32) * 0.5,
+    ]
+    i8 = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], limit=3, storage_dtype="int8"
+    )
+    hits = i8.find(np.ones((2, 8), dtype=np.float32))
+    assert [h.chunk_id for h in hits] == [0, 2]
