@@ -269,11 +269,13 @@ class ChargramIndex:
     inner: object  # Bm25Index or a sharded wrapper around one
     n_lo: int
     n_hi: int
-    # gram key -> idf for query weighting (vocab lives on the inner
-    # index). Key space matches the build path: packed-uint64 sub-grams
-    # + marked-word strings (vectorized, n_hi <= 8) or plain gram
+    # query weighting looks keys up in the SAME vocab dict + idf array
+    # the assembled Bm25Index holds (references, not copies — a corpus-
+    # scale vocab is millions of grams). Key space matches the build
+    # path: packed uint64 (vectorized/native, n_hi <= 8) or plain gram
     # strings (dict fallback).
-    _idf: dict = field(default_factory=dict, repr=False)
+    _vocab: dict = field(default_factory=dict, repr=False)
+    _idf_arr: object = field(default=None, repr=False)
     _packed_keys: bool = False
 
     @property
@@ -388,12 +390,12 @@ class ChargramIndex:
                 device=device,
                 max_band_bytes=max_band_bytes,
             )
-            gram_idf = {g: float(idf[i]) for g, i in vocab.items()}
             return cls(
                 inner=inner,
                 n_lo=n_lo,
                 n_hi=n_hi,
-                _idf=gram_idf,
+                _vocab=vocab,
+                _idf_arr=idf,
                 _packed_keys=True,
             )
         vocab, idf, rows = cls.weight_rows(word_lists, n_lo, n_hi)
@@ -405,8 +407,9 @@ class ChargramIndex:
             device=device,
             max_band_bytes=max_band_bytes,
         )
-        gram_idf = {g: float(idf[i]) for g, i in vocab.items()}
-        return cls(inner=inner, n_lo=n_lo, n_hi=n_hi, _idf=gram_idf)
+        return cls(
+            inner=inner, n_lo=n_lo, n_hi=n_hi, _vocab=vocab, _idf_arr=idf
+        )
 
     def with_inner(self, inner) -> "ChargramIndex":
         """Same gram/idf state over a different scoring backend (the
@@ -416,7 +419,8 @@ class ChargramIndex:
             inner=inner,
             n_lo=self.n_lo,
             n_hi=self.n_hi,
-            _idf=self._idf,
+            _vocab=self._vocab,
+            _idf_arr=self._idf_arr,
             _packed_keys=self._packed_keys,
         )
 
@@ -438,9 +442,9 @@ class ChargramIndex:
         w = {}
         for g, tf in c.items():
             key = self._key_of(g)
-            idf = self._idf.get(key)
-            if idf is not None:
-                w[key] = (1.0 + math.log(tf)) * idf
+            tid = self._vocab.get(key)
+            if tid is not None:
+                w[key] = (1.0 + math.log(tf)) * float(self._idf_arr[tid])
         norm = math.sqrt(sum(v * v for v in w.values()))
         if norm > 0:
             w = {k: v / norm for k, v in w.items()}
