@@ -912,6 +912,19 @@ def bench_service_level():
         import sys
 
         print(f"LI service profile failed: {e!r}", file=sys.stderr)
+    # char-n-gram arm profile (dense + BM25 + chargram): the round-4
+    # tuned zero-egress profile's model-free component, end to end —
+    # REAL gram index build (native core) + its device scan per request
+    try:
+        r = asyncio.run(
+            run_service_bench(20_000, reps=10, with_chargram=True)
+        )
+        out["service_retrieval_cg_p50_ms_20k"] = round(r["p50_ms"], 2)
+        out["service_retrieval_cg_p95_ms_20k"] = round(r["p95_ms"], 2)
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"chargram service profile failed: {e!r}", file=sys.stderr)
     return out
 
 

@@ -68,18 +68,21 @@ def _doc_pdf() -> bytes:
 
 
 async def _build_record(
-    chunks, embedder, settings, doc_bytes, li_tokens: int = 0
+    chunks, embedder, settings, doc_bytes, li_tokens: int = 0,
+    with_chargram: bool = False,
 ):
     """Synthetic DocumentRecord: real BM25 token index + random unit
     embeddings (the scan cost is content-independent). ``li_tokens`` > 0
     also attaches a late-interaction index with that many random unit
-    token rows per chunk (MaxSim scan cost is content-independent too)."""
+    token rows per chunk (MaxSim scan cost is content-independent too);
+    ``with_chargram`` attaches the REAL char-n-gram word index (its
+    build and scan cost are content-dependent, so the real thing runs)."""
     from dial_rag_tpu.documents.model import (
         FORMAT_VERSION,
         DocumentRecord,
         pack_simple_embeddings,
     )
-    from dial_rag_tpu.retrieval import Bm25Retriever
+    from dial_rag_tpu.retrieval import Bm25Retriever, ChargramRetriever
 
     rng = np.random.default_rng(5)
     emb = rng.standard_normal((len(chunks), embedder.dim)).astype(
@@ -94,6 +97,11 @@ async def _build_record(
         rows /= np.linalg.norm(rows, axis=2, keepdims=True)
         li_index = list(rows)
     text_index = await Bm25Retriever.build_index(chunks)
+    chargram_index = (
+        await ChargramRetriever.build_index(chunks)
+        if with_chargram
+        else None
+    )
     return DocumentRecord(
         format_version=FORMAT_VERSION,
         index_settings=settings,
@@ -103,6 +111,7 @@ async def _build_record(
         multimodal_embeddings_index=None,
         description_embeddings_index=None,
         late_interaction_index=li_index,
+        chargram_index=chargram_index,
         mime_type="application/pdf",
         document_bytes=doc_bytes,
     )
@@ -114,6 +123,7 @@ async def run_service_bench(
     embedder=None,
     with_li: bool = False,
     li_tokens: int = 8,
+    with_chargram: bool = False,
     concurrency: int = 0,
     profile: bool = False,
 ) -> dict:
@@ -181,6 +191,9 @@ async def run_service_bench(
                 if with_li
                 else None
             ),
+            # with_chargram exercises the model-free fuzzy-lexical arm
+            # (the round-4 tuned profile's new component) end to end
+            "chargram_index": ({} if with_chargram else None),
         },
         "request": {"type": "retrieval"},
     }
@@ -204,6 +217,7 @@ async def run_service_bench(
         settings,
         doc_bytes,
         li_tokens=li_tokens if with_li else 0,
+        with_chargram=with_chargram,
     )
     build_s = time.perf_counter() - t0
     index_url = link_to_index_url(doc_url, "test-bucket")
@@ -260,11 +274,42 @@ async def run_service_bench(
             ), att
             return dt
 
+        async def assert_arms_engaged():
+            """The profile must fail loudly if an arm silently did not
+            build (e.g. an IndexSettings mismatch re-indexed the doc
+            without the arm) — a wrong-arm measurement is worse than no
+            measurement."""
+            body = json.loads(json.dumps(payload))
+            resp = await client.post(
+                "/openai/deployments/dial-rag/chat/completions",
+                json=body,
+                headers={"api-key": "bench-key"},
+                timeout=_timeout,
+            )
+            data = await resp.json()
+            stages = [
+                s["name"]
+                for s in data["choices"][0]["message"]["custom_content"][
+                    "stages"
+                ]
+            ]
+            assert any("Embeddings search" in s for s in stages), stages
+            assert any("Keywords search" in s for s in stages), stages
+            if with_li:
+                assert any(
+                    "Late interaction search" in s for s in stages
+                ), stages
+            if with_chargram:
+                assert any(
+                    "Fuzzy keywords search" in s for s in stages
+                ), stages
+
         # warmup: compiles the scan shapes AND every query-encode /
         # query-lane bucket the timed queries can land in (a 4-7 word
         # query can tokenize into different power-of-two lane buckets;
         # an uncovered bucket recompiles mid-timing and lands in p95)
         await one_request("warmup glacier river query")
+        await assert_arms_engaged()
         await one_request("warmup pass")
         await one_request(
             "warmup mountain valley snow tourism geology flora "
@@ -300,6 +345,7 @@ async def run_service_bench(
             "reps": reps,
             "index_build_s": round(build_s, 2),
             "with_li": with_li,
+            "with_chargram": with_chargram,
         }
         if concurrency > 1:
             # concurrent-load phase: the sequential p50 above is
@@ -388,6 +434,12 @@ def main(argv=None):
         "query path) alongside dense + BM25",
     )
     parser.add_argument(
+        "--with-chargram",
+        action="store_true",
+        help="enable the char-n-gram fuzzy-lexical arm alongside "
+        "dense + BM25",
+    )
+    parser.add_argument(
         "--concurrency",
         type=int,
         default=0,
@@ -406,6 +458,7 @@ def main(argv=None):
             args.n_chunks,
             args.reps,
             with_li=args.with_li,
+            with_chargram=args.with_chargram,
             concurrency=args.concurrency,
             profile=args.profile,
         )
