@@ -53,9 +53,17 @@ class ChargramRetriever:
 
     @staticmethod
     def has_index(document_records: list[DocumentRecord]) -> bool:
+        """True iff at least one chunk carries a VALID word — the same
+        sanitize filter the index build applies (ChargramIndex._sanitize)
+        — so has_index=True guarantees build() succeeds even on crafted
+        records whose words are all invalid. Short-circuits on the first
+        valid word, so the common case stays O(1)."""
+        from dial_rag_tpu.index.chargram import _WORD_RE
+
         return any(
-            len(words) > 0
+            len(w) <= 1024 and _WORD_RE.fullmatch(w)
             for _, _, words in ChargramRetriever._iter_items(document_records)
+            for w in words
         )
 
     @classmethod

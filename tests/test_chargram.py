@@ -300,3 +300,17 @@ def test_untrusted_words_are_sanitized_not_crashing():
     assert s[0] > 0
     # the invalid words contributed nothing: a query for them scores 0
     assert index.get_scores("zürich климат").max() == 0.0
+
+
+def test_all_invalid_words_record_yields_no_arm_not_500():
+    """has_index applies the same sanitize filter as the build, so a
+    crafted record whose chargram words are ALL invalid is skipped
+    instead of raising mid-request."""
+    rec = _record(["placeholder"])
+    rec.chargram_index = [["Zürich", "КЛИМАТ", "x" * 2000]]
+    assert not ChargramRetriever.has_index([rec])
+    ok = _record(["alps climate"])
+    assert ChargramRetriever.has_index([rec, ok])
+    r = ChargramRetriever.from_doc_records([rec, ok], k=2)
+    hits = r.retrieve("alps")
+    assert hits and hits[0].doc_id == 1
