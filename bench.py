@@ -627,18 +627,27 @@ def bench_scale_10m(reps=2):
         @jax.jit
         def gen_li8(seed, li_rows_i8=li_rows_i8):
             kx, ks, kq = jax.random.split(jax.random.PRNGKey(seed), 3)
-            n_chunks_gen = 16
-            rows_per = li_rows_i8 // n_chunks_gen
+            # in-place fori_loop writes into ONE preallocated int8
+            # buffer: a lax.scan stacks its slab outputs and reshapes,
+            # which peaked ~19 GiB at 2M rows (measured OOM) — here the
+            # peak is the 11.4 GiB buffer + one 1.5 GiB i32 slab
+            n_slabs = 32
+            rows_per = li_rows_i8 // n_slabs
+            buf = jnp.zeros((li_rows_i8, t, d), jnp.int8)
 
-            def gen_chunk(_, key):
-                return None, jax.random.randint(
-                    key, (rows_per, t, d), -127, 128, dtype=jnp.int32
+            def body(i, buf):
+                slab = jax.random.randint(
+                    jax.random.fold_in(kx, i),
+                    (rows_per, t, d),
+                    -127,
+                    128,
+                    dtype=jnp.int32,
                 ).astype(jnp.int8)
+                return jax.lax.dynamic_update_slice(
+                    buf, slab, (i * rows_per, 0, 0)
+                )
 
-            _, x8 = jax.lax.scan(
-                gen_chunk, None, jax.random.split(kx, n_chunks_gen)
-            )
-            x8 = x8.reshape(li_rows_i8, t, d)
+            x8 = jax.lax.fori_loop(0, n_slabs, body, buf)
             scales = jax.random.uniform(
                 ks, (li_rows_i8, t), jnp.float32, 0.005, 0.02
             )
