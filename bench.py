@@ -619,9 +619,13 @@ def bench_scale_10m(reps=2):
     # the LI capacity layout (LateInteractionIndex storage_dtype="int8",
     # per-token absmax scales): 2M chunks x 16 tokens = 11.4 GiB int8 —
     # a corpus the bf16 tensor (22.9 GiB) cannot hold on one chip.
+    # row counts are 512-multiples so _maxsim_scores' blocked streaming
+    # engages (the serving index pads to 512 multiples via
+    # _bucket_rows_li; a non-multiple falls back to ONE whole-corpus
+    # block whose [N*T, lanes] sim transient measured OOM at 2M rows)
     for li_rows_i8, bench_key in (
-        (1_000_000, "maxsim_1m_int8_ms"),
-        (2_000_000, "maxsim_2m_int8_ms"),
+        (999_424, "maxsim_1m_int8_ms"),
+        (1_998_848, "maxsim_2m_int8_ms"),
     ):
 
         @jax.jit

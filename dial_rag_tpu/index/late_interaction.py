@@ -132,6 +132,33 @@ def _maxsim_scores(x, counts, q_tokens, q_count, x_scales=None):
         )
         return jnp.where(cb > 0, scores, -jnp.inf)
 
+    if n > _ROW_BLOCK and n % _ROW_BLOCK:
+        # arbitrary row counts (the serving index always pads to
+        # 512-multiples, but direct kernel users need not): overlapped
+        # fori_loop blocks — the final block re-reads/re-writes a few
+        # already-computed rows with IDENTICAL values, so the output is
+        # exact while the sim transient stays one block wide (a single
+        # whole-corpus block measured OOM at 2M x 16 tokens)
+        n_blocks = -(-n // _ROW_BLOCK)
+
+        def body(i, out):
+            start = jnp.minimum(i * _ROW_BLOCK, n - _ROW_BLOCK)
+            xb = jax.lax.dynamic_slice(
+                x, (start, 0, 0), (_ROW_BLOCK, t, d)
+            )
+            cb = jax.lax.dynamic_slice(counts, (start,), (_ROW_BLOCK,))
+            if x_scales is not None:
+                sb = jax.lax.dynamic_slice(
+                    x_scales, (start, 0), (_ROW_BLOCK, t)
+                )
+                s = block_scores((xb, cb, sb))
+            else:
+                s = block_scores((xb, cb))
+            return jax.lax.dynamic_update_slice(out, s, (start,))
+
+        return jax.lax.fori_loop(
+            0, n_blocks, body, jnp.zeros((n,), jnp.float32)
+        )
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
     operands = (
@@ -213,6 +240,29 @@ def _maxsim_scores_batch(x, counts, q_tokens, q_counts, x_scales=None):
         )  # [B, Q]
         return jnp.where((cb > 0)[:, None], scores, -jnp.inf)
 
+    if n > _ROW_BLOCK and n % _ROW_BLOCK:
+        # see _maxsim_scores: exact overlapped-block streaming for
+        # non-512-multiple row counts
+        n_blocks = -(-n // _ROW_BLOCK)
+
+        def body(i, out):
+            start = jnp.minimum(i * _ROW_BLOCK, n - _ROW_BLOCK)
+            xb = jax.lax.dynamic_slice(
+                x, (start, 0, 0), (_ROW_BLOCK, t, d)
+            )
+            cb = jax.lax.dynamic_slice(counts, (start,), (_ROW_BLOCK,))
+            if x_scales is not None:
+                sb = jax.lax.dynamic_slice(
+                    x_scales, (start, 0), (_ROW_BLOCK, t)
+                )
+                s = block_scores((xb, cb, sb))
+            else:
+                s = block_scores((xb, cb))
+            return jax.lax.dynamic_update_slice(out, s, (start, 0))
+
+        return jax.lax.fori_loop(
+            0, n_blocks, body, jnp.zeros((n, nq), jnp.float32)
+        )
     n_blocks = n // _ROW_BLOCK if n % _ROW_BLOCK == 0 else 1
     block = _ROW_BLOCK if n % _ROW_BLOCK == 0 else n
     operands = (

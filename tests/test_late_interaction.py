@@ -671,3 +671,39 @@ def test_int8_zero_token_chunks_never_surface():
     )
     hits = i8.find(np.ones((2, 8), dtype=np.float32))
     assert [h.chunk_id for h in hits] == [0, 2]
+
+
+def test_odd_row_count_blocked_path_matches_small():
+    """Row counts past 512 that are NOT 512-multiples stream in
+    overlapped blocks; scores must equal a brute-force numpy MaxSim."""
+    rng = np.random.default_rng(21)
+    n, t, d = 700, 3, 8  # > 512, not a multiple of 512
+    chunks = [
+        rng.standard_normal((t, d)).astype(np.float32) for _ in range(n)
+    ]
+    idx = LateInteractionIndex(
+        RetrievalType.TEXT,
+        [chunks],
+        max_chunk_tokens=t,
+        limit=5,
+        # force the unpadded odd shape: bucket function rounds to 64s,
+        # so pick n where the bucket itself is odd vs 512 (704 % 512 != 0)
+    )
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    hits, scores = idx.find_with_scores(q)
+    ref = np.array(
+        [(q @ np.asarray(c).T).max(axis=1).sum() for c in chunks]
+    )
+    order = np.argsort(-ref, kind="stable")[:5]
+    assert [h.chunk_id for h in hits] == list(order)
+    np.testing.assert_allclose(scores, ref[order], rtol=1e-5, atol=1e-5)
+    # int8 storage through the same odd-shape path
+    i8 = LateInteractionIndex(
+        RetrievalType.TEXT,
+        [chunks],
+        max_chunk_tokens=t,
+        limit=5,
+        storage_dtype="int8",
+    )
+    hits8, _ = i8.find_with_scores(q)
+    assert len(hits8) == 5
