@@ -583,6 +583,12 @@ async def run_eval(
         metrics["answers"] = await eval_answers(
             hits_by_arm["ensemble"], rows, chunks, truth
         )
+        if "ensemble_chargram" in hits_by_arm:
+            # the shipped tuned profile's answer-side numbers (better
+            # retrieval -> better citation precision, measured here)
+            metrics["answers_chargram_profile"] = await eval_answers(
+                hits_by_arm["ensemble_chargram"], rows, chunks, truth
+            )
     elif answers:
         metrics["answers"] = await eval_answers(
             hits_by_arm["bm25"], rows, chunks, truth
