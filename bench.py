@@ -29,6 +29,7 @@ Besides the headline chunks/s it reports:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -994,21 +995,38 @@ def main():
     tok = WordPieceTokenizer(vocab=vocab)
 
     config = BertConfig.bge_small_en()
+
+    def _stage(name):
+        # progress to stderr (stdout stays one JSON line for the driver);
+        # remote compiles through the tunnel can block silently for
+        # minutes, so each stage announces itself up front
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
+
     # init on host, transfer once: eager per-op RNG dispatches through the
     # remote-TPU tunnel are ~100ms each, which would add minutes here
+    _stage("init params + transfer")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = init_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 
+    _stage("index build throughput (bench_tpu)")
     tpu_rate, dt, timed_texts = bench_tpu(texts, tok, params, config)
+    _stage("encoder MFU")
     mfu, device_tokens_per_sec = bench_encoder_mfu(params, config)
+    _stage("dense query 100k")
     query_ms = bench_query_device_time()
+    _stage("dense 1M scale")
     dense_1m_f32_ms, dense_1m_bf16_ms, dense_1m_exact_ms = bench_dense_scale()
+    _stage("BM25 1M scale")
     bm25_dense_1m_ms, bm25_sparse_1m_ms, bm25_sparse_sharded_1m_ms = bench_bm25_scale()
+    _stage("MaxSim 100k")
     maxsim_100k_ms = bench_maxsim_scale()
+    _stage("10M/30M scale proofs")
     scale_10m = bench_scale_10m()
+    _stage("service-level latency")
     service = bench_service_level()
+    _stage("CPU reference rate")
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
     real_tokens = count_real_tokens(timed_texts, tok)
