@@ -981,21 +981,19 @@ def bench_cpu_reference(texts, tok, config):
 
 
 def main():
-    import os
-
     import jax
 
-    from dial_rag_tpu.runtime.compile_cache import init_compilation_cache
+    from dial_rag_tpu.runtime.compile_cache import (
+        default_cache_dir,
+        init_compilation_cache,
+    )
 
     # Persist compiled executables across runs: through the remote-TPU
     # tunnel a cold compile of the fused encoder costs many minutes, and
     # the remote compile service's own cache does not survive restarts.
     # The jax persistent cache verifiably round-trips axon executables,
     # so the pain is paid once per machine.
-    init_compilation_cache(
-        os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.expanduser("~/.cache/dial_rag_tpu/jax_cache")
-    )
+    init_compilation_cache(default_cache_dir())
 
     from dial_rag_tpu.models.bert import BertConfig, init_params
     from dial_rag_tpu.models.tokenizer import (

@@ -22,6 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
 
+# Persist the suite's CPU-mesh compiles across pytest sessions (the jit
+# warmup otherwise dominates a cold run; test_compile_cache's fixture
+# save/restores the config around its own temp dir).
+from dial_rag_tpu.runtime.compile_cache import (  # noqa: E402
+    default_cache_dir,
+    init_compilation_cache,
+)
+
+init_compilation_cache(default_cache_dir())
+
 # Minimal async-test support (pytest-asyncio is not in the image).
 import asyncio  # noqa: E402
 import inspect  # noqa: E402

@@ -23,6 +23,17 @@ import os
 logger = logging.getLogger(__name__)
 
 
+def default_cache_dir() -> str:
+    """JAX_COMPILATION_CACHE_DIR, or a stable per-machine fallback.
+
+    Entry points that must survive cold remote-compile services (bench,
+    driver entries, the test suite) pass this so compiled executables
+    are paid for once per machine even when no env is configured."""
+    return os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dial_rag_tpu", "jax_cache"
+    )
+
+
 def init_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Enable the persistent compile cache. Returns the directory in
     use, or None when disabled (no dir configured / not writable)."""
