@@ -5,7 +5,7 @@ PYTHON ?= python
 DOCKER ?= docker
 ARGS ?=
 
-.PHONY: all serve demo test test-fast docs bench eval eval-alps eval-training dryrun digest docker_build docker_serve help
+.PHONY: all serve demo test test-fast ci docs bench eval eval-alps eval-training dryrun digest docker_build docker_serve help
 
 all: test
 
@@ -21,6 +21,13 @@ test:
 
 test-fast:
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow" $(ARGS)
+
+# local mirror of .github/workflows/pr.yml (syntax check + full suite +
+# multichip dryrun); ruff runs in CI where pip is available
+ci:
+	$(PYTHON) -m compileall -q dial_rag_tpu tests eval tools bench.py __graft_entry__.py
+	$(PYTHON) -m pytest tests/ -q
+	$(MAKE) dryrun
 
 # regenerate docs/*.generated.schema.json after public-model changes
 # (tests/test_docs_schemas.py fails on drift)

@@ -30,7 +30,10 @@ from dial_rag_tpu.runtime.compile_cache import (  # noqa: E402
     init_compilation_cache,
 )
 
-init_compilation_cache(default_cache_dir())
+# Keep JAX's default persistence thresholds here: the shared dir lives
+# across sessions, so only genuinely slow compiles (the multi-minute
+# ensemble kernels) are worth the disk; tiny CPU-mesh programs are not.
+init_compilation_cache(default_cache_dir(), persist_everything=False)
 
 # Minimal async-test support (pytest-asyncio is not in the image).
 import asyncio  # noqa: E402

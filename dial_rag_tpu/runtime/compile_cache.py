@@ -34,9 +34,21 @@ def default_cache_dir() -> str:
     )
 
 
-def init_compilation_cache(cache_dir: str | None = None) -> str | None:
+def init_compilation_cache(
+    cache_dir: str | None = None, *, persist_everything: bool = True
+) -> str | None:
     """Enable the persistent compile cache. Returns the directory in
-    use, or None when disabled (no dir configured / not writable)."""
+    use, or None when disabled (no dir configured / not writable).
+
+    ``persist_everything=True`` (serving/bench default) drops the
+    min-compile-time/min-entry-size thresholds to 0 so every warmup
+    program persists; pass False for long-lived shared dirs (e.g. the
+    test suite's) where only genuinely slow compiles are worth disk.
+
+    JAX's cache backend is a process singleton created lazily on first
+    use; repointing ``jax_compilation_cache_dir`` after that would
+    silently keep writing to the old dir, so we reset the singleton
+    whenever the directory actually changes."""
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not path:
         return None
@@ -46,10 +58,13 @@ def init_compilation_cache(cache_dir: str | None = None) -> str | None:
         logger.warning(f"compile cache dir {path!r} not usable: {e}")
         return None
     import jax
+    from jax._src import compilation_cache as _cc
 
+    if jax.config.jax_compilation_cache_dir != path:
+        _cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", path)
-    # persist everything the warmup compiles, not just slow programs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if persist_everything:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     logger.info(f"persistent XLA compilation cache at {path}")
     return path

@@ -97,6 +97,46 @@ class AsyncGeneratorWithTotal(Generic[T]):
         self.total = total
 
 
+@dataclass
+class _PacingPlan:
+    """Token-budget pacing derived from the user's per-minute limit."""
+
+    task_units: int  # counter units one in-flight task holds
+    deadline_sec: float  # wall-clock budget for the whole map
+    eta_minutes: float  # user-facing estimate (minutes)
+    minute_budget: int  # effective tokens-per-minute budget
+
+    @property
+    def is_slow(self) -> bool:
+        return self.eta_minutes > 1
+
+
+def _plan_pacing(
+    minute_token_limit: int,
+    estimated_task_tokens: int,
+    n_items: int,
+    time_limit_multiplier: float,
+    min_time_limit_sec: float,
+) -> _PacingPlan:
+    total_tokens = estimated_task_tokens * n_items
+    budget = minute_token_limit
+    if budget <= 0:
+        # no configured minute limit means unlimited: pace by a generous
+        # default concurrency instead of dividing by zero
+        budget = max(total_tokens, estimated_task_tokens * 16, 1)
+    eta_minutes = float(total_tokens) / budget
+    return _PacingPlan(
+        # a per-task estimate above the whole minute budget would make
+        # acquire() raise; clamp so such tasks serialize instead
+        task_units=min(estimated_task_tokens, budget),
+        deadline_sec=max(
+            eta_minutes * 60.0 * time_limit_multiplier, min_time_limit_sec
+        ),
+        eta_minutes=eta_minutes,
+        minute_budget=budget,
+    )
+
+
 async def map_with_resource_limits(
     dial_limited_resources: DialLimitedResources,
     items: AsyncGeneratorWithTotal[T],
@@ -108,45 +148,34 @@ async def map_with_resource_limits(
     min_time_limit_sec: float = MIN_TIME_LIMIT_SEC,
     progress: Callable[[], None] | None = None,
 ) -> list[U]:
-    total_tokens = estimated_task_tokens * items.total
-    await dial_limited_resources.reserve_daily_tokens(model_name, total_tokens)
-
-    minute_token_limit = await dial_limited_resources.get_minute_token_limit(
-        model_name
+    await dial_limited_resources.reserve_daily_tokens(
+        model_name, estimated_task_tokens * items.total
     )
-    if minute_token_limit <= 0:
-        # no configured minute limit means unlimited: pace by a generous
-        # default concurrency instead of dividing by zero
-        minute_token_limit = max(
-            total_tokens, estimated_task_tokens * 16, 1
-        )
-    estimated_minutes = float(total_tokens) / minute_token_limit
-    if estimated_minutes > 1:
+    plan = _plan_pacing(
+        await dial_limited_resources.get_minute_token_limit(model_name),
+        estimated_task_tokens,
+        items.total,
+        time_limit_multiplier,
+        min_time_limit_sec,
+    )
+    if plan.is_slow:
         file.write(
-            f"Estimated processing time is {estimated_minutes:.1f} minutes"
-            f" due to the limit for the {model_name}"
-            f" is {minute_token_limit} tokens per minute.\n\n"
+            f"This will take roughly {plan.eta_minutes:.1f} minutes:"
+            f" {model_name} allows {plan.minute_budget} tokens/minute"
+            f" for this account.\n\n"
         )
 
-    time_limit_sec = max(
-        estimated_minutes * 60.0 * time_limit_multiplier, min_time_limit_sec
-    )
     resource_counter = await dial_limited_resources.get_counter(model_name)
     tasks: list[asyncio.Task] = []
 
-    # The lock serializes maps on the same model: the timeout was computed
+    # The lock serializes maps on the same model: the deadline was computed
     # for this map alone.
     async with dial_limited_resources.get_lock(model_name):
-        async with timeout(time_limit_sec):
+        async with timeout(plan.deadline_sec):
             async with asyncio.TaskGroup() as task_group:
-                # a task estimate above the whole minute budget would make
-                # acquire() raise; clamp so such tasks serialize instead
-                task_units = min(
-                    estimated_task_tokens, resource_counter.total
-                )
                 async for item in items.agen:
                     task = await resource_counter.acquire_and_create_task(
-                        coro_func(item), task_units, task_group
+                        coro_func(item), plan.task_units, task_group
                     )
                     if progress is not None:
                         task.add_done_callback(lambda _: progress())

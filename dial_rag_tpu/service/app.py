@@ -141,9 +141,15 @@ class DialRagApplication:
     def _merge_config_sources(
         self, request: ChatRequest, commands: Commands
     ) -> tuple[ConfigDigest, Configuration]:
+        # Deliberate divergence from the reference (app.py:223), which
+        # dumps with exclude_none=True: that drops the presets' explicit
+        # `description_index: null`, resurrecting the default-ON
+        # description index on embedding-flavor deployments. Dumping
+        # only explicitly-set fields keeps YAML/env nulls as disables
+        # while untouched fields fall through to Configuration defaults.
         configuration = merge_config(
             Configuration(),
-            self.app_config.request.model_dump(exclude_none=True),
+            self.app_config.request.model_dump(exclude_unset=True),
         )
         custom = validate_custom_configuration(
             request.custom_fields.configuration

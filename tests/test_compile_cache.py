@@ -24,6 +24,12 @@ def cache_dir(tmp_path):
     try:
         yield tmp_path
     finally:
+        # The cache backend is a process singleton: restoring the config
+        # alone would leave writes going to tmp_path (or vice versa on
+        # setup) — reset so the next user re-initializes at old_dir.
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", old_min_time
