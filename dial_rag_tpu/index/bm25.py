@@ -176,32 +176,63 @@ def _bm25_topk_batch_kernel(weights, query_mat, n_valid, *, k, use_sort):
     return -vals, (n_pad - 1) - idx  # [Q, k]
 
 
-@partial(jax.jit, static_argnames=("k", "use_sort", "n_pad", "l_pad"))
-def _bm25_sparse_topk_batch_kernel(
+@partial(
+    jax.jit, static_argnames=("k", "use_sort", "n_pad", "l_pad", "q_pad")
+)
+def _bm25_sparse_topk_flat_kernel(
     rows_dev,
     vals_dev,
-    starts,  # [Q, T]
-    lens,  # [Q, T]
-    counts,  # [Q, T]
+    starts,  # [S] flattened slice table across ALL queries
+    lens,  # [S]
+    counts,  # [S]
+    qoff,  # [S] owning query's accumulator base (qid * stride)
     n_valid,
     band_w=None,  # [n_pad, K] dense band weights
     band_q=None,  # [Q, K] band term counts
     *,
     n_pad: int,
     l_pad: int,
+    q_pad: int,
     k: int,
     use_sort: bool,
 ):
-    """Q sparse-CSC queries scored and ranked in ONE dispatch: vmapped
-    gather/scatter-add over the shared postings arrays, then the
-    reference-exact flipped-layout top-k per query. Mirrors the sharded
-    index's batched path on a single chip (the bucketed per-query path
-    costs one dispatch per posting-length bucket)."""
-    scores = jax.vmap(
-        lambda st, ln, cn: _sparse_scores(
-            rows_dev, vals_dev, st, ln, cn, n_pad=n_pad, l_pad=l_pad
-        )
-    )(starts, lens, counts)  # [Q, n_pad]
+    """Q sparse-CSC queries scored and ranked in ONE dispatch over a
+    FLATTENED slice table.
+
+    The previous batched formulation vmapped the per-query scan over
+    [Q, T_max] tables, so every query paid the batch's worst slice
+    count: scatter work Q x T_max x l_pad. One query drawing a single
+    near-band-threshold term (tens of slices) multiplied the whole
+    batch's work — measured as the dominant term of the 10M-item
+    realistic-vocabulary profile (150 ms/query, round-4 BENCH). Here
+    each slice carries its owning query's accumulator offset and the
+    batch scans sum(T_q) slices total — work proportional to the
+    queries' ACTUAL postings.
+
+    Exactness: per (item, term) there is exactly one posting, and the
+    flattened table keeps each query's slices contiguous in the same
+    term-ascending order as the per-query path, so every item's f32
+    accumulation order is unchanged — scores are bit-identical. The
+    sorted-scatter contract holds per slice: within a slice the offset
+    is constant and rows ascend; masked entries redirect to the query's
+    dump row at base + n_pad (stride = n_pad + 8 keeps it below the
+    next query's base)."""
+    stride = n_pad + 8
+    iota = jax.lax.iota(jnp.int32, l_pad)
+
+    def per_slice(acc, term):
+        s, ln, c, qo = term
+        r = jax.lax.dynamic_slice(rows_dev, (s,), (l_pad,))
+        v = jax.lax.dynamic_slice(vals_dev, (s,), (l_pad,))
+        v = jnp.where(iota < ln, v * c, 0.0)
+        r = jnp.where(iota < ln, qo + r, qo + n_pad)
+        return acc.at[r].add(v, indices_are_sorted=True), None
+
+    acc0 = (
+        jnp.zeros(q_pad * stride, dtype=jnp.float32) + vals_dev[0] * 0.0
+    )
+    flat, _ = jax.lax.scan(per_slice, acc0, (starts, lens, counts, qoff))
+    scores = flat.reshape(q_pad, stride)[:, :n_pad]  # [Q, n_pad]
     if band_w is not None and band_q is not None:
         scores = scores + jnp.dot(
             band_q,
@@ -553,14 +584,14 @@ class Bm25Index:
                     band_q[col] = counts.pop(tid)
         return counts, band_q
 
-    def _query_vslices(self, counts: dict[int, int]):
-        """(starts, lens, counts) of the query TAIL terms' posting
-        ranges split into fixed <=_VSLICE windows (padded to a pow2
-        slice count). Fixed-width slices keep the device read a
+    def _iter_vslices(self, counts: dict[int, float]):
+        """Raw (start, len, count) virtual slices of the query TAIL
+        terms' posting ranges, term-ascending, split into fixed
+        <=_VSLICE windows. Fixed-width slices keep the device read a
         dynamic-slice run, bound padding waste per term, and keep
         l_pad — hence the jit cache — constant."""
         term_ptr = self._postings[0]
-        vslices: list[tuple[int, int, int]] = []
+        vslices: list[tuple[int, int, float]] = []
         for tid in sorted(counts):
             s = int(term_ptr[tid])
             e = int(term_ptr[tid + 1])
@@ -568,6 +599,13 @@ class Bm25Index:
             while s < e:
                 vslices.append((s, min(_VSLICE, e - s), c))
                 s += _VSLICE
+        return vslices
+
+    def _query_vslices(self, counts: dict[int, float]):
+        """(starts, lens, counts) arrays padded to a pow2 slice count
+        (single-query path; the batch path flattens raw slices across
+        queries instead — see _bm25_sparse_topk_flat_kernel)."""
+        vslices = self._iter_vslices(counts)
         t_pad = _next_pow2(max(len(vslices), 1))
         starts = np.zeros(t_pad, dtype=np.int32)
         lens = np.zeros(t_pad, dtype=np.int32)
@@ -678,45 +716,48 @@ class Bm25Index:
             idx = np.asarray(idx)
             vals = np.asarray(vals)
             return [(idx[i], vals[i]) for i in range(q)]
-        # device CSC postings: all queries in one vmapped dispatch over
-        # common [q_pad, t_pad] virtual-slice tables (l_pad is the
-        # constant _VSLICE); band terms ride one extra MXU matmul
-        per_query = []
+        # device CSC postings: all queries in one dispatch over a
+        # FLATTENED slice table — scatter work tracks the queries'
+        # actual postings instead of q_pad x the batch's worst slice
+        # count (l_pad is the constant _VSLICE); band terms ride one
+        # extra MXU matmul
+        q = len(queries_tokens)
+        q_pad = _next_pow2(q)
+        stride = self._n_pad + 8
         band_mat = None
+        flat: list[tuple[int, int, float, int]] = []
         for qi, toks in enumerate(queries_tokens):
             counts, band_q = self._query_counts(toks)
             if band_q is not None:
                 if band_mat is None:
                     band_mat = np.zeros(
-                        (
-                            _next_pow2(len(queries_tokens)),
-                            self._band_dev.shape[1],
-                        ),
+                        (q_pad, self._band_dev.shape[1]),
                         dtype=np.float32,
                     )
                 band_mat[qi] = band_q
-            per_query.append(self._query_vslices(counts))
-        t_pad = max(pq[0].shape[0] for pq in per_query)
-        q = len(queries_tokens)
-        q_pad = _next_pow2(q)
-        starts = np.zeros((q_pad, t_pad), dtype=np.int32)
-        lens = np.zeros((q_pad, t_pad), dtype=np.int32)
-        cnts = np.zeros((q_pad, t_pad), dtype=np.float32)
-        for qi, (st, ln, cn) in enumerate(per_query):
-            starts[qi, : st.shape[0]] = st
-            lens[qi, : ln.shape[0]] = ln
-            cnts[qi, : cn.shape[0]] = cn
-        vals, idx = _bm25_sparse_topk_batch_kernel(
+            base = qi * stride
+            for s, ln, c in self._iter_vslices(counts):
+                flat.append((s, ln, c, base))
+        s_pad = _next_pow2(max(len(flat), 1))
+        starts = np.zeros(s_pad, dtype=np.int32)
+        lens = np.zeros(s_pad, dtype=np.int32)
+        cnts = np.zeros(s_pad, dtype=np.float32)
+        qoff = np.zeros(s_pad, dtype=np.int32)
+        for j, (s, ln, c, base) in enumerate(flat):
+            starts[j], lens[j], cnts[j], qoff[j] = s, ln, c, base
+        vals, idx = _bm25_sparse_topk_flat_kernel(
             self._postings[1],
             self._postings[2],
             jnp.asarray(starts),
             jnp.asarray(lens),
             jnp.asarray(cnts),
+            jnp.asarray(qoff),
             jnp.int32(self.n_items),
             self._band_dev,
             jnp.asarray(band_mat) if band_mat is not None else None,
             n_pad=self._n_pad,
             l_pad=_VSLICE,
+            q_pad=q_pad,
             k=k,
             use_sort=k > _ARGMIN_MAX_K,
         )
@@ -730,6 +771,24 @@ class Bm25Index:
         ``query_tokens``: token list or term->weight mapping (weighted
         queries rank by the same linear score)."""
         return self.top_n_with_scores(query_tokens, n)[0]
+
+    def warm_query_buckets(self, k: int, max_q: int = 64) -> None:
+        """Compile-ahead of the single + batched scoring kernels for
+        every wave bucket concurrent serving can produce (see
+        DenseIndex.warm_query_buckets for the rationale). ``k`` is the
+        serving top-n (the kernels specialize on it)."""
+        if self.n_items == 0 or self._weights_dev is None and (
+            self._weights_host is not None
+            or self._postings_host is not None
+        ):
+            return  # host-only layout: nothing compiles
+        term = next(iter(self.vocab), None)
+        probe = [term] if term is not None else []
+        self.top_n_with_scores(probe, k)
+        q = 2  # batch path's smallest bucket is q_pad=4
+        while q <= max_q:
+            self.top_n_batch_with_scores([probe] * q, k)
+            q *= 2
 
     async def atop_n_with_scores(
         self, query_tokens, n: int

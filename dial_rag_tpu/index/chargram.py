@@ -457,6 +457,14 @@ class ChargramIndex:
     def top_n(self, query_text: str, n: int) -> np.ndarray:
         return self.inner.top_n(self.query_weights(query_text), n)
 
+    def warm_query_buckets(self, k: int, max_q: int = 64) -> None:
+        """Compile-ahead: weighted queries ride the same inner BM25
+        kernels as token queries, so warming the inner index covers
+        every wave bucket this arm can dispatch."""
+        warm = getattr(self.inner, "warm_query_buckets", None)
+        if warm is not None:
+            warm(k, max_q)
+
     def top_n_with_scores(self, query_text: str, n: int):
         return self.inner.top_n_with_scores(self.query_weights(query_text), n)
 

@@ -531,6 +531,27 @@ class DenseIndex:
         hits, _ = self.find_with_distances(query)
         return hits
 
+    def warm_query_buckets(self, max_q: int = 64) -> None:
+        """Compile-ahead for serving: run the single-query kernel plus
+        the batched kernel at every power-of-two wave bucket up to
+        ``max_q`` (the micro-batcher's max_batch) on dummy queries.
+
+        Under concurrent load the cross-request coalescer
+        (``afind`` -> ``find_batch``) produces wave sizes the serial
+        warmup never sees; an uncompiled (corpus-bucket, q_pad) pair
+        recompiles mid-request — measured seconds each through a remote
+        TPU tunnel, the dominant term of the first minute of concurrent
+        traffic. The device cache triggers this off the hot path right
+        after an index is built (DeviceIndexCache.get_or_build(warm=));
+        with the persistent compile cache the cost is once per machine."""
+        if self._emb is None:
+            return
+        self.find(np.zeros(self.dim, dtype=np.float32))
+        q = 8  # find_batch's smallest q_pad bucket
+        while q <= max_q:
+            self.find_batch(np.zeros((q, self.dim), dtype=np.float32))
+            q *= 2
+
     async def afind(self, query) -> list[SearchHit]:
         """``find`` with cross-request coalescing.
 
@@ -605,7 +626,15 @@ class DenseIndex:
                     np.asarray(qv, dtype=np.float32).reshape(-1)
                 )
             )
-        return self.find_batch(jnp.stack(rows))
+        # pad the stack to the power-of-two wave bucket BEFORE the
+        # device stack: jnp.stack compiles per exact row count, so
+        # unpadded waves of 2..max_batch would each pay a fresh compile
+        # (seconds through a remote tunnel) the first time that size
+        # occurs under load
+        q = len(rows)
+        q_pad = 1 << max(3, (q - 1).bit_length())
+        rows.extend([rows[0]] * (q_pad - q))
+        return self.find_batch(jnp.stack(rows), n_real=q)
 
     def find_batch(
         self, queries: np.ndarray, n_real: int | None = None

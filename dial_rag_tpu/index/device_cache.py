@@ -12,8 +12,11 @@ configuration. A record without a token (never persisted) disables
 caching for its record set. Byte-bounded LRU eviction.
 """
 
+import logging
 from collections import OrderedDict
-from threading import Lock
+from threading import Lock, Thread
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_CAPACITY_BYTES = 1 << 30  # 1 GiB of HBM for cached indexes
 
@@ -25,16 +28,25 @@ class DeviceIndexCache:
         self._building: dict = {}  # key -> Lock (single-flight)
         self._size = 0
         self._lock = Lock()
+        self._warm_threads: list[Thread] = []
         self.hits = 0
         self.misses = 0
 
-    def get_or_build(self, records: list, config_key: tuple, builder):
+    def get_or_build(self, records: list, config_key: tuple, builder, warm=None):
         """Return the cached index for (record tokens, config_key) or
         build + insert one. ``builder()`` must return an object with an
         ``nbytes`` attribute. Concurrent first requests for the same key
         single-flight the build: one thread uploads, the rest wait —
         without this, C cold-start requests would upload C copies of the
-        index to HBM simultaneously."""
+        index to HBM simultaneously.
+
+        ``warm(index)``, when given, runs on a daemon thread right after
+        a MISS inserts the new index: compile-ahead of the batched wave
+        kernels (index.warm_query_buckets) so the first burst of
+        concurrent traffic doesn't pay mid-request jit compiles — those
+        measured seconds each through a remote TPU tunnel. Never runs on
+        hits (the kernels are already compiled) and never blocks the
+        building request."""
         tokens = [getattr(r, "cache_token", None) for r in records]
         if not records or any(t is None for t in tokens):
             return builder()  # unpersisted records: no stable identity
@@ -78,7 +90,32 @@ class DeviceIndexCache:
                     _, evicted = self._entries.popitem(last=False)
                     self._size -= evicted.nbytes
                 self._building.pop(key, None)
+            if warm is not None:
+                self._spawn_warm(warm, index)
         return index
+
+    def _spawn_warm(self, warm, index) -> None:
+        def run():
+            try:
+                warm(index)
+            except Exception:
+                logger.warning("index compile-ahead failed", exc_info=True)
+
+        t = Thread(target=run, daemon=True, name="index-warm")
+        with self._lock:
+            self._warm_threads = [
+                w for w in self._warm_threads if w.is_alive()
+            ]
+            self._warm_threads.append(t)
+        t.start()
+
+    def wait_warm(self, timeout: float | None = None) -> None:
+        """Block until pending compile-ahead threads finish (benchmarks
+        and tests use this to keep compiles out of timed phases)."""
+        with self._lock:
+            threads = list(self._warm_threads)
+        for t in threads:
+            t.join(timeout)
 
     def __len__(self) -> int:
         return len(self._entries)

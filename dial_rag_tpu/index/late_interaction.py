@@ -495,6 +495,22 @@ class LateInteractionIndex:
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
 
+    def warm_query_buckets(self, max_q: int = 16) -> None:
+        """Compile-ahead of the MaxSim kernels for the common serving
+        shapes: the single-query path at each query-token lane bucket a
+        3-30-token query can land in, and the batched (cross-request
+        coalesced) path at power-of-two wave buckets with a typical
+        16-lane query (see DenseIndex.warm_query_buckets)."""
+        if self._x is None:
+            return
+        for lanes in (8, 16, 32):
+            self.find(np.zeros((lanes, self.dim), dtype=np.float32))
+        probe = np.zeros((9, self.dim), dtype=np.float32)  # qp bucket 16
+        q = 4
+        while q <= max_q:
+            self.find_batch([probe] * q)
+            q *= 2
+
     async def afind(self, query_tokens) -> list[SearchHit]:
         """``find`` with cross-request coalescing (see DenseIndex.afind
         for the latency math). Device-resident queries that arrived at
@@ -554,15 +570,18 @@ class LateInteractionIndex:
                 if len(part) == 1:
                     out[part[0]] = self.find(queries[part[0]])
                     continue
-                q_tok = jnp.stack(
-                    [queries[i].astype(jnp.float32) for i in part]
-                )
                 nq = len(part)
                 nq_pad = 1 << max(2, (nq - 1).bit_length())
-                if nq_pad != nq:
-                    q_tok = jnp.pad(
-                        q_tok, ((0, nq_pad - nq), (0, 0), (0, 0))
-                    )
+                # pad the row list BEFORE the device stack: jnp.stack
+                # compiles per exact row count, so unpadded waves would
+                # pay a fresh remote compile per first-seen size; the
+                # padding rows reuse row 0 but get q_count 0 below, so
+                # they are score-inert and never surface
+                stack_rows = [
+                    queries[i].astype(jnp.float32) for i in part
+                ]
+                stack_rows.extend([stack_rows[0]] * (nq_pad - nq))
+                q_tok = jnp.stack(stack_rows)
                 # every lane counts as a real token: the embedder zeroes
                 # padded positions and zero tokens are score-inert, so
                 # counts = qp reproduces the single-query device path

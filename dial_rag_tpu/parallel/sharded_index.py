@@ -28,7 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dial_rag_tpu.index.dense_index import DocEmbeddings, hits_from_topk
+from dial_rag_tpu.index.dense_index import (
+    DocEmbeddings,
+    _int8_distances,
+    _int8_quantize_query,
+    _two_pass_bound,
+    _two_pass_error_terms,
+    _two_pass_select,
+    hits_from_topk,
+)
 from dial_rag_tpu.index.records import RetrievalType, SearchHit
 from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
 from dial_rag_tpu.ops.stable_topk import (
@@ -143,6 +151,192 @@ def _sharded_find_batch_kernel(
     return _merge_shard_winners_batch(vals, idx, k)
 
 
+@partial(jax.jit, static_argnames=("mesh", "metric", "k", "use_sort"))
+def _sharded_find_int8_kernel(
+    emb_i8, scales, row_norm2, query, n_valid, *, mesh, metric, k, use_sort
+):
+    """Row-sharded int8 capacity scan: the quantized rows, per-row
+    scales, and exact dequantized norms shard together row-wise; each
+    shard runs the same s8 x s8 -> s32 MXU scan as the single-chip
+    kernel (dense_index._int8_distances) over its own quarter-size
+    slice, so 8 chips serve 8x the single-chip 30M-row capacity."""
+    n_shards = mesh.devices.size
+    rows_per_shard = emb_i8.shape[0] // n_shards
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(emb_l, scales_l, norm2_l, query, n_valid):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        q8, sq = _int8_quantize_query(query[None, :])
+        q_norm2 = jnp.sum(query.astype(jnp.float32) ** 2)
+        dists = _int8_distances(
+            emb_l, scales_l, norm2_l, q8, sq, q_norm2, metric
+        )[0]
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        dists = jnp.where(row < n_valid, dists, jnp.inf)
+        vals, idx = topk(dists, k)
+        return vals[None], (base + idx)[None]
+
+    vals, idx = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P("idx", None), P("idx"), P("idx"), P(), P()),
+        out_specs=(P("idx"), P("idx")),
+    )(emb_i8, scales, row_norm2, query, n_valid)
+
+    return _merge_shard_winners(vals, idx, k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric", "k", "use_sort"))
+def _sharded_find_int8_batch_kernel(
+    emb_i8, scales, row_norm2, queries, n_valid, *, mesh, metric, k, use_sort
+):
+    n_shards = mesh.devices.size
+    rows_per_shard = emb_i8.shape[0] // n_shards
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(emb_l, scales_l, norm2_l, queries, n_valid):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        q8, sq = _int8_quantize_query(queries)
+        q_norm2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)[
+            :, None
+        ]
+        dists = _int8_distances(
+            emb_l, scales_l, norm2_l, q8, sq, q_norm2, metric
+        )  # [Q, rows]
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        dists = jnp.where(row[None, :] < n_valid, dists, jnp.inf)
+        vals, idx = jax.vmap(lambda d: topk(d, k))(dists)  # [Q, k]
+        return vals[None], (base + idx)[None]
+
+    vals, idx = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P("idx", None), P("idx"), P("idx"), P(), P()),
+        out_specs=(P("idx"), P("idx")),
+    )(emb_i8, scales, row_norm2, queries, n_valid)
+
+    return _merge_shard_winners_batch(vals, idx, k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric", "k"))
+def _sharded_find_two_pass_kernel(
+    emb_bf16, emb_f32, query, n_valid, err_a, err_b, norm_max,
+    *, mesh, metric, k,
+):
+    """Row-sharded f32-exact two-pass scan. Both copies shard together
+    row-wise; every shard runs the single-chip certified pipeline
+    (dense_index._two_pass_select) against its own rows with a LOCAL
+    validity bound, producing an exact local top-k plus an ok flag.
+    Exactness composition: the global top-k is contained in the union of
+    exact local top-ks, and local stable rank == local row order among
+    ties, so the replicated stable merge reproduces the full f32 scan's
+    selection AND tie order. ``ok`` is the AND over shards — any shard's
+    containment failure routes the caller to the sharded full f32 scan.
+    The error terms are GLOBAL maxima (computed over the whole matrix at
+    build), sound for every shard."""
+    sel_metric = (
+        Metric.SQEUCLIDEAN_DIST
+        if metric == Metric.EUCLIDEAN_DIST
+        else metric
+    )
+    n_shards = mesh.devices.size
+    rows_per_shard = emb_bf16.shape[0] // n_shards
+
+    def local(bf16_l, f32_l, query, n_valid, err_a, err_b, norm_max):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        n_valid_local = jnp.clip(n_valid - base, 0, rows_per_shard)
+        s1 = pairwise_distances(query, bf16_l, sel_metric)
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        s1 = jnp.where(row < n_valid_local, s1, jnp.inf)
+        e_bound = _two_pass_bound(
+            query, err_a, err_b, norm_max, bf16_l.shape[1], sel_metric
+        )
+        ok, vals, idx = _two_pass_select(
+            f32_l, s1, query, n_valid_local, e_bound, metric=metric, k=k
+        )
+        # a shard with no valid rows (tiny corpus, all padding) is
+        # trivially exact, but its all-inf scores make the containment
+        # check compare inf > inf -> False; don't let it force fallback
+        ok = jnp.logical_or(n_valid_local == 0, ok)
+        return ok[None], vals[None], (base + idx)[None]
+
+    ok, vals, idx = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("idx", None), P("idx", None), P(), P(), P(), P(), P()),
+        out_specs=(P("idx"), P("idx"), P("idx")),
+    )(emb_bf16, emb_f32, query, n_valid, err_a, err_b, norm_max)
+
+    mvals, midx = _merge_shard_winners(vals, idx, k)
+    return jnp.all(ok), mvals, midx
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric", "k"))
+def _sharded_find_two_pass_batch_kernel(
+    emb_bf16, emb_f32, queries, n_valid, err_a, err_b, norm_max,
+    *, mesh, metric, k,
+):
+    """Batched sharded two-pass: one bf16 matmul per shard shared across
+    queries, vmapped candidate select/rescore, per-query stable merge.
+    Returns (ok[Q] — ANDed over shards per query, vals[Q,k], idx[Q,k])."""
+    from dial_rag_tpu.ops.metrics import pairwise_distances_batch
+
+    sel_metric = (
+        Metric.SQEUCLIDEAN_DIST
+        if metric == Metric.EUCLIDEAN_DIST
+        else metric
+    )
+    n_shards = mesh.devices.size
+    rows_per_shard = emb_bf16.shape[0] // n_shards
+
+    def local(bf16_l, f32_l, queries, n_valid, err_a, err_b, norm_max):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        n_valid_local = jnp.clip(n_valid - base, 0, rows_per_shard)
+        s1 = pairwise_distances_batch(queries, bf16_l, sel_metric)
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        s1 = jnp.where(row[None, :] < n_valid_local, s1, jnp.inf)
+
+        def per_query(query, s1_q):
+            e_bound = _two_pass_bound(
+                query, err_a, err_b, norm_max, bf16_l.shape[1], sel_metric
+            )
+            return _two_pass_select(
+                f32_l,
+                s1_q,
+                query,
+                n_valid_local,
+                e_bound,
+                metric=metric,
+                k=k,
+            )
+
+        ok, vals, idx = jax.vmap(per_query)(queries, s1)
+        ok = jnp.logical_or(n_valid_local == 0, ok)  # empty-shard guard
+        return ok[None], vals[None], (base + idx)[None]
+
+    ok, vals, idx = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("idx", None), P("idx", None), P(), P(), P(), P(), P()),
+        out_specs=(P("idx"), P("idx"), P("idx")),
+    )(emb_bf16, emb_f32, queries, n_valid, err_a, err_b, norm_max)
+
+    mvals, midx = _merge_shard_winners_batch(vals, idx, k)
+    return jnp.all(ok, axis=0), mvals, midx
+
+
 class ShardedDenseIndex:
     """Dense index with rows sharded over every device of a mesh.
 
@@ -165,6 +359,17 @@ class ShardedDenseIndex:
         self.metric = Metric(metric)
         self.limit = limit
         self.storage_dtype = storage_dtype
+        self._emb_f32 = None  # two_pass: sharded f32 rescore copy
+        self._scales = None  # int8: sharded per-row scales
+        self._row_norm2 = None
+        if (
+            storage_dtype in ("two_pass", "int8")
+            and self.metric == Metric.COSINE_SIM
+        ):
+            raise ValueError(
+                f"{storage_dtype} storage does not support cosine_sim "
+                "(see DenseIndex); use float32"
+            )
         # one flat shard axis over every device in the mesh
         self._mesh = Mesh(
             mesh.devices.reshape(-1), ("idx",)
@@ -188,18 +393,47 @@ class ShardedDenseIndex:
             emb = np.pad(emb, ((0, n_pad - self.n_rows), (0, 0)))
         self._doc_ids = doc_ids
         self._chunk_ids = chunk_ids
-        self._emb = jax.device_put(
-            emb.astype(np.dtype(storage_dtype)),
-            NamedSharding(self._mesh, P("idx", None)),
-        )
+        row_sharding = NamedSharding(self._mesh, P("idx", None))
+        vec_sharding = NamedSharding(self._mesh, P("idx"))
+        if storage_dtype == "two_pass":
+            # both copies shard together row-wise; the error terms are
+            # global maxima (sound for every shard's local certificate)
+            self._emb_f32 = jax.device_put(
+                emb.astype(np.float32), row_sharding
+            )
+            self._emb = self._emb_f32.astype(jnp.bfloat16)
+            self._err = _two_pass_error_terms(self._emb_f32)
+        elif storage_dtype == "int8":
+            # same host-side per-row absmax quantization + exact
+            # dequantized norms as DenseIndex, uploaded pre-sharded
+            emb = emb.astype(np.float32)
+            absmax = np.max(np.abs(emb), axis=1)
+            scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+                np.float32
+            )
+            q = np.rint(emb / scales[:, None]).astype(np.int8)
+            norm2 = (
+                scales.astype(np.float64) ** 2
+                * (q.astype(np.float64) ** 2).sum(axis=1)
+            ).astype(np.float32)
+            self._emb = jax.device_put(q, row_sharding)
+            self._scales = jax.device_put(scales, vec_sharding)
+            self._row_norm2 = jax.device_put(norm2, vec_sharding)
+        else:
+            self._emb = jax.device_put(
+                emb.astype(np.dtype(storage_dtype)), row_sharding
+            )
 
     @property
     def nbytes(self) -> int:
-        return (
-            0
-            if self._emb is None
-            else self._emb.size * self._emb.dtype.itemsize
-        )
+        if self._emb is None:
+            return 0
+        total = self._emb.size * self._emb.dtype.itemsize
+        if self._emb_f32 is not None:
+            total += self._emb_f32.size * self._emb_f32.dtype.itemsize
+        if self._scales is not None:
+            total += self._scales.size * 4 + self._row_norm2.size * 4
+        return total
 
     def find(self, query: np.ndarray) -> list[SearchHit]:
         hits, _ = self.find_with_distances(query)
@@ -216,15 +450,54 @@ class ShardedDenseIndex:
         if q_pad != q:
             queries = np.pad(queries, ((0, q_pad - q), (0, 0)))
         k = min(self.limit, self.n_rows)
-        vals, idx = _sharded_find_batch_kernel(
-            self._emb,
-            jnp.asarray(queries),
-            jnp.int32(self.n_rows),
-            mesh=self._mesh,
-            metric=self.metric,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+        if self._emb_f32 is not None:
+            ok, vals, idx = _sharded_find_two_pass_batch_kernel(
+                self._emb,
+                self._emb_f32,
+                jnp.asarray(queries),
+                jnp.int32(self.n_rows),
+                *self._err,
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+            )
+            ok, vals, idx = jax.device_get((ok, vals, idx))
+            if not bool(ok[:q].all()):
+                # containment failed on some shard: the sharded full f32
+                # scan keeps the exactness guarantee
+                vals, idx = jax.device_get(
+                    _sharded_find_batch_kernel(
+                        self._emb_f32,
+                        jnp.asarray(queries),
+                        jnp.int32(self.n_rows),
+                        mesh=self._mesh,
+                        metric=self.metric,
+                        k=k,
+                        use_sort=k > _ARGMIN_MAX_K,
+                    )
+                )
+        elif self._scales is not None:
+            vals, idx = _sharded_find_int8_batch_kernel(
+                self._emb,
+                self._scales,
+                self._row_norm2,
+                jnp.asarray(queries),
+                jnp.int32(self.n_rows),
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+        else:
+            vals, idx = _sharded_find_batch_kernel(
+                self._emb,
+                jnp.asarray(queries),
+                jnp.int32(self.n_rows),
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         vals = np.asarray(vals)[:q]
         idx = np.asarray(idx)[:q]
         return [
@@ -244,15 +517,52 @@ class ShardedDenseIndex:
             return [], []
         query = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(-1))
         k = min(self.limit, self.n_rows)
-        vals, idx = _sharded_find_kernel(
-            self._emb,
-            query,
-            jnp.int32(self.n_rows),
-            mesh=self._mesh,
-            metric=self.metric,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+        if self._emb_f32 is not None:
+            ok, vals, idx = _sharded_find_two_pass_kernel(
+                self._emb,
+                self._emb_f32,
+                query,
+                jnp.int32(self.n_rows),
+                *self._err,
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+            )
+            ok, vals, idx = jax.device_get((ok, vals, idx))
+            if not bool(ok):
+                vals, idx = jax.device_get(
+                    _sharded_find_kernel(
+                        self._emb_f32,
+                        query,
+                        jnp.int32(self.n_rows),
+                        mesh=self._mesh,
+                        metric=self.metric,
+                        k=k,
+                        use_sort=k > _ARGMIN_MAX_K,
+                    )
+                )
+        elif self._scales is not None:
+            vals, idx = _sharded_find_int8_kernel(
+                self._emb,
+                self._scales,
+                self._row_norm2,
+                query,
+                jnp.int32(self.n_rows),
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+        else:
+            vals, idx = _sharded_find_kernel(
+                self._emb,
+                query,
+                jnp.int32(self.n_rows),
+                mesh=self._mesh,
+                metric=self.metric,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         return hits_from_topk(
             np.asarray(vals),
             np.asarray(idx),
@@ -265,7 +575,8 @@ class ShardedDenseIndex:
 
 @partial(jax.jit, static_argnames=("mesh", "k", "use_sort"))
 def _sharded_maxsim_find_kernel(
-    x, counts, n_valid, q_tokens, q_count, *, mesh, k, use_sort
+    x, counts, n_valid, q_tokens, q_count, x_scales=None,
+    *, mesh, k, use_sort,
 ):
     """Row-sharded MaxSim: each shard scores its own [rows, T, D] token
     tensor (blocked matmul + masked max/sum, index/late_interaction.py)
@@ -273,17 +584,20 @@ def _sharded_maxsim_find_kernel(
     winners merge with one replicated stable sort. Tie equivalence with
     the single-chip kernel follows the dense-index argument: local stable
     rank == local row order for equal scores, so concatenation order ==
-    global row order."""
+    global row order. ``x_scales`` [N, T] marks the int8 capacity layout
+    (per-token dequantization scales, sharded with their rows)."""
     from dial_rag_tpu.index.late_interaction import _maxsim_scores
 
     n_shards = mesh.devices.size
     rows_per_shard = x.shape[0] // n_shards
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(x_local, counts_local, n_valid, q_tokens, q_count):
+    def local_topk(x_local, counts_local, n_valid, q_tokens, q_count, *s):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
-        scores = _maxsim_scores(x_local, counts_local, q_tokens, q_count)
+        scores = _maxsim_scores(
+            x_local, counts_local, q_tokens, q_count, *s
+        )
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
@@ -291,19 +605,25 @@ def _sharded_maxsim_find_kernel(
         vals, idx = topk(dists, k)
         return vals[None], (base + idx)[None]
 
+    operands = (x, counts, n_valid, q_tokens, q_count)
+    in_specs = [P("idx", None, None), P("idx"), P(), P(), P()]
+    if x_scales is not None:
+        operands = operands + (x_scales,)
+        in_specs.append(P("idx", None))
     vals, idx = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P("idx", None, None), P("idx"), P(), P(), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx")),
-    )(x, counts, n_valid, q_tokens, q_count)
+    )(*operands)
 
     return _merge_shard_winners(vals, idx, k)
 
 
 @partial(jax.jit, static_argnames=("mesh", "k", "use_sort"))
 def _sharded_maxsim_find_batch_kernel(
-    x, counts, n_valid, q_tokens, q_counts, *, mesh, k, use_sort
+    x, counts, n_valid, q_tokens, q_counts, x_scales=None,
+    *, mesh, k, use_sort,
 ):
     """Batched sharded MaxSim: every shard scores all Q queries against
     its own rows (one corpus pass per shard, shared across queries),
@@ -315,11 +635,11 @@ def _sharded_maxsim_find_batch_kernel(
     rows_per_shard = x.shape[0] // n_shards
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(x_local, counts_local, n_valid, q_tokens, q_counts):
+    def local_topk(x_local, counts_local, n_valid, q_tokens, q_counts, *s):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
         scores = _maxsim_scores_batch(
-            x_local, counts_local, q_tokens, q_counts
+            x_local, counts_local, q_tokens, q_counts, *s
         )  # [rows, Q]
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
@@ -328,12 +648,17 @@ def _sharded_maxsim_find_batch_kernel(
         vals, idx = jax.vmap(lambda dq: topk(dq, k))(dists.T)  # [Q, k]
         return vals[None], (base + idx)[None]
 
+    operands = (x, counts, n_valid, q_tokens, q_counts)
+    in_specs = [P("idx", None, None), P("idx"), P(), P(), P()]
+    if x_scales is not None:
+        operands = operands + (x_scales,)
+        in_specs.append(P("idx", None))
     vals, idx = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P("idx", None, None), P("idx"), P(), P(), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx")),
-    )(x, counts, n_valid, q_tokens, q_counts)  # [n_shards, Q, k]
+    )(*operands)  # [n_shards, Q, k]
 
     return _merge_shard_winners_batch(vals, idx, k)
 
@@ -363,6 +688,7 @@ class ShardedLateInteractionIndex:
         self.retrieval_type = retrieval_type
         self.limit = limit
         self.t = max_chunk_tokens
+        self.storage_dtype = storage_dtype
         self._mesh = Mesh(mesh.devices.reshape(-1), ("idx",))
         n_shards = self._mesh.devices.size
 
@@ -382,13 +708,31 @@ class ShardedLateInteractionIndex:
         )
         if x is None:
             self._x = None
+            self._x_scales = None
             return
         self._doc_ids = doc_ids
         self._chunk_ids = chunk_ids
         sharding = NamedSharding(self._mesh, P("idx", None, None))
-        self._x = jax.device_put(
-            x.astype(np.dtype(storage_dtype)), sharding
-        )
+        if storage_dtype == "int8":
+            # same per-TOKEN absmax quantization as the single-chip
+            # capacity layout (LateInteractionIndex), with the scale
+            # plane sharded alongside its rows: 8 chips x the 2M-chunk
+            # single-chip int8 capacity
+            absmax = np.max(np.abs(x), axis=2)  # [N, T]
+            scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+                np.float32
+            )
+            self._x = jax.device_put(
+                np.rint(x / scales[:, :, None]).astype(np.int8), sharding
+            )
+            self._x_scales = jax.device_put(
+                scales, NamedSharding(self._mesh, P("idx", None))
+            )
+        else:
+            self._x = jax.device_put(
+                x.astype(np.dtype(storage_dtype)), sharding
+            )
+            self._x_scales = None
         self._counts = jax.device_put(
             counts, NamedSharding(self._mesh, P("idx"))
         )
@@ -397,7 +741,10 @@ class ShardedLateInteractionIndex:
     def nbytes(self) -> int:
         if self._x is None:
             return 0
-        return self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+        total = self._x.size * self._x.dtype.itemsize + self._counts.nbytes
+        if self._x_scales is not None:
+            total += self._x_scales.size * 4
+        return total
 
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
@@ -418,6 +765,7 @@ class ShardedLateInteractionIndex:
                 jnp.int32(self.n_rows),
                 jnp.asarray(q_tok),
                 jnp.asarray(q_counts),
+                self._x_scales,
                 mesh=self._mesh,
                 k=k,
                 use_sort=use_sort,
@@ -456,6 +804,7 @@ class ShardedLateInteractionIndex:
             jnp.int32(self.n_rows),
             jnp.asarray(q_tokens),
             jnp.int32(q),
+            self._x_scales,
             mesh=self._mesh,
             k=k,
             use_sort=k > _ARGMIN_MAX_K,

@@ -96,7 +96,12 @@ class Bm25Retriever:
 
         if device_cache is not None:
             index = device_cache.get_or_build(
-                doc_records, ("bm25", k, mesh is not None), build
+                doc_records,
+                ("bm25", k, mesh is not None),
+                build,
+                warm=lambda idx: getattr(
+                    idx, "warm_query_buckets", lambda _k: None
+                )(k),
             )
         else:
             index = build()

@@ -118,6 +118,9 @@ class ChargramRetriever:
                 doc_records,
                 ("chargram", k, n_lo, n_hi, mesh is not None),
                 build,
+                warm=lambda idx: getattr(
+                    idx, "warm_query_buckets", lambda _k: None
+                )(k),
             )
         else:
             index = build()

@@ -56,20 +56,15 @@ class LateInteractionRetriever:
                     ShardedLateInteractionIndex,
                 )
 
+                # int8 shards natively (per-token scales ride with
+                # their rows): 8x the single-chip 2M-chunk capacity
                 return ShardedLateInteractionIndex(
                     RetrievalType.TEXT,
                     per_doc,
                     mesh,
                     max_chunk_tokens=max_chunk_tokens,
                     limit=k,
-                    # "int8" is a single-chip capacity layout; the
-                    # sharded scan already splits HBM across chips, so
-                    # it serves the nearest approximate layout (bf16)
-                    storage_dtype=(
-                        "bfloat16"
-                        if storage_dtype == "int8"
-                        else storage_dtype
-                    ),
+                    storage_dtype=storage_dtype,
                 )
             return LateInteractionIndex(
                 RetrievalType.TEXT,
@@ -90,6 +85,9 @@ class LateInteractionRetriever:
                     mesh is not None,
                 ),
                 build,
+                warm=lambda idx: getattr(
+                    idx, "warm_query_buckets", lambda: None
+                )(),
             )
         else:
             index = build()

@@ -52,22 +52,17 @@ class SemanticRetriever:
                     ShardedDenseIndex,
                 )
 
+                # every storage layout shards natively: int8 keeps its
+                # per-shard scales/norms (8x the single-chip 30M-row
+                # capacity), two_pass keeps the certified f32-exact
+                # bf16-prefilter pipeline per shard
                 return ShardedDenseIndex(
                     RetrievalType.TEXT,
                     doc_embeddings,
                     mesh,
                     metric=metric,
                     limit=k,
-                    # "two_pass" is a single-chip layout (bf16 prefilter
-                    # + f32 rescore); the sharded scan already splits
-                    # HBM traffic across chips, so it serves the exact
-                    # f32 path instead. "int8" (single-chip capacity
-                    # layout) maps to bf16 — the nearest sharded
-                    # approximate layout.
-                    storage_dtype={
-                        "two_pass": "float32",
-                        "int8": "bfloat16",
-                    }.get(storage_dtype, storage_dtype),
+                    storage_dtype=storage_dtype,
                 )
             return DenseIndex(
                 RetrievalType.TEXT,
@@ -82,6 +77,9 @@ class SemanticRetriever:
                 document_records,
                 ("semantic", str(metric), k, mesh is not None, storage_dtype),
                 build,
+                warm=lambda idx: getattr(
+                    idx, "warm_query_buckets", lambda: None
+                )(),
             )
         else:
             index = build()

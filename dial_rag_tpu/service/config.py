@@ -480,11 +480,13 @@ class ParallelConfig(BaseConfig):
         "'two_pass' keeps bf16+f32 copies (1.5x f32 memory): queries "
         "scan the bf16 copy and re-score a certified candidate window "
         "in f32 — provably identical results to 'float32' at "
-        "near-bfloat16 latency (single-chip layout). 'int8' stores "
-        "per-row absmax-quantized rows (quarter the f32 bytes — the "
-        ">10M-chunk single-chip capacity layout) scanned as one "
-        "s8xs8->s32 MXU matmul; row norms are exact, only the query's "
-        "own quantization approximates (near ties can reorder).",
+        "near-bfloat16 latency. 'int8' stores per-row absmax-quantized "
+        "rows (quarter the f32 bytes — the >10M-chunk capacity layout) "
+        "scanned as one s8xs8->s32 MXU matmul; row norms are exact, "
+        "only the query's own quantization approximates (near ties can "
+        "reorder). All four layouts also serve sharded over a device "
+        "mesh (per-shard scales/certificates, stable cross-shard "
+        "merge).",
     )
 
 

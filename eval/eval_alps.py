@@ -279,7 +279,7 @@ def _answer_citation_stream(text: str):
     return gen()
 
 
-async def eval_answers(all_hits, rows, chunks, truth) -> dict:
+async def eval_answers(all_hits, rows, chunks, truth, diagnose=False) -> dict:
     """Answer-side eval over deterministic replayed answers (the
     reference scores generated answers via aidial-rag-eval, reference
     eval/eval_retriever.py:133-146; no live LLM exists in this image,
@@ -309,6 +309,12 @@ async def eval_answers(all_hits, rows, chunks, truth) -> dict:
     answered = 0
     faithfulness_sum = 0.0
     faithfulness_n = 0
+    # diagnosis accumulators (round-5 VERDICT #6: decompose the ~1/3
+    # imprecision — real mapping bug vs ground-truth-key artifact)
+    cases: list[dict] = []
+    cov_hist: list[float] = []  # best fact coverage of EVERY citation
+    exact_num = 0  # cited chunk in the question's relevant-chunk set
+    neighbor_num = 0  # ...or adjacent to one (overlap-split artifact)
     for hits, row, rel in zip(all_hits, rows, truth):
         answer = str(row.get("answer") or "")
         if not answer:
@@ -346,15 +352,47 @@ async def eval_answers(all_hits, rows, chunks, truth) -> dict:
             answered += 1
         cited_ids = [hits[i].chunk_id for i in cited_chunks]
         chunk_sh = [_shingles(_norm_tokens(chunks[c].text)) for c in cited_ids]
-        for cs in chunk_sh:
+        for cid, cs in zip(cited_ids, chunk_sh):
             n_prec_den += 1
-            covered = False
+            best_cov = 0.0
             for fact in row["facts"]:
                 fs = _shingles(_norm_tokens(fact))
-                if fs and len(fs & cs) / len(fs) >= COVERAGE_THRESHOLD:
-                    covered = True
-                    break
+                if fs:
+                    best_cov = max(best_cov, len(fs & cs) / len(fs))
+            covered = best_cov >= COVERAGE_THRESHOLD
             n_prec_num += 1 if covered else 0
+            cov_hist.append(best_cov)
+            in_rel = cid in rel
+            near_rel = in_rel or any(
+                abs(cid - r) <= 1 for r in rel
+            )
+            exact_num += 1 if in_rel else 0
+            neighbor_num += 1 if near_rel else 0
+            if not covered:
+                # false positive under the 0.8-trigram key: classify it
+                if best_cov >= 0.5:
+                    kind = "near_miss_threshold"  # fact present, key
+                    # slightly under the 0.8 trigram cut (paraphrase or
+                    # tokenization drift in the ground-truth fact text)
+                elif near_rel:
+                    kind = "adjacent_overlap_split"  # the fact's chunk
+                    # neighbors this one (overlap chunking split it)
+                elif best_cov >= 0.2:
+                    kind = "partial_topical"
+                else:
+                    kind = "irrelevant"
+                cases.append(
+                    {
+                        "question": row["question"],
+                        "chunk_id": int(cid),
+                        "best_fact_coverage": round(best_cov, 3),
+                        "in_relevant_set": in_rel,
+                        "adjacent_to_relevant": near_rel and not in_rel,
+                        "kind": kind,
+                        "chunk_snippet": chunks[cid].text[:160],
+                        "facts": list(row["facts"]),
+                    }
+                )
         for fact in row["facts"]:
             fs = _shingles(_norm_tokens(fact))
             if not fs:
@@ -372,15 +410,37 @@ async def eval_answers(all_hits, rows, chunks, truth) -> dict:
                     1 for t in ans_tokens if t in union
                 ) / len(ans_tokens)
                 faithfulness_n += 1
-    return {
+    out = {
         "citation_precision": n_prec_num / max(n_prec_den, 1),
         "citation_recall": n_rec_num / max(n_rec_den, 1),
+        # corrected metric under exact-chunk keys: a citation counts
+        # when the cited chunk is IN the question's relevant-chunk set
+        # (fact_relevance labels), or additionally when it neighbors
+        # one (overlap chunking splits facts across adjacent chunks —
+        # a ground-truth-construction artifact, not a mapping bug)
+        "citation_precision_exact_chunk": exact_num / max(n_prec_den, 1),
+        "citation_precision_with_neighbors": neighbor_num
+        / max(n_prec_den, 1),
+        # sensitivity of the headline number to the trigram key cut
+        "citation_precision_by_threshold": {
+            str(t): sum(1 for c in cov_hist if c >= t)
+            / max(len(cov_hist), 1)
+            for t in (0.5, 0.6, 0.7, 0.8)
+        },
         "answered_rate": answered / max(len(rows), 1),
         "faithfulness": faithfulness_sum / max(faithfulness_n, 1),
         "note": "replayed ground-truth answers + overlap-cited docs "
         "through the real streaming citation rewriter; generation "
         "quality itself needs a live LLM (zero egress here)",
     }
+    if diagnose:
+        from collections import Counter as _Counter
+
+        out["false_positive_kinds"] = dict(
+            _Counter(c["kind"] for c in cases)
+        )
+        out["false_positive_cases"] = cases
+    return out
 
 
 def fact_recall_at_k(all_hits, rows, chunks, k: int = 7) -> float:
@@ -581,8 +641,35 @@ async def run_eval(
 
     if answers and "ensemble" in hits_by_arm:
         metrics["answers"] = await eval_answers(
-            hits_by_arm["ensemble"], rows, chunks, truth
+            hits_by_arm["ensemble"], rows, chunks, truth, diagnose=True
         )
+        # per-false-positive decomposition goes to its own artifact
+        # (eval/out/citation_diagnosis.json); the headline dict keeps
+        # the aggregate kinds only
+        diag = {
+            "false_positive_kinds": metrics["answers"].pop(
+                "false_positive_kinds", {}
+            ),
+            "cases": metrics["answers"].pop("false_positive_cases", []),
+            "citation_precision": metrics["answers"][
+                "citation_precision"
+            ],
+            "citation_precision_exact_chunk": metrics["answers"][
+                "citation_precision_exact_chunk"
+            ],
+            "citation_precision_with_neighbors": metrics["answers"][
+                "citation_precision_with_neighbors"
+            ],
+            "citation_precision_by_threshold": metrics["answers"][
+                "citation_precision_by_threshold"
+            ],
+        }
+        diag_path = Path("eval/out/citation_diagnosis.json")
+        diag_path.parent.mkdir(parents=True, exist_ok=True)
+        diag_path.write_text(json.dumps(diag, indent=2))
+        metrics["answers"]["false_positive_kinds"] = diag[
+            "false_positive_kinds"
+        ]
         if "ensemble_chargram" in hits_by_arm:
             # the shipped tuned profile's answer-side numbers (better
             # retrieval -> better citation precision, measured here)

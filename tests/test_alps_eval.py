@@ -170,7 +170,11 @@ def test_parity_climate_chunk_text_exact(parity_chunks):
     ]
     assert len(matches) == 1
     i, c = matches[0]
-    assert i == 104  # reference: 103; see docs/chunking_parity.md
+    # reference: 103. FROZEN at 104 (round 5): the reference's caches
+    # record zero chunks from pages 5-11, so the boundary is
+    # unpinnable without bug-compatible replication of unverifiable
+    # decisions — see docs/chunking_parity.md "Closure (round 5)".
+    assert i == 104
     assert c.page_number == 10
 
 

@@ -162,3 +162,90 @@ def test_failed_build_can_retry():
         cache.get_or_build(records, ("c",), failing_then_ok)
     out = cache.get_or_build(records, ("c",), failing_then_ok)
     assert isinstance(out, FakeIndex) and len(calls) == 2
+
+
+def test_warm_runs_once_on_miss_not_on_hits():
+    """Compile-ahead (warm=) must fire exactly once per build — on the
+    inserting miss, off the hot path — and never on cache hits."""
+    import time
+
+    cache = DeviceIndexCache()
+    records = [Rec(("u1", "sha1"))]
+    warmed = []
+
+    def warm(index):
+        warmed.append(index)
+
+    a = cache.get_or_build(records, ("semantic", 7), FakeIndex, warm=warm)
+    cache.wait_warm(5)
+    assert warmed == [a]
+    b = cache.get_or_build(records, ("semantic", 7), FakeIndex, warm=warm)
+    cache.wait_warm(5)
+    assert b is a and warmed == [a]  # hit: no second warm
+
+
+def test_warm_failure_does_not_break_serving():
+    cache = DeviceIndexCache()
+    records = [Rec(("u1", "sha1"))]
+
+    def warm(index):
+        raise RuntimeError("compile exploded")
+
+    a = cache.get_or_build(records, ("k",), FakeIndex, warm=warm)
+    cache.wait_warm(5)
+    # the index is cached and serving continues
+    assert cache.get_or_build(records, ("k",), FakeIndex) is a
+
+
+def test_dense_index_warm_compiles_wave_buckets():
+    """warm_query_buckets must leave the batched kernels compiled for
+    every wave bucket find_batch can produce (verified by timing-free
+    behavior: the calls simply succeed and results stay correct)."""
+    import numpy as np
+
+    from dial_rag_tpu.index.dense_index import DenseIndex, DocEmbeddings
+    from dial_rag_tpu.index.records import RetrievalType
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((600, 16)).astype(np.float32)
+    idx = DenseIndex(
+        RetrievalType.TEXT,
+        [DocEmbeddings(chunk_ids=np.arange(600), embeddings=emb)],
+        limit=7,
+    )
+    idx.warm_query_buckets(max_q=16)
+    # post-warm queries at every bucket are correct
+    target = 123
+    q = emb[target]
+    assert idx.find(q)[0].chunk_id == target
+    for nq in (2, 8, 16):
+        hits = idx.find_batch(np.tile(q, (nq, 1)))
+        assert all(h[0].chunk_id == target for h in hits)
+
+
+def test_bm25_warm_compiles_wave_buckets():
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    items = [[f"w{i % 17}", "common"] for i in range(300)]
+    idx = Bm25Index.build(items)
+    idx.warm_query_buckets(k=5, max_q=8)
+    top = idx.top_n(["w3"], 5)
+    assert len(top) == 5
+
+
+def test_late_interaction_warm_compiles_buckets():
+    import numpy as np
+
+    from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+    from dial_rag_tpu.index.records import RetrievalType
+
+    rng = np.random.default_rng(1)
+    chunks = [
+        rng.standard_normal((3, 16)).astype(np.float32) for _ in range(50)
+    ]
+    idx = LateInteractionIndex(
+        RetrievalType.TEXT, [chunks], max_chunk_tokens=4, limit=3
+    )
+    idx.warm_query_buckets(max_q=8)
+    hits = idx.find(chunks[7])
+    assert hits and hits[0].chunk_id == 7

@@ -463,3 +463,272 @@ def test_sharded_sparse_band_activates_and_stays_exact():
     want = plain.top_n_batch(queries, 5)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+# ---------------------------------------------------------------------------
+# capacity / exactness storage layouts on the mesh (round-5: int8 and
+# two_pass previously existed only single-chip — ShardedDenseIndex
+# silently mapped int8 -> bf16 and two_pass -> f32)
+
+
+def _assert_hits_identical(a_index, b_index, queries, rtol=1e-5):
+    for q in queries:
+        ha, da = a_index.find_with_distances(q)
+        hb, db = b_index.find_with_distances(q)
+        assert hb == ha
+        np.testing.assert_allclose(
+            np.asarray(db, dtype=np.float32),
+            np.asarray(da, dtype=np.float32),
+            rtol=rtol,
+            atol=1e-6,
+        )
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [Metric.SQEUCLIDEAN_DIST, Metric.EUCLIDEAN_DIST, Metric.INNER_PRODUCT],
+)
+def test_sharded_two_pass_exactness_random(mesh, metric):
+    """Sharded two_pass must reproduce the sharded f32 scan identically
+    (values AND stable tie order) on random corpora — the per-shard
+    certificates compose into the global exactness claim."""
+    rng = np.random.default_rng(70)
+    n, d = 8 * 512 + 300, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    f32 = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, metric=metric, limit=7
+    )
+    tp = ShardedDenseIndex(
+        RetrievalType.TEXT,
+        docs,
+        mesh,
+        metric=metric,
+        limit=7,
+        storage_dtype="two_pass",
+    )
+    queries = [
+        (emb[i] + 0.05 * rng.standard_normal(d)).astype(np.float32)
+        for i in range(0, 4000, 512)
+    ] + [rng.standard_normal(d).astype(np.float32) for _ in range(4)]
+    _assert_hits_identical(f32, tp, queries)
+    # and the single-chip two_pass agrees (same global result)
+    single_tp = DenseIndex(
+        RetrievalType.TEXT,
+        docs,
+        metric=metric,
+        limit=7,
+        storage_dtype="two_pass",
+    )
+    _assert_hits_identical(single_tp, tp, queries[:3])
+
+
+def test_sharded_two_pass_adversarial_ties(mesh):
+    """Duplicate/near-tied rows scattered across shard boundaries: the
+    per-shard containment check must detect the unseparable window and
+    fall back, keeping the exact stable global order."""
+    rng = np.random.default_rng(71)
+    d = 32
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    dup = np.tile(base, (600, 1))
+    near = base + 1e-7 * rng.standard_normal((600, d)).astype(np.float32)
+    noise = rng.standard_normal((3000, d)).astype(np.float32)
+    emb = np.concatenate([noise[:1500], dup, near, noise[1500:]]).astype(
+        np.float32
+    )
+    perm = rng.permutation(emb.shape[0])
+    emb = emb[perm]
+    docs = [
+        DocEmbeddings(chunk_ids=np.arange(emb.shape[0]), embeddings=emb)
+    ]
+    f32 = ShardedDenseIndex(RetrievalType.TEXT, docs, mesh, limit=7)
+    tp = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=7, storage_dtype="two_pass"
+    )
+    _assert_hits_identical(
+        f32, tp, [base, (base + 1e-8).astype(np.float32)]
+    )
+
+
+def test_sharded_two_pass_fast_path_engages(mesh):
+    """On separated data every shard's certificate must hold (ok=True)
+    — otherwise sharded two_pass would always pay the fallback scan."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.parallel.sharded_index import (
+        _sharded_find_two_pass_kernel,
+    )
+
+    rng = np.random.default_rng(72)
+    # enough rows that each shard's block count exceeds the candidate
+    # budget (_TP_CBLK): with every block selected, the certificate
+    # compares against the worst block-min and may honestly decline
+    n, d = 8 * 8192 + 100, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    tp = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=7, storage_dtype="two_pass"
+    )
+    q = rng.standard_normal(d).astype(np.float32)
+    ok, _, _ = _sharded_find_two_pass_kernel(
+        tp._emb,
+        tp._emb_f32,
+        jnp.asarray(q),
+        jnp.int32(tp.n_rows),
+        *tp._err,
+        mesh=tp._mesh,
+        metric=tp.metric,
+        k=7,
+    )
+    assert bool(ok)
+
+
+def test_sharded_two_pass_batch_matches_single_queries(mesh):
+    rng = np.random.default_rng(73)
+    n, d = 2200, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    tp = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=5, storage_dtype="two_pass"
+    )
+    queries = rng.standard_normal((6, d)).astype(np.float32)
+    batch = tp.find_batch(queries)
+    for qi in range(6):
+        assert batch[qi] == tp.find(queries[qi])
+
+
+def test_sharded_two_pass_rejects_cosine(mesh):
+    with pytest.raises(ValueError, match="two_pass"):
+        ShardedDenseIndex(
+            RetrievalType.TEXT,
+            [],
+            mesh,
+            metric=Metric.COSINE_SIM,
+            storage_dtype="two_pass",
+        )
+
+
+def test_sharded_int8_matches_single_chip_int8(mesh):
+    """The sharded int8 scan quantizes identically to the single-chip
+    layout and merges stably, so results must be IDENTICAL to the
+    single-chip int8 index (both are the same approximation of f32)."""
+    rng = np.random.default_rng(74)
+    n, d = 8 * 512 + 123, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    for metric in (
+        Metric.SQEUCLIDEAN_DIST,
+        Metric.EUCLIDEAN_DIST,
+        Metric.INNER_PRODUCT,
+    ):
+        single = DenseIndex(
+            RetrievalType.TEXT,
+            docs,
+            metric=metric,
+            limit=7,
+            storage_dtype="int8",
+        )
+        sharded = ShardedDenseIndex(
+            RetrievalType.TEXT,
+            docs,
+            mesh,
+            metric=metric,
+            limit=7,
+            storage_dtype="int8",
+        )
+        for i in (0, 1000, 4000):
+            q = (emb[i] + 0.05 * rng.standard_normal(d)).astype(
+                np.float32
+            )
+            hs, ds = single.find_with_distances(q)
+            hm, dm = sharded.find_with_distances(q)
+            assert hm == hs, metric
+            np.testing.assert_allclose(dm, ds, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_int8_tie_break_across_shards(mesh):
+    """Identical rows quantize identically, so every score ties exactly:
+    winners must be the first `limit` global rows in order even when the
+    ties span shard boundaries (same contract as the f32 layout)."""
+    n = 3000
+    emb = np.tile(np.ones(16, dtype=np.float32), (n, 1))
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    sharded = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=5, storage_dtype="int8"
+    )
+    hits = sharded.find(np.ones(16, dtype=np.float32))
+    assert [h.chunk_id for h in hits] == [0, 1, 2, 3, 4]
+
+
+def test_sharded_int8_batch_matches_single_queries(mesh):
+    rng = np.random.default_rng(75)
+    n, d = 1500, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    idx = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=5, storage_dtype="int8"
+    )
+    queries = rng.standard_normal((5, d)).astype(np.float32)
+    batch = idx.find_batch(queries)
+    for qi in range(5):
+        assert batch[qi] == idx.find(queries[qi])
+
+
+def test_sharded_int8_nbytes_quarter_of_f32(mesh):
+    rng = np.random.default_rng(76)
+    n, d = 4096, 64
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(n), embeddings=emb)]
+    f32 = ShardedDenseIndex(RetrievalType.TEXT, docs, mesh, limit=3)
+    i8 = ShardedDenseIndex(
+        RetrievalType.TEXT, docs, mesh, limit=3, storage_dtype="int8"
+    )
+    # int8 rows + 8 bytes/row of scale+norm metadata
+    assert i8.nbytes == f32.nbytes // 4 + n * 8
+
+
+def test_sharded_maxsim_int8_matches_single_chip_int8(mesh):
+    """Sharded LI int8 (per-token scales sharded with their rows) must
+    agree with the single-chip int8 LateInteractionIndex."""
+    from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedLateInteractionIndex,
+    )
+
+    rng = np.random.default_rng(77)
+    d = 16
+    per_doc = []
+    for _ in range(3):
+        chunks = []
+        for _ in range(40):
+            t = int(rng.integers(1, 6))
+            rows = rng.standard_normal((t, d)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            chunks.append(rows)
+        per_doc.append(chunks)
+    single = LateInteractionIndex(
+        RetrievalType.TEXT,
+        per_doc,
+        max_chunk_tokens=8,
+        limit=5,
+        storage_dtype="int8",
+    )
+    sharded = ShardedLateInteractionIndex(
+        RetrievalType.TEXT,
+        per_doc,
+        mesh,
+        max_chunk_tokens=8,
+        limit=5,
+        storage_dtype="int8",
+    )
+    assert sharded._x.dtype == np.int8
+    for _ in range(4):
+        q = rng.standard_normal((5, d)).astype(np.float32)
+        hs, ss = single.find_with_scores(q)
+        hm, sm = sharded.find_with_scores(q)
+        assert hm == hs
+        np.testing.assert_allclose(sm, ss, rtol=1e-4, atol=1e-5)

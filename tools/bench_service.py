@@ -172,9 +172,8 @@ async def run_service_bench(
         }
     )
 
-    # disable the remote-LLM indexes per request (app-level None is
-    # dropped by exclude_none — reference behavior; the e2e tests do
-    # the same via custom_fields)
+    # disable the remote-LLM indexes per request (the e2e tests do the
+    # same via custom_fields)
     custom_configuration = {
         "indexing": {
             "description_index": None,
@@ -204,7 +203,7 @@ async def run_service_bench(
     from dial_rag_tpu.service.config import Configuration, merge_config
 
     configuration = merge_config(
-        Configuration(), app_config.request.model_dump(exclude_none=True)
+        Configuration(), app_config.request.model_dump(exclude_unset=True)
     )
     configuration = merge_config(configuration, custom_configuration)
     settings = configuration.indexing.collect_fields_that_rebuild_index()
@@ -324,6 +323,13 @@ async def run_service_bench(
         # boundary the plain warmups never touch; an uncovered bucket
         # recompiles mid-timing and lands a multi-second p95 outlier)
         await one_request("warmup peak snow river w0")
+        # compile-ahead barrier: the first request's index build spawned
+        # warm_query_buckets threads (every batched wave bucket); keep
+        # those compiles out of the timed phases
+        await asyncio.get_running_loop().run_in_executor(
+            None,
+            client.server.app["dial_rag"].device_index_cache.wait_warm,
+        )
         times = []
         for i in range(reps):
             q = " ".join(rng.choice(words, size=4)) + f" q{i}"
@@ -424,6 +430,12 @@ def main(argv=None):
     from eval._platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    from dial_rag_tpu.runtime.compile_cache import (
+        default_cache_dir,
+        init_compilation_cache,
+    )
+
+    init_compilation_cache(default_cache_dir())
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--n-chunks", type=int, default=100_000)
     parser.add_argument("--reps", type=int, default=20)
