@@ -903,14 +903,17 @@ def _sharded_bm25_sparse_topk_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "k", "l_pad", "rows_per_shard", "use_sort"),
+    static_argnames=(
+        "mesh", "k", "l_pad", "rows_per_shard", "q_pad", "use_sort"
+    ),
 )
 def _sharded_bm25_sparse_topk_batch_kernel(
     rows_sh,  # [n_shards, nnz_pad]
     vals_sh,  # [n_shards, nnz_pad]
-    starts_sh,  # [n_shards, Q, t_pad]
-    lens_sh,  # [n_shards, Q, t_pad]
-    counts,  # [n_shards, Q, t_pad] per-slice count multipliers
+    starts_sh,  # [n_shards, S] flattened slice table per shard
+    lens_sh,  # [n_shards, S]
+    counts,  # [n_shards, S] per-slice count multipliers
+    qoff_sh,  # [n_shards, S] owning query's accumulator base
     n_valid,
     band_sh=None,  # [n_shards, rows_per_shard, K]
     band_q=None,  # [Q, K] (replicated)
@@ -919,71 +922,76 @@ def _sharded_bm25_sparse_topk_batch_kernel(
     k: int,
     l_pad: int,
     rows_per_shard: int,
+    q_pad: int,
     use_sort: bool,
 ):
-    """Batched variant: every shard scores all Q queries against its own
-    postings (vmapped gather/scatter + one band matmul + local top-k),
-    then one two-key sort per query merges the winner lists — same
-    ordering proof as the single-query kernel."""
-    from dial_rag_tpu.index.bm25 import _sparse_scores
+    """Batched variant over a FLATTENED per-shard slice table (the same
+    redesign as the single-chip _bm25_sparse_topk_flat_kernel): each
+    slice carries its owning query's accumulator offset, so a shard
+    scans sum(T_q) slices instead of q_pad x the batch's worst
+    per-query slice count. Scores are bit-identical to the per-query
+    path (each query's slices stay contiguous and term-ascending, so
+    every item's f32 accumulation order is unchanged); the local
+    flip-top-k + two-key global merge reproduce the reference's
+    later-item-wins order exactly as before."""
     from dial_rag_tpu.ops.metrics import _PRECISION
 
     n_total_pad = rows_per_shard * mesh.devices.size
     topk = stable_topk_sort if use_sort else stable_topk_argmin
+    stride = rows_per_shard + 8
 
-    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid, *band):
+    def local_topk(rows_l, vals_l, starts, lens, counts, qoff, n_valid, *band):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
+        iota = jax.lax.iota(jnp.int32, l_pad)
+
+        def per_slice(acc, term):
+            s, ln, c, qo = term
+            r = jax.lax.dynamic_slice(rows_l[0], (s,), (l_pad,))
+            v = jax.lax.dynamic_slice(vals_l[0], (s,), (l_pad,))
+            v = jnp.where(iota < ln, v * c, 0.0)
+            r = jnp.where(iota < ln, qo + r, qo + rows_per_shard)
+            return acc.at[r].add(v, indices_are_sorted=True), None
+
+        acc0 = (
+            jnp.zeros(q_pad * stride, dtype=jnp.float32)
+            + vals_l[0][0] * 0.0
+        )
+        flat, _ = jax.lax.scan(
+            per_slice, acc0, (starts[0], lens[0], counts[0], qoff[0])
+        )
+        scores = flat.reshape(q_pad, stride)[:, :rows_per_shard]
         if band:
             # [rows_per_shard, K] @ [K, Q] -> all queries in one matmul
-            band_scores = jnp.dot(
+            scores = scores + jnp.dot(
                 band[0][0],
                 band[1].T,
                 preferred_element_type=jnp.float32,
                 precision=_PRECISION,
             ).T  # [Q, rows_per_shard]
-        else:
-            band_scores = None
 
-        def per_query(q_starts, q_lens, q_counts, q_band):
-            scores = _sparse_scores(
-                rows_l[0],
-                vals_l[0],
-                q_starts,
-                q_lens,
-                q_counts,
-                n_pad=rows_per_shard,
-                l_pad=l_pad,
-            )
-            if q_band is not None:
-                scores = scores + q_band
-            neg = jnp.where(row < n_valid, -scores, jnp.inf)
+        def per_query(q_scores):
+            neg = jnp.where(row < n_valid, -q_scores, jnp.inf)
             vals_k, idx_k = topk(jnp.flip(neg), k)
             global_row = base + (rows_per_shard - 1) - idx_k
             return vals_k, (n_total_pad - 1) - global_row, global_row
 
-        if band_scores is not None:
-            vals, rev, grow = jax.vmap(per_query)(
-                starts[0], lens[0], counts[0], band_scores
-            )
-        else:
-            vals, rev, grow = jax.vmap(
-                lambda a, b, c: per_query(a, b, c, None)
-            )(starts[0], lens[0], counts[0])
+        vals, rev, grow = jax.vmap(per_query)(scores)
         return vals[None], rev[None], grow[None]
 
     in_specs = [
         P("idx", None),
         P("idx", None),
-        P("idx", None, None),
-        P("idx", None, None),
-        P("idx", None, None),
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
+        P("idx", None),
         P(),
     ]
-    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
+    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, qoff_sh, n_valid]
     if band_sh is not None:
         in_specs += [P("idx", None, None), P()]
         args += [band_sh, band_q]
@@ -994,10 +1002,9 @@ def _sharded_bm25_sparse_topk_batch_kernel(
         out_specs=(P("idx"), P("idx"), P("idx")),
     )(*args)
 
-    q = counts.shape[1]
-    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
-    flat_rev = rev.transpose(1, 0, 2).reshape(q, -1)
-    flat_row = grow.transpose(1, 0, 2).reshape(q, -1)
+    flat_vals = vals.transpose(1, 0, 2).reshape(q_pad, -1)  # [Q, S*k]
+    flat_rev = rev.transpose(1, 0, 2).reshape(q_pad, -1)
+    flat_row = grow.transpose(1, 0, 2).reshape(q_pad, -1)
     merged_vals, _, merged_row = jax.lax.sort(
         (flat_vals, flat_rev, flat_row),
         num_keys=2,
@@ -1297,30 +1304,48 @@ class ShardedBm25SparseIndex:
         q = len(queries_tokens)
         q_pad = _next_pow2(q)
         per_query = [self._query_slices(toks) for toks in queries_tokens]
-        t_pad = max(s.shape[1] for s, _, _, _, _ in per_query)
         l_pad = max(lp for _, _, _, lp, _ in per_query)
         n_shards = self._mesh.devices.size
-        starts = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
-        lens = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
-        counts = np.zeros((n_shards, q_pad, t_pad), dtype=np.float32)
+        stride = self._rows_per_shard + 8
+        # flatten each shard's slices across queries (the kernel scans
+        # sum(T_q) slices with per-slice accumulator offsets instead of
+        # q_pad x the batch's worst per-query slice count)
+        flat: list[list[tuple[int, int, float, int]]] = [
+            [] for _ in range(n_shards)
+        ]
         band_mat = (
             np.zeros((q_pad, self._band_sh.shape[2]), dtype=np.float32)
             if self._band_sh is not None
             else None
         )
         for qi, (st, ln, cn, _, bq) in enumerate(per_query):
-            t = st.shape[1]
-            starts[:, qi, :t] = st
-            lens[:, qi, :t] = ln
-            counts[:, qi, :t] = cn
             if bq is not None:
                 band_mat[qi] = bq
+            base = qi * stride
+            for s in range(n_shards):
+                for j in range(st.shape[1]):
+                    if ln[s, j] > 0:
+                        flat[s].append(
+                            (st[s, j], ln[s, j], cn[s, j], base)
+                        )
+        s_pad = _next_pow2(max((len(x) for x in flat), default=1))
+        starts = np.zeros((n_shards, s_pad), dtype=np.int32)
+        lens = np.zeros((n_shards, s_pad), dtype=np.int32)
+        counts = np.zeros((n_shards, s_pad), dtype=np.float32)
+        qoff = np.zeros((n_shards, s_pad), dtype=np.int32)
+        for s, sl in enumerate(flat):
+            for j, (a, ln_, c, base) in enumerate(sl):
+                starts[s, j] = a
+                lens[s, j] = ln_
+                counts[s, j] = c
+                qoff[s, j] = base
         vals, idx = _sharded_bm25_sparse_topk_batch_kernel(
             self._rows_sh,
             self._vals_sh,
             jnp.asarray(starts),
             jnp.asarray(lens),
             jnp.asarray(counts),
+            jnp.asarray(qoff),
             jnp.int32(self.n_items),
             self._band_sh,
             jnp.asarray(band_mat) if band_mat is not None else None,
@@ -1328,6 +1353,7 @@ class ShardedBm25SparseIndex:
             k=k,
             l_pad=l_pad,
             rows_per_shard=self._rows_per_shard,
+            q_pad=q_pad,
             use_sort=k > _ARGMIN_MAX_K,
         )
         idx = np.asarray(idx).astype(np.int64)

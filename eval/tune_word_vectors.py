@@ -148,7 +148,9 @@ def expand_query(
         for j in order:
             if taken >= m:
                 break
-            if j == i or sims[j] < sim_min:
+            if j == i:
+                continue  # a word's own vector is always its top hit
+            if sims[j] < sim_min:
                 break
             cand_stems = keywords_preprocess(words[j])
             fresh = [s for s in cand_stems if s not in q_stem_set]
@@ -355,5 +357,403 @@ def main(argv=None):
     return out
 
 
+
+
+async def run_stage2(data_dir, winner: dict):
+    """Stage 2: does the expansion signal ADD to the shipped fusion
+    stack (bm25 + chargram)? Two integration shapes — expansion-only as
+    an extra fused arm, and expanded-query BM25 replacing the bm25
+    arm — under the same DEV-only protocol, with BOTH selection rules
+    round 4 compared (recall-first, and MRR-guarded: within one DEV
+    question of the best recall@7, maximize DEV MRR). The stage-1
+    winner showed +recall@7 at -MRR; the fusion stack is the natural
+    place to buy the recall without the ranking dilution."""
+    import itertools
+
+    from eval.tune_chargram import ChargramScorer, fuse_n
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.retrieval.bm25_retriever import Bm25Retriever
+
+    pdf_bytes, rows = load_alps(data_dir)
+    chunks = parse_alps(pdf_bytes)
+    chunk_texts = [c.text for c in chunks]
+    text_index = await Bm25Retriever.build_index(chunks)
+    bm25_index = Bm25Index.build(text_index, device=False)
+    # the shipped tuned profile's chargram shape (2..4 grams)
+    cg = ChargramScorer(chunk_texts, 2, 4)
+
+    vecs, index, words = build_word_vectors(
+        chunk_texts,
+        window=winner["window"],
+        dim=winner["dim"],
+        shift=winner["shift"],
+    )
+    m, alpha, sim_min = winner["m"], winner["alpha"], winner["sim_min"]
+
+    hm_rows = load_handmade_questions()
+    hm_truth = fact_relevance(chunks, hm_rows)
+    dev_idx = list(range(0, len(hm_rows), 2))
+    test_idx = list(range(1, len(hm_rows), 2))
+    real_truth = fact_relevance(chunks, rows)
+    pseudo_rows = make_pseudo_queries(rows)
+    pseudo_truth = fact_relevance(chunks, pseudo_rows)
+    splits = {
+        "handmade": ([r["question"] for r in hm_rows], hm_truth),
+        "real": ([r["question"] for r in rows], real_truth),
+        "pseudo": ([r["question"] for r in pseudo_rows], pseudo_truth),
+    }
+
+    def arm_mats(qs):
+        return {
+            "bm25": np.stack(
+                [
+                    bm25_index.get_scores(keywords_preprocess(q))
+                    for q in qs
+                ]
+            ),
+            "cg": np.stack([cg.score(q) for q in qs]),
+            "qe_only": np.stack(
+                [
+                    bm25_index.get_scores(
+                        expand_query(
+                            q, vecs, index, words, m, alpha, sim_min,
+                            include_original=False,
+                        )
+                    )
+                    for q in qs
+                ]
+            ),
+            "qe_int": np.stack(
+                [
+                    bm25_index.get_scores(
+                        expand_query(
+                            q, vecs, index, words, m, alpha, sim_min
+                        )
+                    )
+                    for q in qs
+                ]
+            ),
+        }
+
+    mats = {s: arm_mats(qs) for s, (qs, _) in splits.items()}
+    dev_truth = [hm_truth[i] for i in dev_idx]
+    dev_mats = {
+        a: mat[dev_idx] for a, mat in mats["handmade"].items()
+    }
+
+    def dev_metrics(weights, method, norm, depth):
+        return metrics_for(
+            lambda j: fuse_n(
+                {a: dev_mats[a][j] for a in weights},
+                weights,
+                method,
+                norm,
+                depth,
+            ),
+            range(len(dev_idx)),
+            dev_truth,
+            chunks,
+        )
+
+    candidates = []
+    for method, norm, depth in itertools.product(
+        ("combsum", "combmnz"), ("minmax",), (15, 30)
+    ):
+        # baseline family: bm25 + chargram (no expansion)
+        for w_cg in (0.5, 1.0):
+            weights = {"bm25": 1.0, "cg": w_cg}
+            candidates.append(
+                ((method, norm, depth, tuple(weights.items())), weights)
+            )
+        # expansion as an extra arm
+        for w_cg, w_e in itertools.product(
+            (0.5, 1.0), (0.25, 0.5, 1.0)
+        ):
+            weights = {"bm25": 1.0, "cg": w_cg, "qe_only": w_e}
+            candidates.append(
+                ((method, norm, depth, tuple(weights.items())), weights)
+            )
+        # expanded-query bm25 replacing the bm25 arm
+        for w_cg in (0.5, 1.0):
+            weights = {"qe_int": 1.0, "cg": w_cg}
+            candidates.append(
+                ((method, norm, depth, tuple(weights.items())), weights)
+            )
+
+    scored = []
+    for (method, norm, depth, _), weights in candidates:
+        dm = dev_metrics(weights, method, norm, depth)
+        scored.append(
+            (dm["recall@7"], dm["mrr"], (method, norm, depth), weights)
+        )
+    best_r7 = max(s[0] for s in scored)
+    guard = best_r7 - 1.0 / max(len(dev_idx), 1)
+    recall_first = max(scored, key=lambda s: (s[0], s[1]))
+    mrr_guarded = max(
+        (s for s in scored if s[0] >= guard), key=lambda s: (s[1], s[0])
+    )
+
+    def split_report(sel):
+        r7, mrr, (method, norm, depth), weights = sel
+        out = {
+            "dev_recall@7": r7,
+            "dev_mrr": mrr,
+            "method": method,
+            "norm": norm,
+            "depth": depth,
+            "weights": dict(weights),
+        }
+        for split, idx in (
+            ("handmade_test", test_idx),
+            ("real_39", None),
+            ("pseudo", None),
+        ):
+            sp = split.replace("handmade_test", "handmade").replace(
+                "real_39", "real"
+            )
+            truth = splits[sp][1]
+            rows_idx = (
+                idx if idx is not None else list(range(len(splits[sp][0])))
+            )
+            out[split] = metrics_for(
+                lambda i: fuse_n(
+                    {a: mats[sp][a][i] for a in weights},
+                    weights,
+                    method,
+                    norm,
+                    depth,
+                ),
+                rows_idx,
+                truth,
+                chunks,
+            )
+        return out
+
+    return {
+        "stage1_winner_used": winner,
+        "selection_note": (
+            "DEV = even handmade rows only; candidates include the "
+            "bm25+chargram family WITHOUT expansion, so the selection "
+            "itself tells whether expansion earns a slot"
+        ),
+        "recall_first": split_report(recall_first),
+        "mrr_guarded": split_report(mrr_guarded),
+    }
+
+
+def main_stage2(argv=None):
+    honor_jax_platforms_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-dir", default=str(DEFAULT_DATA_DIR))
+    args = parser.parse_args(argv)
+    winner = json.loads(Path("eval/out/word_vectors.json").read_text())[
+        "stage1_winner"
+    ]
+    out = asyncio.run(run_stage2(Path(args.data_dir), winner))
+    Path("eval/out/word_vectors_stage2.json").write_text(
+        json.dumps(out, indent=2)
+    )
+    for rule in ("recall_first", "mrr_guarded"):
+        r = out[rule]
+        print(
+            f"{rule}: weights={r['weights']} {r['method']}/{r['norm']}"
+            f"/d{r['depth']} DEV {r['dev_recall@7']:.3f}/{r['dev_mrr']:.3f}"
+        )
+        for split in ("handmade_test", "real_39", "pseudo"):
+            print(
+                f"  {split}: r@7={r[split]['recall@7']:.3f} "
+                f"mrr={r[split]['mrr']:.3f}"
+            )
+    return out
+
+
+
+
+async def run_stage3(data_dir, model_dir, li_model_dir, winner: dict):
+    """Stage 3: the FULL deployable stack — do the trained arms
+    (semantic / late-interaction) plus expansion beat the shipped
+    ensemble_chargram profile? Candidates include plain-bm25 bases, the
+    shipped profile itself, and qe_int-based stacks, so selection picks
+    expansion only if it earns the slot against everything we ship."""
+    import itertools
+
+    from eval.eval_alps import build_record
+    from eval.tune_chargram import ChargramScorer, fuse_n
+    from eval.tune_score_fusion import ARMS as TRAINED_ARMS
+    from eval.tune_score_fusion import arm_score_matrix
+
+    from dial_rag_tpu.embeddings.embedder import BgeEmbedder
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    pdf_bytes, rows = load_alps(data_dir)
+    chunks = parse_alps(pdf_bytes)
+    chunk_texts = [c.text for c in chunks]
+    embedder = BgeEmbedder.from_hf_checkpoint(model_dir)
+    li_embedder = BgeEmbedder.from_hf_checkpoint(li_model_dir)
+    record = await build_record(pdf_bytes, chunks, embedder, li_embedder)
+
+    bm25_index = Bm25Index.build(record.text_index)
+    emb_matrix = np.concatenate(record.embeddings_index, axis=0)
+    li_token_lists = [
+        np.asarray(t, dtype=np.float32)
+        for t in record.late_interaction_index
+    ]
+    cg = ChargramScorer(chunk_texts, 2, 4)
+    vecs, index, words = build_word_vectors(
+        chunk_texts,
+        window=winner["window"],
+        dim=winner["dim"],
+        shift=winner["shift"],
+    )
+    m, alpha, sim_min = winner["m"], winner["alpha"], winner["sim_min"]
+
+    hm_rows = load_handmade_questions()
+    hm_truth = fact_relevance(chunks, hm_rows)
+    dev_idx = list(range(0, len(hm_rows), 2))
+    test_idx = list(range(1, len(hm_rows), 2))
+    real_truth = fact_relevance(chunks, rows)
+    pseudo_rows = make_pseudo_queries(rows)
+    pseudo_truth = fact_relevance(chunks, pseudo_rows)
+    splits = {
+        "handmade": ([r["question"] for r in hm_rows], hm_truth),
+        "real": ([r["question"] for r in rows], real_truth),
+        "pseudo": ([r["question"] for r in pseudo_rows], pseudo_truth),
+    }
+    kw = dict(
+        bm25_index=bm25_index,
+        embedder=embedder,
+        li_embedder=li_embedder,
+        emb_matrix=emb_matrix,
+        li_token_lists=li_token_lists,
+    )
+    mats = {}
+    for split, (qs, _) in splits.items():
+        mats[split] = {
+            a: arm_score_matrix(a, qs, **kw) for a in TRAINED_ARMS
+        }
+        mats[split]["chargram"] = np.stack([cg.score(q) for q in qs])
+        mats[split]["qe_int"] = np.stack(
+            [
+                bm25_index.get_scores(
+                    expand_query(q, vecs, index, words, m, alpha, sim_min)
+                )
+                for q in qs
+            ]
+        )
+
+    def grid_metrics(split, weights, method, norm, depth, idx):
+        mm = mats[split]
+        truth = splits[split][1]
+        rows_idx = idx if idx is not None else list(range(len(truth)))
+        all_hits = [
+            fuse_n(
+                {a: mm[a][i] for a in weights}, weights, method, norm,
+                depth,
+            )
+            for i in rows_idx
+        ]
+        sub = [truth[i] for i in rows_idx]
+        per_q = score_per_question(all_hits, sub, chunks)
+        nq = max(len(sub), 1)
+        return {k: sum(v) / nq for k, v in per_q.items()}
+
+    candidates = []
+    for method, depth in itertools.product(("combsum", "combmnz"), (15, 30)):
+        for base in ("bm25", "qe_int"):
+            for ws, wl, wc in itertools.product(
+                (0.0, 0.25), (0.0, 0.5, 1.0), (0.5, 1.0)
+            ):
+                w = {
+                    base: 1.0,
+                    "semantic": ws,
+                    "late_interaction": wl,
+                    "chargram": wc,
+                }
+                candidates.append((method, "minmax", depth, w))
+
+    scored = []
+    for method, norm, depth, w in candidates:
+        dm = grid_metrics("handmade", w, method, norm, depth, dev_idx)
+        scored.append((dm["recall@7"], dm["mrr"], (method, norm, depth), w))
+    best_r7 = max(s[0] for s in scored)
+    guard = best_r7 - 1.0 / max(len(dev_idx), 1)
+    recall_first = max(scored, key=lambda s: (s[0], s[1]))
+    mrr_guarded = max(
+        (s for s in scored if s[0] >= guard), key=lambda s: (s[1], s[0])
+    )
+
+    def report(sel):
+        r7, mrr, (method, norm, depth), w = sel
+        return {
+            "weights": w,
+            "method": method,
+            "norm": norm,
+            "depth": depth,
+            "dev_recall@7": r7,
+            "dev_mrr": mrr,
+            "handmade_test": grid_metrics(
+                "handmade", w, method, norm, depth, test_idx
+            ),
+            "real_39": grid_metrics("real", w, method, norm, depth, None),
+            "pseudo": grid_metrics("pseudo", w, method, norm, depth, None),
+        }
+
+    shipped = {
+        "bm25": 1.0,
+        "semantic": 0.0,
+        "late_interaction": 1.0,
+        "chargram": 1.0,
+    }
+    return {
+        "stage1_winner_used": winner,
+        "recall_first": report(recall_first),
+        "mrr_guarded": report(mrr_guarded),
+        "shipped_tuned_profile": report(
+            (None, None, ("combsum", "minmax", 30), shipped)
+        ),
+    }
+
+
+def main_stage3(argv=None):
+    honor_jax_platforms_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-dir", default=str(DEFAULT_DATA_DIR))
+    parser.add_argument("--model-dir", default="checkpoints/alps-semantic")
+    parser.add_argument(
+        "--li-model-dir", default="checkpoints/alps-maxsim"
+    )
+    args = parser.parse_args(argv)
+    winner = json.loads(Path("eval/out/word_vectors.json").read_text())[
+        "stage1_winner"
+    ]
+    out = asyncio.run(
+        run_stage3(
+            Path(args.data_dir), args.model_dir, args.li_model_dir, winner
+        )
+    )
+    Path("eval/out/word_vectors_stage3.json").write_text(
+        json.dumps(out, indent=2)
+    )
+    for rule in ("recall_first", "mrr_guarded", "shipped_tuned_profile"):
+        r = out[rule]
+        print(f"{rule}: weights={r['weights']} {r['method']}/d{r['depth']}")
+        for split in ("handmade_test", "real_39", "pseudo"):
+            print(
+                f"  {split}: r@7={r[split]['recall@7']:.3f} "
+                f"mrr={r[split]['mrr']:.3f}"
+            )
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--stage2" in sys.argv:
+        sys.argv.remove("--stage2")
+        main_stage2(sys.argv[1:])
+    elif "--stage3" in sys.argv:
+        sys.argv.remove("--stage3")
+        main_stage3(sys.argv[1:])
+    else:
+        main(sys.argv[1:])
