@@ -18,7 +18,14 @@ from dial_rag_tpu.text.keywords import keywords_preprocess
 
 
 class Bm25Retriever:
-    def __init__(self, doc_ids: np.ndarray, offsets: np.ndarray, index, k: int):
+    def __init__(
+        self,
+        doc_ids: np.ndarray,
+        offsets: np.ndarray,
+        index,
+        k: int,
+        expander=None,
+    ):
         # flat item i belongs to contributing-doc j = the offsets bucket
         # containing i: doc_id = doc_ids[j], chunk_id = i - offsets[j].
         # O(docs) to build — retriever construction runs on EVERY
@@ -28,6 +35,15 @@ class Bm25Retriever:
         self._offsets = offsets  # [d+1] cumulative chunk counts
         self._index = index
         self.k = k
+        # optional query->term-weight expansion (distributional query
+        # expansion, text/word_vectors.py); None = reference-parity
+        # stemmed token queries
+        self._expander = expander
+
+    def _preprocess(self, query: str):
+        if self._expander is not None:
+            return self._expander(query)
+        return keywords_preprocess(query)
 
     def _hit(self, i: int, score: float) -> SearchHit:
         j = int(np.searchsorted(self._offsets, i, side="right")) - 1
@@ -59,9 +75,19 @@ class Bm25Retriever:
         k: int = 4,
         device_cache=None,
         mesh=None,
+        expansion_config=None,
     ) -> "Bm25Retriever":
         """With ``mesh`` the weight rows shard over its devices (exact
-        reverse-stable tie-breaks preserved via the flipped layout)."""
+        reverse-stable tie-breaks preserved via the flipped layout).
+
+        ``expansion_config`` (service QueryExpansionConfig) turns on
+        corpus-trained distributional query expansion: word vectors are
+        built from the records' chunk texts at construction (cached in
+        the device cache alongside the scoring structure) and each
+        query scores as a stem->weight mapping through the existing
+        weighted-query device path — scores of unexpanded terms are
+        unchanged, so parity tests and tie-break contracts hold
+        whenever no expansion term fires."""
         doc_ids, counts = [], []
         for i, doc in enumerate(doc_records):
             if doc.text_index is not None:
@@ -105,23 +131,66 @@ class Bm25Retriever:
             )
         else:
             index = build()
+
+        expander = None
+        if expansion_config is not None:
+            from dial_rag_tpu.text.word_vectors import (
+                build_word_vectors,
+                expand_query,
+            )
+
+            ec = expansion_config
+
+            def build_wv():
+                texts = [
+                    c.text
+                    for doc in doc_records
+                    if doc.text_index is not None
+                    for c in doc.chunks
+                ]
+                return build_word_vectors(
+                    texts,
+                    window=ec.window,
+                    dim=ec.dim,
+                    min_count=ec.min_count,
+                )
+
+            if device_cache is not None:
+                wv = device_cache.get_or_build(
+                    doc_records,
+                    ("word_vectors", ec.window, ec.dim, ec.min_count),
+                    build_wv,
+                )
+            else:
+                wv = build_wv()
+
+            def expander(query: str):
+                return expand_query(
+                    query,
+                    wv,
+                    m=ec.neighbors,
+                    alpha=ec.alpha,
+                    sim_min=ec.sim_min,
+                )
+
         return cls(
             doc_ids=np.asarray(doc_ids, dtype=np.int64),
             offsets=offsets,
             index=index,
             k=k,
+            expander=expander,
         )
 
     def retrieve(self, query: str) -> list[SearchHit]:
         top, scores = self._index.top_n_with_scores(
-            keywords_preprocess(query), self.k
+            self._preprocess(query), self.k
         )
         return [self._hit(i, s) for i, s in zip(top, scores)]
 
     def retrieve_batch(self, queries: list[str]) -> list[list[SearchHit]]:
         """Many queries in one device matmul (dense weights path)."""
         tops = self._index.top_n_batch_with_scores(
-            [keywords_preprocess(q) for q in queries], self.k
+            [self._preprocess(q) for q in queries], self.k
         )
         return [
             [self._hit(i, s) for i, s in zip(top, scores)]
@@ -133,7 +202,7 @@ class Bm25Retriever:
         if atop is not None:
             # cross-request coalescing: concurrent requests' scoring
             # shares one batched device dispatch (Bm25Index.atop_n_*)
-            top, scores = await atop(keywords_preprocess(query), self.k)
+            top, scores = await atop(self._preprocess(query), self.k)
             return [self._hit(i, s) for i, s in zip(top, scores)]
         return await asyncio.get_running_loop().run_in_executor(
             None, self.retrieve, query

@@ -291,6 +291,7 @@ class DialRagApplication:
                 fusion_method=request_config.retrieval.fusion_method,
                 fusion_norm=request_config.retrieval.fusion_norm,
                 fusion_depth=request_config.retrieval.fusion_depth,
+                query_expansion=request_config.retrieval.query_expansion,
             )
 
         async with profiler_if_enabled(choice, request_config.use_profiler):

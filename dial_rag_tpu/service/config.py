@@ -332,8 +332,53 @@ ENSEMBLE_ARMS = (
 )
 
 
+class QueryExpansionConfig(BaseConfig):
+    """Corpus-trained distributional query expansion for the BM25 arm
+    (text/word_vectors.py) — a zero-egress synonymy capability beyond
+    the reference. Word vectors (PPMI + truncated SVD over the indexed
+    documents' co-occurrence) are built at retriever construction and
+    cached; each query's in-vocab words contribute their top distrib-
+    utional neighbors as decayed stem weights through the weighted-
+    query BM25 path. Defaults are the DEV-selected winner
+    (eval/tune_word_vectors.py; handmade paraphrase TEST recall@7
+    0.948 -> 0.987 with the chargram arm fused)."""
+
+    window: int = Field(
+        default=2, ge=1, description="Co-occurrence window (+/- words)."
+    )
+    dim: int = Field(
+        default=128, ge=8, description="Embedding dimension (SVD rank)."
+    )
+    min_count: int = Field(
+        default=2,
+        ge=1,
+        description="Minimum corpus frequency for a word to embed.",
+    )
+    neighbors: int = Field(
+        default=5,
+        ge=1,
+        description="Expansion terms added per query word.",
+    )
+    alpha: float = Field(
+        default=1.0,
+        ge=0.0,
+        description="Expansion weight multiplier (x cosine similarity).",
+    )
+    sim_min: float = Field(
+        default=0.25,
+        description="Minimum cosine similarity for an expansion term.",
+    )
+
+
 class RetrievalConfig(BaseConfig):
     """Fusion tunables for the retriever ensemble."""
+
+    query_expansion: QueryExpansionConfig | None = Field(
+        default=None,
+        description="Enables distributional query expansion on the BM25 "
+        "arm (corpus-trained word vectors; no model download). Off by "
+        "default for reference parity.",
+    )
 
     ensemble_weights: dict[str, float] = Field(
         default={},

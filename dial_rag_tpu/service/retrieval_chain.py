@@ -110,6 +110,7 @@ def create_retriever(
     fusion_method: str = "rrf",
     fusion_norm: str = "minmax",
     fusion_depth: int = 30,
+    query_expansion=None,
 ):
     """AllDocuments short-circuit, else RRF ensemble of the available
     retrievers (reference retrieval_chain.py:193-252). With ``mesh`` the
@@ -213,8 +214,11 @@ def create_retriever(
                     arm_k,
                     device_cache=device_cache,
                     mesh=mesh,
+                    expansion_config=query_expansion,
                 ),
-                "Keywords search",
+                "Keywords search"
+                if query_expansion is None
+                else "Keywords search (expanded)",
             )
         )
         weights.append(w("bm25"))

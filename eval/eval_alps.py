@@ -571,6 +571,30 @@ async def run_eval(
             fusion_norm="minmax",
             output_limit=21,
         )
+        # the round-5 expansion winner (config/zero_egress_tuned.yaml):
+        # combmnz/minmax over depth-30 lists of expanded-query BM25
+        # (corpus-trained distributional expansion) + li 0.5 + chargram
+        # 0.5 — both DEV selection rules pick it
+        # (eval/tune_word_vectors.py --stage3)
+        from dial_rag_tpu.service.config import QueryExpansionConfig
+
+        retrievers["ensemble_expanded"] = EnsembleRetriever(
+            [
+                Bm25Retriever.from_doc_records(
+                    [record],
+                    k=30,
+                    expansion_config=QueryExpansionConfig(),
+                ),
+                LateInteractionRetriever.from_doc_records(
+                    li_embedder, [record], k=30
+                ),
+                ChargramRetriever.from_doc_records([record], k=30),
+            ],
+            weights=[1.0, 0.5, 0.5],
+            fusion_method="combmnz",
+            fusion_norm="minmax",
+            output_limit=21,
+        )
 
     metrics: dict = {
         "corpus": PDF_NAME,
@@ -635,6 +659,13 @@ async def run_eval(
         metrics["ensemble_chargram_vs_bm25"] = {
             key: paired_delta_ci(
                 per_q["ensemble_chargram"][key], per_q["bm25"][key]
+            )
+            for key in ("recall@7", "mrr")
+        }
+    if "ensemble_expanded" in per_q:
+        metrics["ensemble_expanded_vs_bm25"] = {
+            key: paired_delta_ci(
+                per_q["ensemble_expanded"][key], per_q["bm25"][key]
             )
             for key in ("recall@7", "mrr")
         }
@@ -740,6 +771,21 @@ async def run_eval(
                 "mild selection optimism; the untouched TEST-half "
                 "numbers are recall@7 0.961 / MRR 0.853, both above "
                 "bm25-only (0.948 / 0.830)"
+            )
+        if "ensemble_expanded" in hm_per_q:
+            hm_metrics["ensemble_expanded_vs_bm25"] = {
+                key: paired_delta_ci(
+                    hm_per_q["ensemble_expanded"][key],
+                    hm_per_q["bm25"][key],
+                )
+                for key in ("recall@7", "mrr")
+            }
+            hm_metrics["ensemble_expanded_note"] = (
+                "round-5 profile selected on this set's even-index DEV "
+                "half (eval/tune_word_vectors.py --stage3): full-set "
+                "numbers carry mild selection optimism; the untouched "
+                "TEST-half numbers are recall@7 0.987 / MRR 0.848 vs "
+                "bm25-only 0.948 / 0.830"
             )
         metrics["handmade"] = hm_metrics
 

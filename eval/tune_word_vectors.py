@@ -43,6 +43,7 @@ from eval.eval_alps import (
     load_handmade_questions,
     make_pseudo_queries,
     parse_alps,
+    score_per_question,
 )
 from eval.tune_chargram import fuse2, metrics_for, topk_hits
 
@@ -53,113 +54,43 @@ _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
 def build_word_vectors(
-    chunk_texts: list[str],
-    window: int = 5,
-    dim: int = 128,
-    min_count: int = 2,
-    cds: float = 0.75,
-    shift: float = 1.0,
-    seed: int = 0,
+    chunk_texts, window=5, dim=128, min_count=2, cds=0.75, shift=1.0,
+    seed=0,
 ):
-    """PPMI + truncated randomized SVD word vectors from the corpus.
+    """Experiment-facing wrapper over the shipped implementation
+    (dial_rag_tpu/text/word_vectors.py) returning the historical
+    (vecs, index, words) tuple."""
+    from dial_rag_tpu.text.word_vectors import (
+        build_word_vectors as _build,
+    )
 
-    - co-occurrence: symmetric +/-``window`` within a chunk
-    - PPMI with context-distribution smoothing ``cds`` (0.75 = the
-      SGNS-equivalent setting) and shift log(``shift``)
-    - embedding = U * sqrt(S) of the rank-``dim`` SVD, L2-normalized
-
-    Returns (vecs [V, dim] unit rows, word->row dict, row->word list).
-    """
-    toks_per_chunk = [_WORD_RE.findall(t.lower()) for t in chunk_texts]
-    counts = Counter(w for toks in toks_per_chunk for w in toks)
-    words = sorted(w for w, c in counts.items() if c >= min_count)
-    index = {w: i for i, w in enumerate(words)}
-    v = len(words)
-    if v == 0:
-        return np.zeros((0, dim), np.float32), {}, []
-    cooc = np.zeros((v, v), dtype=np.float32)
-    for toks in toks_per_chunk:
-        ids = [index.get(w, -1) for w in toks]
-        for i, wi in enumerate(ids):
-            if wi < 0:
-                continue
-            hi = min(len(ids), i + window + 1)
-            for j in range(i + 1, hi):
-                wj = ids[j]
-                if wj >= 0:
-                    cooc[wi, wj] += 1.0
-                    cooc[wj, wi] += 1.0
-    total = cooc.sum()
-    if total == 0:
-        return np.zeros((v, dim), np.float32), index, words
-    pw = cooc.sum(axis=1) / total
-    pc = cooc.sum(axis=0) ** cds
-    pc /= pc.sum()
-    with np.errstate(divide="ignore", invalid="ignore"):
-        pmi = np.log(
-            (cooc / total)
-            / np.outer(np.maximum(pw, 1e-12), np.maximum(pc, 1e-12))
-        )
-    pmi[~np.isfinite(pmi)] = 0.0
-    ppmi = np.maximum(pmi - np.log(shift), 0.0).astype(np.float32)
-    # randomized truncated SVD (numpy-only; V is a few thousand)
-    rng = np.random.default_rng(seed)
-    d = min(dim, v)
-    g = rng.standard_normal((v, d + 10)).astype(np.float32)
-    y = ppmi @ g
-    q, _ = np.linalg.qr(y)
-    b = q.T @ ppmi
-    ub, s, _ = np.linalg.svd(b, full_matrices=False)
-    u = (q @ ub)[:, :d]
-    vecs = u * np.sqrt(np.maximum(s[:d], 0.0))[None, :]
-    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = (vecs / np.maximum(norms, 1e-12)).astype(np.float32)
-    return vecs, index, words
+    wv = _build(
+        chunk_texts,
+        window=window,
+        dim=dim,
+        min_count=min_count,
+        cds=cds,
+        shift=shift,
+        seed=seed,
+    )
+    return wv.vecs, wv.index, wv.words
 
 
 def expand_query(
-    query: str,
-    vecs,
-    index,
-    words,
-    m: int = 5,
-    alpha: float = 0.5,
-    sim_min: float = 0.35,
-    include_original: bool = True,
-) -> dict:
-    """Stem->weight expansion of a query: original stems at weight 1
-    (when ``include_original``) plus each in-vocab query word's top-m
-    distributional neighbors at weight alpha * cosine, skipping
-    neighbors that stem-collide with the query (morphological variants
-    belong to the chargram arm; this one targets synonymy)."""
-    weights: Counter = Counter()
-    q_stems = keywords_preprocess(query)
-    if include_original:
-        for s in q_stems:
-            weights[s] += 1.0
-    q_stem_set = set(q_stems)
-    for w in dict.fromkeys(_WORD_RE.findall(query.lower())):
-        i = index.get(w)
-        if i is None:
-            continue
-        sims = vecs @ vecs[i]
-        order = np.argsort(-sims)
-        taken = 0
-        for j in order:
-            if taken >= m:
-                break
-            if j == i:
-                continue  # a word's own vector is always its top hit
-            if sims[j] < sim_min:
-                break
-            cand_stems = keywords_preprocess(words[j])
-            fresh = [s for s in cand_stems if s not in q_stem_set]
-            if not fresh:
-                continue  # stopword or morphological variant of query
-            for s in fresh:
-                weights[s] += alpha * float(sims[j])
-            taken += 1
-    return dict(weights)
+    query, vecs, index, words, m=5, alpha=0.5, sim_min=0.35,
+    include_original=True,
+):
+    from dial_rag_tpu.text.word_vectors import WordVectors
+    from dial_rag_tpu.text.word_vectors import expand_query as _expand
+
+    return _expand(
+        query,
+        WordVectors(vecs, index, words),
+        m=m,
+        alpha=alpha,
+        sim_min=sim_min,
+        include_original=include_original,
+    )
 
 
 async def run(data_dir):

@@ -107,15 +107,18 @@ def test_environment_presets_load_and_validate():
         if path.name == "zero_egress_tuned.yaml":
             # retrieval-only profile (no image-index flavor choice):
             # must carry the measured score-fusion settings (the
-            # round-4 chargram winner, eval/tune_chargram.py --full)
+            # round-5 expansion winner, eval/tune_word_vectors.py
+            # --stage3; both DEV selection rules pick it)
             r = config.request.retrieval
-            assert r.fusion_method == "combsum"
+            assert r.fusion_method == "combmnz"
             assert r.fusion_depth == 30
             assert r.ensemble_weights == {
                 "semantic": 0.0,
-                "late_interaction": 1.0,
-                "chargram": 1.0,
+                "late_interaction": 0.5,
+                "chargram": 0.5,
             }
+            assert r.query_expansion is not None
+            assert r.query_expansion.window == 2  # DEV-selected default
             assert config.request.indexing.chargram_index is not None
             continue
         indexing = config.request.indexing

@@ -1261,3 +1261,51 @@ async def test_bad_fusion_method_is_a_400(harness):
             }
         )
         assert resp.status == 400
+
+
+async def test_query_expansion_arm_e2e(harness):
+    """retrieval.query_expansion boots the distributional-expansion BM25
+    arm end to end: the stage advertises the expanded mode and retrieval
+    still returns chunks (the expansion weights ride the weighted-query
+    device path)."""
+    async with harness() as h:
+        h.fake.add_file(
+            "files/user-bucket/big.pdf",
+            build_pdf(_big_pdf_lines(), compress=True),
+            "application/pdf",
+        )
+        resp = await h.chat(
+            {
+                "messages": [
+                    _attach_message(
+                        "cadibona boundary", url="files/user-bucket/big.pdf"
+                    )
+                ],
+                "custom_fields": {
+                    "configuration": {
+                        "request": {"type": "retrieval"},
+                        "retrieval": {
+                            "query_expansion": {
+                                "window": 3,
+                                "dim": 32,
+                                "neighbors": 3,
+                            }
+                        },
+                    }
+                },
+            }
+        )
+        assert resp.status == 200, await resp.text()
+        body = await resp.json()
+        custom = body["choices"][0]["message"]["custom_content"]
+        stages = [s["name"] for s in custom["stages"]]
+        assert any("Keywords search (expanded)" in s for s in stages), stages
+        payload = json.loads(
+            [
+                a
+                for a in custom["attachments"]
+                if a.get("type")
+                == "application/x.aidial-rag.retrieval-response+json"
+            ][0]["data"]
+        )
+        assert payload["chunks"]
