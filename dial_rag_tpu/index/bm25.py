@@ -176,6 +176,51 @@ def _bm25_topk_batch_kernel(weights, query_mat, n_valid, *, k, use_sort):
     return -vals, (n_pad - 1) - idx  # [Q, k]
 
 
+@partial(jax.jit, static_argnames=("k", "use_sort", "n_pad", "l_pad"))
+def _bm25_sparse_topk_batch_kernel(
+    rows_dev,
+    vals_dev,
+    starts,  # [Q, T]
+    lens,  # [Q, T]
+    counts,  # [Q, T]
+    n_valid,
+    band_w=None,  # [n_pad, K] dense band weights
+    band_q=None,  # [Q, K] band term counts
+    *,
+    n_pad: int,
+    l_pad: int,
+    k: int,
+    use_sort: bool,
+):
+    """UNIFORM-profile batched kernel: vmapped per-query scan over
+    [Q, T] slice tables. Each of the T scan steps scatters all Q
+    queries' slices at once, amortizing the per-step overhead — the
+    right shape when every query carries a similar slice count (the
+    dense-vocab stress regime; measured 1.5 ms vs the flat kernel's
+    25 ms at 1M items). The flat kernel below wins when slice counts
+    are SKEWED (one heavy query would multiply every query's work
+    here); top_n_batch_with_scores picks per batch by padded-vs-actual
+    slice ratio."""
+    scores = jax.vmap(
+        lambda st, ln, cn: _sparse_scores(
+            rows_dev, vals_dev, st, ln, cn, n_pad=n_pad, l_pad=l_pad
+        )
+    )(starts, lens, counts)  # [Q, n_pad]
+    if band_w is not None and band_q is not None:
+        scores = scores + jnp.dot(
+            band_q,
+            band_w.T,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION,
+        )
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).reshape(-1)
+    scores = jnp.where(row[None, :] < n_valid, scores, -jnp.inf)
+    flipped = jnp.flip(-scores, axis=1)
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+    vals, idx = jax.vmap(lambda srow: topk(srow, k))(flipped)
+    return -vals, (n_pad - 1) - idx  # [Q, k]
+
+
 @partial(
     jax.jit, static_argnames=("k", "use_sort", "n_pad", "l_pad", "q_pad")
 )
@@ -716,16 +761,23 @@ class Bm25Index:
             idx = np.asarray(idx)
             vals = np.asarray(vals)
             return [(idx[i], vals[i]) for i in range(q)]
-        # device CSC postings: all queries in one dispatch over a
-        # FLATTENED slice table — scatter work tracks the queries'
-        # actual postings instead of q_pad x the batch's worst slice
-        # count (l_pad is the constant _VSLICE); band terms ride one
-        # extra MXU matmul
+        # device CSC postings, one dispatch, two batched shapes:
+        # - SKEWED slice counts (one query near the band threshold
+        #   inflating the batch max): FLATTENED table — scatter work
+        #   tracks the queries' actual postings (measured 150 -> 22 ms
+        #   per query at 10M items, realistic vocabulary);
+        # - UNIFORM slice counts: per-query [Q, T] tables scanned
+        #   vmapped — each step scatters all Q queries at once,
+        #   amortizing per-step overhead (measured 1.5 vs the flat
+        #   kernel's 25 ms at 1M items, dense-vocab stress profile).
+        # Choose by padded-vs-actual slice ratio. Band terms ride one
+        # extra MXU matmul either way; scores are bit-identical (each
+        # query's slices keep the same term-ascending order).
         q = len(queries_tokens)
         q_pad = _next_pow2(q)
         stride = self._n_pad + 8
         band_mat = None
-        flat: list[tuple[int, int, float, int]] = []
+        per_query: list[list[tuple[int, int, float]]] = []
         for qi, toks in enumerate(queries_tokens):
             counts, band_q = self._query_counts(toks)
             if band_q is not None:
@@ -735,32 +787,71 @@ class Bm25Index:
                         dtype=np.float32,
                     )
                 band_mat[qi] = band_q
-            base = qi * stride
-            for s, ln, c in self._iter_vslices(counts):
-                flat.append((s, ln, c, base))
-        s_pad = _next_pow2(max(len(flat), 1))
-        starts = np.zeros(s_pad, dtype=np.int32)
-        lens = np.zeros(s_pad, dtype=np.int32)
-        cnts = np.zeros(s_pad, dtype=np.float32)
-        qoff = np.zeros(s_pad, dtype=np.int32)
-        for j, (s, ln, c, base) in enumerate(flat):
-            starts[j], lens[j], cnts[j], qoff[j] = s, ln, c, base
-        vals, idx = _bm25_sparse_topk_flat_kernel(
-            self._postings[1],
-            self._postings[2],
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(cnts),
-            jnp.asarray(qoff),
-            jnp.int32(self.n_items),
-            self._band_dev,
-            jnp.asarray(band_mat) if band_mat is not None else None,
-            n_pad=self._n_pad,
-            l_pad=_VSLICE,
-            q_pad=q_pad,
-            k=k,
-            use_sort=k > _ARGMIN_MAX_K,
-        )
+            per_query.append(self._iter_vslices(counts))
+        s_total = sum(len(sl) for sl in per_query)
+        t_max = max((len(sl) for sl in per_query), default=1)
+        t_pad = _next_pow2(t_max)
+        # Empirically measured per-entry scatter-cost ratio between the
+        # two shapes on a v5e (same total entries both ways when counts
+        # are uniform): at 1M items the wide vmapped scatter runs ~20
+        # ns/entry vs ~340 for 1-wide flat steps (accumulator rows fit
+        # cache; amortization wins -> uniform at 1.5 vs 25 ms/query);
+        # at 10M rows the 40 MB accumulator rows kill the wide
+        # scatter's locality (136 ns/entry) and the flat steps win
+        # outright (57 ns: 22 vs 150 ms realistic, 249 vs 586 stress).
+        per_entry_ratio = 16.0 if self._n_pad <= 4_000_000 else 0.5
+        use_flat = s_total * per_entry_ratio < q_pad * t_max
+        if use_flat:
+            s_pad = _next_pow2(max(s_total, 1))
+            starts = np.zeros(s_pad, dtype=np.int32)
+            lens = np.zeros(s_pad, dtype=np.int32)
+            cnts = np.zeros(s_pad, dtype=np.float32)
+            qoff = np.zeros(s_pad, dtype=np.int32)
+            j = 0
+            for qi, sl in enumerate(per_query):
+                base = qi * stride
+                for s, ln, c in sl:
+                    starts[j], lens[j], cnts[j], qoff[j] = s, ln, c, base
+                    j += 1
+            vals, idx = _bm25_sparse_topk_flat_kernel(
+                self._postings[1],
+                self._postings[2],
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(cnts),
+                jnp.asarray(qoff),
+                jnp.int32(self.n_items),
+                self._band_dev,
+                jnp.asarray(band_mat) if band_mat is not None else None,
+                n_pad=self._n_pad,
+                l_pad=_VSLICE,
+                q_pad=q_pad,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+        else:
+            starts = np.zeros((q_pad, t_pad), dtype=np.int32)
+            lens = np.zeros((q_pad, t_pad), dtype=np.int32)
+            cnts = np.zeros((q_pad, t_pad), dtype=np.float32)
+            for qi, sl in enumerate(per_query):
+                for j, (s, ln, c) in enumerate(sl):
+                    starts[qi, j] = s
+                    lens[qi, j] = ln
+                    cnts[qi, j] = c
+            vals, idx = _bm25_sparse_topk_batch_kernel(
+                self._postings[1],
+                self._postings[2],
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(cnts),
+                jnp.int32(self.n_items),
+                self._band_dev,
+                jnp.asarray(band_mat) if band_mat is not None else None,
+                n_pad=self._n_pad,
+                l_pad=_VSLICE,
+                k=k,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         idx = np.asarray(idx)
         vals = np.asarray(vals)
         return [(idx[i], vals[i]) for i in range(q)]

@@ -903,6 +903,114 @@ def _sharded_bm25_sparse_topk_kernel(
 
 @partial(
     jax.jit,
+    static_argnames=("mesh", "k", "l_pad", "rows_per_shard", "use_sort"),
+)
+def _sharded_bm25_sparse_topk_uniform_kernel(
+    rows_sh,  # [n_shards, nnz_pad]
+    vals_sh,  # [n_shards, nnz_pad]
+    starts_sh,  # [n_shards, Q, t_pad]
+    lens_sh,  # [n_shards, Q, t_pad]
+    counts,  # [n_shards, Q, t_pad] per-slice count multipliers
+    n_valid,
+    band_sh=None,  # [n_shards, rows_per_shard, K]
+    band_q=None,  # [Q, K] (replicated)
+    *,
+    mesh,
+    k: int,
+    l_pad: int,
+    rows_per_shard: int,
+    use_sort: bool,
+):
+    """UNIFORM-profile batched variant: every shard scores all Q
+    queries via a vmapped per-query scan over [Q, T] tables — each scan
+    step scatters all Q queries at once, amortizing per-step overhead
+    (the right shape when slice counts are similar across the batch;
+    the flat kernel below wins under skew). Same ordering proof as the
+    single-query kernel; the host picks per batch."""
+    from dial_rag_tpu.index.bm25 import _sparse_scores
+    from dial_rag_tpu.ops.metrics import _PRECISION
+
+    n_total_pad = rows_per_shard * mesh.devices.size
+    topk = stable_topk_sort if use_sort else stable_topk_argmin
+
+    def local_topk(rows_l, vals_l, starts, lens, counts, n_valid, *band):
+        shard = jax.lax.axis_index("idx")
+        base = (shard * rows_per_shard).astype(jnp.int32)
+        row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_shard, 1), 0
+        ).reshape(-1)
+        if band:
+            # [rows_per_shard, K] @ [K, Q] -> all queries in one matmul
+            band_scores = jnp.dot(
+                band[0][0],
+                band[1].T,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            ).T  # [Q, rows_per_shard]
+        else:
+            band_scores = None
+
+        def per_query(q_starts, q_lens, q_counts, q_band):
+            scores = _sparse_scores(
+                rows_l[0],
+                vals_l[0],
+                q_starts,
+                q_lens,
+                q_counts,
+                n_pad=rows_per_shard,
+                l_pad=l_pad,
+            )
+            if q_band is not None:
+                scores = scores + q_band
+            neg = jnp.where(row < n_valid, -scores, jnp.inf)
+            vals_k, idx_k = topk(jnp.flip(neg), k)
+            global_row = base + (rows_per_shard - 1) - idx_k
+            return vals_k, (n_total_pad - 1) - global_row, global_row
+
+        if band_scores is not None:
+            vals, rev, grow = jax.vmap(per_query)(
+                starts[0], lens[0], counts[0], band_scores
+            )
+        else:
+            vals, rev, grow = jax.vmap(
+                lambda a, b, c: per_query(a, b, c, None)
+            )(starts[0], lens[0], counts[0])
+        return vals[None], rev[None], grow[None]
+
+    in_specs = [
+        P("idx", None),
+        P("idx", None),
+        P("idx", None, None),
+        P("idx", None, None),
+        P("idx", None, None),
+        P(),
+    ]
+    args = [rows_sh, vals_sh, starts_sh, lens_sh, counts, n_valid]
+    if band_sh is not None:
+        in_specs += [P("idx", None, None), P()]
+        args += [band_sh, band_q]
+    vals, rev, grow = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P("idx"), P("idx"), P("idx")),
+    )(*args)
+
+    q = counts.shape[1]
+    flat_vals = vals.transpose(1, 0, 2).reshape(q, -1)  # [Q, n_shards*k]
+    flat_rev = rev.transpose(1, 0, 2).reshape(q, -1)
+    flat_row = grow.transpose(1, 0, 2).reshape(q, -1)
+    merged_vals, _, merged_row = jax.lax.sort(
+        (flat_vals, flat_rev, flat_row),
+        num_keys=2,
+        is_stable=False,
+        dimension=-1,
+    )
+    return -merged_vals[:, :k], merged_row[:, :k]
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "mesh", "k", "l_pad", "rows_per_shard", "q_pad", "use_sort"
     ),
@@ -1328,34 +1436,83 @@ class ShardedBm25SparseIndex:
                         flat[s].append(
                             (st[s, j], ln[s, j], cn[s, j], base)
                         )
-        s_pad = _next_pow2(max((len(x) for x in flat), default=1))
-        starts = np.zeros((n_shards, s_pad), dtype=np.int32)
-        lens = np.zeros((n_shards, s_pad), dtype=np.int32)
-        counts = np.zeros((n_shards, s_pad), dtype=np.float32)
-        qoff = np.zeros((n_shards, s_pad), dtype=np.int32)
-        for s, sl in enumerate(flat):
-            for j, (a, ln_, c, base) in enumerate(sl):
-                starts[s, j] = a
-                lens[s, j] = ln_
-                counts[s, j] = c
-                qoff[s, j] = base
-        vals, idx = _sharded_bm25_sparse_topk_batch_kernel(
-            self._rows_sh,
-            self._vals_sh,
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(counts),
-            jnp.asarray(qoff),
-            jnp.int32(self.n_items),
-            self._band_sh,
-            jnp.asarray(band_mat) if band_mat is not None else None,
-            mesh=self._mesh,
-            k=k,
-            l_pad=l_pad,
-            rows_per_shard=self._rows_per_shard,
-            q_pad=q_pad,
-            use_sort=k > _ARGMIN_MAX_K,
+        # same shape choice as the single-chip batch path: the flat
+        # table wins under SKEWED slice counts (work tracks actual
+        # postings), the vmapped [Q, T] form wins under UNIFORM counts
+        # (each scan step scatters all Q queries, amortizing per-step
+        # overhead — measured 1.5 vs 25 ms at 1M items on one chip)
+        s_total_max = max((len(x) for x in flat), default=1)
+        t_max = max(
+            (
+                int((pq[1][s] > 0).sum())
+                for pq in per_query
+                for s in range(n_shards)
+            ),
+            default=1,
         )
+        t_pad = _next_pow2(
+            max((pq[0].shape[1] for pq in per_query), default=1)
+        )
+        # same empirically-calibrated shape choice as the single-chip
+        # batch path (index/bm25.py), with the per-SHARD row count as
+        # the locality scale
+        per_entry_ratio = (
+            16.0 if self._rows_per_shard <= 4_000_000 else 0.5
+        )
+        use_flat = s_total_max * per_entry_ratio < q_pad * t_max
+        if use_flat:
+            s_pad = _next_pow2(s_total_max)
+            starts = np.zeros((n_shards, s_pad), dtype=np.int32)
+            lens = np.zeros((n_shards, s_pad), dtype=np.int32)
+            counts = np.zeros((n_shards, s_pad), dtype=np.float32)
+            qoff = np.zeros((n_shards, s_pad), dtype=np.int32)
+            for s, sl in enumerate(flat):
+                for j, (a, ln_, c, base) in enumerate(sl):
+                    starts[s, j] = a
+                    lens[s, j] = ln_
+                    counts[s, j] = c
+                    qoff[s, j] = base
+            vals, idx = _sharded_bm25_sparse_topk_batch_kernel(
+                self._rows_sh,
+                self._vals_sh,
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(counts),
+                jnp.asarray(qoff),
+                jnp.int32(self.n_items),
+                self._band_sh,
+                jnp.asarray(band_mat) if band_mat is not None else None,
+                mesh=self._mesh,
+                k=k,
+                l_pad=l_pad,
+                rows_per_shard=self._rows_per_shard,
+                q_pad=q_pad,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
+        else:
+            starts = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
+            lens = np.zeros((n_shards, q_pad, t_pad), dtype=np.int32)
+            counts = np.zeros((n_shards, q_pad, t_pad), dtype=np.float32)
+            for qi, (st, ln, cn, _, _bq) in enumerate(per_query):
+                t = st.shape[1]
+                starts[:, qi, :t] = st
+                lens[:, qi, :t] = ln
+                counts[:, qi, :t] = cn
+            vals, idx = _sharded_bm25_sparse_topk_uniform_kernel(
+                self._rows_sh,
+                self._vals_sh,
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(counts),
+                jnp.int32(self.n_items),
+                self._band_sh,
+                jnp.asarray(band_mat) if band_mat is not None else None,
+                mesh=self._mesh,
+                k=k,
+                l_pad=l_pad,
+                rows_per_shard=self._rows_per_shard,
+                use_sort=k > _ARGMIN_MAX_K,
+            )
         idx = np.asarray(idx).astype(np.int64)
         vals = np.asarray(vals)
         return [(idx[qi], vals[qi]) for qi in range(q)]

@@ -445,3 +445,38 @@ def test_atop_coalesces_concurrent_queries_and_matches_single():
             np.testing.assert_allclose(vals, exp_vals, rtol=1e-5, atol=1e-6)
         assert sum(waves) == len(queries)
         assert max(waves) > 1, waves
+
+
+def test_sparse_batch_kernel_choice_both_paths_exact():
+    """The batch dispatcher picks the flat kernel under skewed slice
+    counts and the vmapped uniform kernel otherwise; BOTH must match
+    the per-query path bitwise."""
+    import numpy as np
+
+    from dial_rag_tpu.index.bm25 import Bm25Index
+
+    rng = np.random.default_rng(3)
+    # "heavy" appears in most items -> many slices for queries carrying
+    # it; "w*" terms are rare -> single slices
+    items = [
+        (["heavy"] if i % 2 else [])
+        + [f"w{int(x)}" for x in rng.integers(0, 400, size=5)]
+        for i in range(3000)
+    ]
+    # kill the dense band so ALL terms ride the CSC tail (heavy would
+    # otherwise band out and deflate the skew)
+    idx = Bm25Index.build(items, max_dense_bytes=0, max_band_bytes=0)
+
+    def check(queries):
+        batch = idx.top_n_batch_with_scores(queries, 5)
+        for q, (bi, bv) in zip(queries, batch):
+            si, sv = idx.top_n_with_scores(q, 5)
+            np.testing.assert_array_equal(bi, si)
+            np.testing.assert_array_equal(bv, sv)
+
+    # skewed: one query drags in the heavy term's many slices
+    check([["heavy", "w1"], ["w2"], ["w3"], ["w4"], ["w5"]])
+    # uniform: every query has the same tiny slice count
+    check([["w1"], ["w2"], ["w3"], ["w4"]])
+    # uniform-heavy: all queries heavy (the stress-profile shape)
+    check([["heavy", "w1"], ["heavy", "w2"], ["heavy", "w3"]])
