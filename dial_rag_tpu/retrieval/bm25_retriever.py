@@ -153,12 +153,19 @@ class Bm25Retriever:
                     window=ec.window,
                     dim=ec.dim,
                     min_count=ec.min_count,
+                    max_vocab=ec.max_vocab,
                 )
 
             if device_cache is not None:
                 wv = device_cache.get_or_build(
                     doc_records,
-                    ("word_vectors", ec.window, ec.dim, ec.min_count),
+                    (
+                        "word_vectors",
+                        ec.window,
+                        ec.dim,
+                        ec.min_count,
+                        ec.max_vocab,
+                    ),
                     build_wv,
                 )
             else:

@@ -354,6 +354,12 @@ class QueryExpansionConfig(BaseConfig):
         ge=1,
         description="Minimum corpus frequency for a word to embed.",
     )
+    max_vocab: int = Field(
+        default=8192,
+        ge=64,
+        description="Embedded-vocabulary cap (most frequent words win): "
+        "bounds the dense co-occurrence matrix at corpus scale.",
+    )
     neighbors: int = Field(
         default=5,
         ge=1,

@@ -53,31 +53,57 @@ def build_word_vectors(
     cds: float = 0.75,
     shift: float = 1.0,
     seed: int = 0,
+    max_vocab: int = 8192,
 ) -> WordVectors:
     """PPMI + truncated randomized SVD word vectors from the corpus.
 
     Defaults are the DEV-selected stage-1 winner
     (eval/out/word_vectors.json): window 2, dim 128, no shift.
-    """
+
+    ``max_vocab`` bounds the dense [V, V] co-occurrence matrix (256 MB
+    f32 at the default) — the vocabulary keeps the most frequent words,
+    which are also the only ones with enough co-occurrence signal to
+    embed; corpus-scale corpora would otherwise go quadratic."""
     toks_per_chunk = [_WORD_RE.findall(t.lower()) for t in chunk_texts]
     counts = Counter(w for toks in toks_per_chunk for w in toks)
-    words = sorted(w for w, c in counts.items() if c >= min_count)
+    eligible = [(w, c) for w, c in counts.items() if c >= min_count]
+    if len(eligible) > max_vocab:
+        # deterministic: frequency desc, then lexicographic
+        eligible.sort(key=lambda wc: (-wc[1], wc[0]))
+        eligible = eligible[:max_vocab]
+    words = sorted(w for w, _ in eligible)
     index = {w: i for i, w in enumerate(words)}
     v = len(words)
     if v == 0:
         return WordVectors(np.zeros((0, dim), np.float32), {}, [])
     cooc = np.zeros((v, v), dtype=np.float32)
+    # vectorized accumulation: all chunks concatenate into one id
+    # stream with `window` separator sentinels between chunks (so no
+    # pair crosses a chunk boundary), then each offset d in 1..window
+    # is ONE masked np.add.at over the whole corpus — the Python pair
+    # loop measured unusable at corpus scale
+    parts = []
+    sep = np.full(window, -1, dtype=np.int64)
     for toks in toks_per_chunk:
-        ids = [index.get(w, -1) for w in toks]
-        for i, wi in enumerate(ids):
-            if wi < 0:
-                continue
-            hi = min(len(ids), i + window + 1)
-            for j in range(i + 1, hi):
-                wj = ids[j]
-                if wj >= 0:
-                    cooc[wi, wj] += 1.0
-                    cooc[wj, wi] += 1.0
+        parts.append(
+            np.fromiter(
+                (index.get(w, -1) for w in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+        )
+        parts.append(sep)
+    all_ids = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    )
+    for d in range(1, window + 1):
+        if all_ids.shape[0] <= d:
+            break
+        a, b = all_ids[:-d], all_ids[d:]
+        keep = (a >= 0) & (b >= 0)
+        if keep.any():
+            np.add.at(cooc, (a[keep], b[keep]), 1.0)
+            np.add.at(cooc, (b[keep], a[keep]), 1.0)
     total = cooc.sum()
     if total == 0:
         return WordVectors(np.zeros((v, dim), np.float32), index, words)

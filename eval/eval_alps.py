@@ -904,6 +904,27 @@ async def eval_html_corpus(
                 retrievers["late_interaction"],
             ]
         )
+        # the round-5 tuned profile on the HTML rendition (format
+        # transfer of the expansion winner)
+        from dial_rag_tpu.service.config import QueryExpansionConfig
+
+        retrievers["ensemble_expanded"] = EnsembleRetriever(
+            [
+                Bm25Retriever.from_doc_records(
+                    [record],
+                    k=30,
+                    expansion_config=QueryExpansionConfig(),
+                ),
+                LateInteractionRetriever.from_doc_records(
+                    li_embedder, [record], k=30
+                ),
+                ChargramRetriever.from_doc_records([record], k=30),
+            ],
+            weights=[1.0, 0.5, 0.5],
+            fusion_method="combmnz",
+            fusion_norm="minmax",
+            output_limit=21,
+        )
 
     out: dict = {
         "corpus": html_path.name,
