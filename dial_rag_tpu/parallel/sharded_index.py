@@ -439,6 +439,20 @@ class ShardedDenseIndex:
         hits, _ = self.find_with_distances(query)
         return hits
 
+    def warm_query_buckets(self, max_q: int = 64) -> None:
+        """Compile-ahead of the sharded single + batched scan kernels
+        at every power-of-two wave bucket (same serving rationale as
+        DenseIndex.warm_query_buckets; mesh deployments pay the same
+        mid-request jit compiles without it)."""
+        if self._emb is None:
+            return
+        d = self._emb.shape[1]
+        self.find(np.zeros(d, dtype=np.float32))
+        q = 8
+        while q <= max_q:
+            self.find_batch(np.zeros((q, d), dtype=np.float32))
+            q *= 2
+
     def find_batch(self, queries: np.ndarray) -> list[list[SearchHit]]:
         """Per-query hits for ``queries`` [Q, D] in one sharded dispatch
         (same semantics as DenseIndex.find_batch)."""
@@ -748,6 +762,19 @@ class ShardedLateInteractionIndex:
 
     def find(self, query_tokens: np.ndarray) -> list[SearchHit]:
         return self.find_with_scores(query_tokens)[0]
+
+    def warm_query_buckets(self, max_q: int = 16) -> None:
+        """Compile-ahead of the sharded MaxSim kernels (same shapes as
+        LateInteractionIndex.warm_query_buckets)."""
+        if self._x is None:
+            return
+        for lanes in (8, 16, 32):
+            self.find(np.zeros((lanes, self.dim), dtype=np.float32))
+        probe = np.zeros((9, self.dim), dtype=np.float32)
+        q = 4
+        while q <= max_q:
+            self.find_batch([probe] * q)
+            q *= 2
 
     def find_batch(self, queries_tokens) -> list[list[SearchHit]]:
         """Per-query hits for a list of [q_i, D] token arrays in one (or
@@ -1340,6 +1367,21 @@ class ShardedBm25SparseIndex:
                 cnt[s, j] = c
         return starts, lens, cnt, _VSLICE, band_q
 
+    def warm_query_buckets(self, k: int, max_q: int = 64) -> None:
+        """Compile-ahead of the sharded single + batched scoring
+        kernels for every wave bucket (see Bm25Index.warm_query_buckets
+        for the serving rationale)."""
+        if self.n_items == 0:
+            return
+        k = min(k, self.limit)
+        term = next(iter(self.vocab), None)
+        probe = [term] if term is not None else []
+        self.top_n_with_scores(probe, k)
+        q = 2
+        while q <= max_q:
+            self.top_n_batch_with_scores([probe] * q, k)
+            q *= 2
+
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
         starts, lens, cnt, l_pad, band_q = self._query_slices(
             query_tokens
@@ -1569,6 +1611,20 @@ class ShardedBm25Index:
 
     def top_n(self, query_tokens: list[str], n: int) -> np.ndarray:
         return self.top_n_with_scores(query_tokens, n)[0]
+
+    def warm_query_buckets(self, k: int, max_q: int = 64) -> None:
+        """Compile-ahead via the inner sharded dense scan (the flipped
+        weight layout shares its kernels)."""
+        if self.n_items == 0:
+            return
+        k = min(k, self.limit)
+        term = next(iter(self.vocab), None)
+        probe = [term] if term is not None else []
+        self.top_n_with_scores(probe, k)
+        q = 2
+        while q <= max_q:
+            self.top_n_batch_with_scores([probe] * q, k)
+            q *= 2
 
     def top_n_with_scores(
         self, query_tokens: list[str], n: int

@@ -732,3 +732,50 @@ def test_sharded_maxsim_int8_matches_single_chip_int8(mesh):
         hm, sm = sharded.find_with_scores(q)
         assert hm == hs
         np.testing.assert_allclose(sm, ss, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_warm_query_buckets_compile_ahead(mesh):
+    """Every sharded index type exposes warm_query_buckets (mesh
+    deployments get the same compile-ahead the single-chip serving path
+    gets via DeviceIndexCache warm=); post-warm queries stay correct."""
+    from dial_rag_tpu.index.bm25 import Bm25Index
+    from dial_rag_tpu.index.late_interaction import LateInteractionIndex
+    from dial_rag_tpu.parallel.sharded_index import (
+        ShardedBm25Index,
+        ShardedBm25SparseIndex,
+        ShardedLateInteractionIndex,
+    )
+
+    rng = np.random.default_rng(80)
+    emb = rng.standard_normal((900, 16)).astype(np.float32)
+    dense = ShardedDenseIndex(
+        RetrievalType.TEXT,
+        [DocEmbeddings(chunk_ids=np.arange(900), embeddings=emb)],
+        mesh,
+        limit=5,
+    )
+    dense.warm_query_buckets(max_q=16)
+    assert dense.find(emb[123])[0].chunk_id == 123
+
+    items = [[f"w{i % 40}", "common"] for i in range(300)]
+    bm = ShardedBm25Index(
+        Bm25Index.build(items, device=False), mesh, limit=5
+    )
+    bm.warm_query_buckets(k=5, max_q=8)
+    assert len(bm.top_n(["w3"], 5)) == 5
+    sparse = ShardedBm25SparseIndex(
+        Bm25Index.build(items, max_dense_bytes=0, device=False),
+        mesh,
+        limit=5,
+    )
+    sparse.warm_query_buckets(k=5, max_q=8)
+    assert len(sparse.top_n(["w3"], 5)) == 5
+
+    chunks = [
+        rng.standard_normal((3, 16)).astype(np.float32) for _ in range(60)
+    ]
+    li = ShardedLateInteractionIndex(
+        RetrievalType.TEXT, [chunks], mesh, max_chunk_tokens=4, limit=3
+    )
+    li.warm_query_buckets(max_q=8)
+    assert li.find(chunks[7])[0].chunk_id == 7
