@@ -115,3 +115,50 @@ def test_bm25_retriever_with_expansion_finds_synonym_chunk():
 def test_wordvectors_nbytes():
     wv = WordVectors(np.zeros((10, 4), np.float32), {}, [])
     assert wv.nbytes == 160
+
+
+def test_expansion_composes_with_sharded_bm25():
+    """Expansion weights ride the weighted-query path on the mesh too:
+    the sharded BM25 layouts accept term->weight mappings, so the
+    expanded retriever works unchanged over a device mesh."""
+    import asyncio
+
+    import jax
+
+    from dial_rag_tpu.documents.model import (
+        DocumentRecord,
+        IndexSettings,
+        build_chunks_list,
+    )
+    from dial_rag_tpu.parallel.mesh import create_mesh
+    from dial_rag_tpu.retrieval.bm25_retriever import Bm25Retriever
+    from dial_rag_tpu.service.config import QueryExpansionConfig
+
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(8)
+    chunks = build_chunks_list([(t, {"page_number": 1}) for t in CORPUS])
+    text_index = asyncio.run(Bm25Retriever.build_index(chunks))
+    record = DocumentRecord(
+        format_version=3,
+        index_settings=IndexSettings(),
+        chunks=chunks,
+        text_index=text_index,
+        embeddings_index=None,
+        multimodal_embeddings_index=None,
+        description_embeddings_index=None,
+        mime_type="text/plain",
+        document_bytes=b"",
+    )
+    cfg = QueryExpansionConfig(
+        window=3, dim=32, neighbors=3, alpha=1.0, sim_min=0.1
+    )
+    single = Bm25Retriever.from_doc_records(
+        [record], k=3, expansion_config=cfg
+    )
+    sharded = Bm25Retriever.from_doc_records(
+        [record], k=3, mesh=mesh, expansion_config=cfg
+    )
+    for q in ("glacier river", "income tax", "mountains"):
+        s = [(h.doc_id, h.chunk_id) for h in single.retrieve(q)]
+        m = [(h.doc_id, h.chunk_id) for h in sharded.retrieve(q)]
+        assert s == m, (q, s, m)
