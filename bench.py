@@ -234,6 +234,7 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
 
     from dial_rag_tpu.index.dense_index import (
         _find_two_pass_kernel,
+        _row_norm_terms,
         _two_pass_error_terms,
     )
     from dial_rag_tpu.ops.metrics import Metric, pairwise_distances
@@ -252,10 +253,13 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
             return emb, queries
 
         @jax.jit
-        def scan_find(emb, queries):
+        def scan_find(emb, rn, queries):
             def step(carry, q):
+                # the serving path caches row norms at build
+                # (DenseIndex._rn2_cache): the norm term otherwise
+                # costs a second full matrix pass per query at scale
                 dists = pairwise_distances(
-                    q, emb, Metric.SQEUCLIDEAN_DIST
+                    q, emb, Metric.SQEUCLIDEAN_DIST, rn
                 )
                 vals, idx = stable_topk_argmin(dists, k)
                 return (
@@ -268,8 +272,9 @@ def bench_dense_scale(k=7, d=384, m=64, reps=2, n_rows=1_000_000):
         best = float("inf")
         for rep in range(reps + 1):
             emb, queries = jax.block_until_ready(gen(rep))
+            rn = jax.block_until_ready(_row_norm_terms(emb))[0]
             t0 = time.perf_counter()
-            float(scan_find(emb, queries))
+            float(scan_find(emb, rn, queries))
             if rep > 0:
                 best = min(best, time.perf_counter() - t0)
         out[storage] = best / m * 1e3
@@ -366,9 +371,12 @@ def bench_scale_10m(reps=2):
         return emb, queries
 
     @jax.jit
-    def scan_find10(emb, queries):
+    def scan_find10(emb, rn, queries):
         def step(carry, q):
-            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST)
+            # serving caches row norms at build (DenseIndex._rn2_cache):
+            # without them the norm term costs a SECOND full pass over
+            # the 7.4 GiB matrix per query (measured 22.4 vs ~11 ms)
+            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST, rn)
             vals, idx = stable_topk_argmin(dists, k)
             return (
                 carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)),
@@ -377,17 +385,48 @@ def bench_scale_10m(reps=2):
 
         return jax.lax.scan(step, jnp.float32(0), queries)[0]
 
+    from dial_rag_tpu.index.dense_index import _row_norm_terms
+
     best = float("inf")
     emb = queries = None
     for rep in range(reps + 1):
         del emb, queries  # free the previous rep's 7.4 GiB first
         emb = queries = None
         emb, queries = jax.block_until_ready(gen_dense10(rep))
+        rn = jax.block_until_ready(_row_norm_terms(emb))[0]
         t0 = time.perf_counter()
-        float(scan_find10(emb, queries))
+        float(scan_find10(emb, rn, queries))
         if rep > 0:
             best = min(best, time.perf_counter() - t0)
     out["query_10m_bf16_ms"] = best / m * 1e3
+
+    # batched variant: the serving path under concurrency — the
+    # micro-batcher coalesces in-flight queries into ONE
+    # _find_batch_kernel dispatch whose [N, D] x [D, m] matmul reads
+    # the corpus from HBM once for all m queries, so the per-query
+    # bandwidth cost is 1/m of the sequential row above
+    from dial_rag_tpu.index.dense_index import _find_batch_kernel
+
+    best_b = float("inf")
+    for rep in range(reps + 1):
+        del emb, queries
+        emb = queries = None
+        emb, queries = jax.block_until_ready(gen_dense10(rep + 100))
+        rn_b = jax.block_until_ready(_row_norm_terms(emb))[0]
+        t0 = time.perf_counter()
+        vals_b, _ = _find_batch_kernel(
+            emb,
+            queries,
+            jnp.int32(n_rows),
+            rn_b,
+            metric=Metric.SQEUCLIDEAN_DIST,
+            k=k,
+            use_sort=False,
+        )
+        float(vals_b[0, 0])
+        if rep > 0:
+            best_b = min(best_b, time.perf_counter() - t0)
+    out["query_10m_bf16_batch16_ms"] = best_b / m * 1e3
     note_hbm()
     del emb, queries
     gc.collect()
@@ -870,19 +909,23 @@ def bench_query_device_time(k=7, n_rows=100_000, d=384, m=256, reps=3):
         return emb, queries
 
     @jax.jit
-    def scan_find(emb, queries):
+    def scan_find(emb, rn, queries):
         def step(carry, q):
-            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST)
+            # serving caches row norms at build (DenseIndex._rn2_cache)
+            dists = pairwise_distances(q, emb, Metric.SQEUCLIDEAN_DIST, rn)
             vals, idx = stable_topk_argmin(dists, k)
             return carry + jnp.sum(vals) + jnp.sum(idx.astype(jnp.float32)), None
         # scalar result: forces a real fetch (see bench_encoder_mfu)
         return jax.lax.scan(step, jnp.float32(0), queries)[0]
 
+    from dial_rag_tpu.index.dense_index import _row_norm_terms
+
     best = float("inf")
     for rep in range(reps + 1):  # rep 0 is compile warmup
         emb, queries = jax.block_until_ready(gen(rep))
+        rn = jax.block_until_ready(_row_norm_terms(emb))[0]
         t0 = time.perf_counter()
-        float(scan_find(emb, queries))
+        float(scan_find(emb, rn, queries))
         if rep > 0:
             best = min(best, time.perf_counter() - t0)
     return best / m * 1e3  # ms per query

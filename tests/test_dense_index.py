@@ -441,3 +441,79 @@ def test_int8_zero_rows_and_padding():
     assert i8.find(np.array([1.0, 0.0, 0.0]))[0] == hit(0, 0)
     # all-zero query hits the zero-scale guard, still returns k hits
     assert len(i8.find(np.array([0.0, 0.0, 0.0]))) == 3
+
+
+@pytest.mark.parametrize("storage", ["float32", "bfloat16"])
+@pytest.mark.parametrize("metric", _TWO_PASS_METRICS)
+def test_blockselect_identical_to_full_topk(storage, metric):
+    """The block-select single-query path (round 5: replaces the
+    [N]-wide stable top-k that costs more than the roofline distance
+    pass at corpus scale) must return the IDENTICAL hits and distances
+    as the full-scan kernel on the same stored matrix — random corpora
+    AND adversarial tie corpora (where the certificate must fall back)."""
+    import jax.numpy as jnp
+
+    from dial_rag_tpu.index.dense_index import _find_kernel
+
+    rng = np.random.default_rng(21)
+    d = 48
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    dup = np.tile(base, (300, 1))
+    near = base + 1e-7 * rng.standard_normal((300, d)).astype(np.float32)
+    noise = rng.standard_normal((2400, d)).astype(np.float32)
+    emb = np.concatenate([noise[:1200], dup, near, noise[1200:]]).astype(
+        np.float32
+    )
+    emb = emb[rng.permutation(emb.shape[0])]
+    docs = [DocEmbeddings(chunk_ids=np.arange(emb.shape[0]), embeddings=emb)]
+    idx = DenseIndex(
+        RetrievalType.TEXT, docs, metric=metric, limit=7,
+        storage_dtype=storage,
+    )
+    assert idx._norm_max is not None
+    queries = [
+        base,
+        (base + 1e-8).astype(np.float32),
+        rng.standard_normal(d).astype(np.float32),
+        (emb[77] + 0.02 * rng.standard_normal(d)).astype(np.float32),
+    ]
+    for q in queries:
+        hits, dists = idx.find_with_distances(q)
+        ref_vals, ref_idx = _find_kernel(
+            idx._emb,
+            jnp.asarray(q),
+            jnp.int32(idx.n_rows),
+            metric=idx.metric,
+            k=7,
+            use_sort=False,
+        )
+        assert [h.chunk_id for h in hits] == [
+            int(idx._chunk_ids[i]) for i in np.asarray(ref_idx)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(dists, dtype=np.float32),
+            np.asarray(ref_vals),
+            rtol=2e-6,
+            atol=2e-6,
+        )
+
+
+def test_blockselect_cosine_keeps_full_scan(monkeypatch):
+    """Cosine has no query-independent rounding bound — it must stay on
+    the full-scan path (block-select never invoked), though it still
+    uses the cached row norms for its denominator."""
+    import dial_rag_tpu.index.dense_index as di
+
+    rng = np.random.default_rng(22)
+    emb = rng.standard_normal((600, 16)).astype(np.float32)
+    docs = [DocEmbeddings(chunk_ids=np.arange(600), embeddings=emb)]
+    idx = DenseIndex(
+        RetrievalType.TEXT, docs, metric=Metric.COSINE_SIM, limit=5
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("block-select must not run for cosine")
+
+    monkeypatch.setattr(di, "_find_blockselect_kernel", boom)
+    assert len(idx.find(rng.standard_normal(16).astype(np.float32))) == 5
