@@ -88,15 +88,19 @@ def _merge_shard_winners_batch(vals, idx, k):
     jax.jit,
     static_argnames=("mesh", "metric", "k", "use_sort"),
 )
-def _sharded_find_kernel(emb, query, n_valid, *, mesh, metric, k, use_sort):
+def _sharded_find_kernel(
+    emb, query, n_valid, row_norm2=None, *, mesh, metric, k, use_sort
+):
     n_shards = mesh.devices.size
     rows_per_shard = emb.shape[0] // n_shards
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(emb_local, query, n_valid):
+    def local_topk(emb_local, query, n_valid, *rn):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
-        dists = pairwise_distances(query, emb_local, metric)
+        dists = pairwise_distances(
+            query, emb_local, metric, rn[0] if rn else None
+        )
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
@@ -105,12 +109,17 @@ def _sharded_find_kernel(emb, query, n_valid, *, mesh, metric, k, use_sort):
         # keepdims: out_specs concatenate along the leading shard axis
         return vals[None], (base + idx)[None]
 
+    operands = (emb, query, n_valid)
+    in_specs = [P("idx", None), P(), P()]
+    if row_norm2 is not None:
+        operands = operands + (row_norm2,)
+        in_specs.append(P("idx"))
     vals, idx = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P("idx", None), P(), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx")),
-    )(emb, query, n_valid)
+    )(*operands)
 
     return _merge_shard_winners(vals, idx, k)
 
@@ -120,7 +129,7 @@ def _sharded_find_kernel(emb, query, n_valid, *, mesh, metric, k, use_sort):
     static_argnames=("mesh", "metric", "k", "use_sort"),
 )
 def _sharded_find_batch_kernel(
-    emb, queries, n_valid, *, mesh, metric, k, use_sort
+    emb, queries, n_valid, row_norm2=None, *, mesh, metric, k, use_sort
 ):
     """[Q, D] queries: per-shard batched scan + vmapped local top-k, then
     a per-query stable merge of the gathered winner lists."""
@@ -130,10 +139,12 @@ def _sharded_find_batch_kernel(
     rows_per_shard = emb.shape[0] // n_shards
     topk = stable_topk_sort if use_sort else stable_topk_argmin
 
-    def local_topk(emb_local, queries, n_valid):
+    def local_topk(emb_local, queries, n_valid, *rn):
         shard = jax.lax.axis_index("idx")
         base = (shard * rows_per_shard).astype(jnp.int32)
-        dists = pairwise_distances_batch(queries, emb_local, metric)
+        dists = pairwise_distances_batch(
+            queries, emb_local, metric, rn[0] if rn else None
+        )
         row = base + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per_shard, 1), 0
         ).reshape(-1)
@@ -141,12 +152,17 @@ def _sharded_find_batch_kernel(
         vals, idx = jax.vmap(lambda d: topk(d, k))(dists)  # [Q, k]
         return vals[None], (base + idx)[None]
 
+    operands = (emb, queries, n_valid)
+    in_specs = [P("idx", None), P(), P()]
+    if row_norm2 is not None:
+        operands = operands + (row_norm2,)
+        in_specs.append(P("idx"))
     vals, idx = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P("idx", None), P(), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P("idx"), P("idx")),
-    )(emb, queries, n_valid)  # [n_shards, Q, k]
+    )(*operands)  # [n_shards, Q, k]
 
     return _merge_shard_winners_batch(vals, idx, k)
 
@@ -423,6 +439,13 @@ class ShardedDenseIndex:
             self._emb = jax.device_put(
                 emb.astype(np.dtype(storage_dtype)), row_sharding
             )
+            # cached row norms (sharded with their rows): the norm term
+            # otherwise costs each shard a second full pass over its
+            # slice per query (see dense_index._row_norm_terms)
+            x = self._emb.astype(jnp.float32)
+            self._rn2_sh = jax.jit(
+                lambda x: jnp.sum(x * x, axis=1)
+            )(x)
 
     @property
     def nbytes(self) -> int:
@@ -507,6 +530,7 @@ class ShardedDenseIndex:
                 self._emb,
                 jnp.asarray(queries),
                 jnp.int32(self.n_rows),
+                getattr(self, "_rn2_sh", None),
                 mesh=self._mesh,
                 metric=self.metric,
                 k=k,
@@ -572,6 +596,7 @@ class ShardedDenseIndex:
                 self._emb,
                 query,
                 jnp.int32(self.n_rows),
+                getattr(self, "_rn2_sh", None),
                 mesh=self._mesh,
                 metric=self.metric,
                 k=k,
