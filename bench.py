@@ -1077,10 +1077,13 @@ def main():
     bm25_dense_1m_ms, bm25_sparse_1m_ms, bm25_sparse_sharded_1m_ms = bench_bm25_scale()
     _stage("MaxSim 100k")
     maxsim_100k_ms = bench_maxsim_scale()
-    _stage("10M/30M scale proofs")
-    scale_10m = bench_scale_10m()
+    # service before the 10M churn: the tunnel's throughput drifts
+    # within long windows, and the concurrent-QPS row is the most
+    # variance-sensitive measurement in the run
     _stage("service-level latency")
     service = bench_service_level()
+    _stage("10M/30M scale proofs")
+    scale_10m = bench_scale_10m()
     _stage("CPU reference rate")
     cpu_rate = bench_cpu_reference(texts[:CPU_CHUNKS], tok, config)
 
