@@ -367,9 +367,15 @@ async def run_service_bench(
                 async with sem:
                     return await one_request(q)
 
-            queries = [
-                " ".join(rng.choice(words, size=4)) + f" cq{i}"
-                for i in range(creps)
+            # FRESH queries per burst: identical repeat dispatches are
+            # served from the tunnel's transport cache (the round-1
+            # artifact) and would fake sub-RTT latencies
+            bursts = [
+                [
+                    " ".join(rng.choice(words, size=4)) + f" cq{b}_{i}"
+                    for i in range(creps)
+                ]
+                for b in range(2)
             ]
             # untimed concurrent warmup burst: the coalesced waves hit
             # BATCHED query-lane buckets (Q=2..concurrency) the serial
@@ -404,10 +410,10 @@ async def run_service_bench(
             waves0, items0 = _wave_stats()
             ctimes = None
             wall = float("inf")
-            for _burst in range(2):
+            for burst_queries in bursts:
                 t0 = time.perf_counter()
                 burst_times = await asyncio.gather(
-                    *(timed(q) for q in queries)
+                    *(timed(q) for q in burst_queries)
                 )
                 burst_wall = time.perf_counter() - t0
                 if burst_wall < wall:
